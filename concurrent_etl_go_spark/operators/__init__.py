@@ -1,0 +1,16 @@
+"""Operator library + query registry.
+
+Each module registers named queries via ``registry.query``; the driver
+contract (``__spark_entry__.py``) aggregates them. Importing this package
+loads every query module.
+"""
+
+from concurrent_etl_go_spark.operators import (  # noqa: F401
+    etl_queries,
+    relational,
+    scalars_queries,
+    time_windows,
+)
+from concurrent_etl_go_spark.operators.registry import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,115 @@
+"""Reusable relational operators the engine exposes beyond raw DataFrame ops.
+
+Each helper is a thin, Catalyst-friendly composition of built-ins — no UDFs,
+no driver-side materialization — so every one of them survives a 100 TB
+scale-up: shuffles only on declared keys, window functions partition by the
+group key, small sides are broadcast by hint or by AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number over a deterministic order.
+
+    ``order_cols`` must be a total order (include a tie-break key) so results
+    are reproducible across engines and runs. One shuffle on ``group_cols``.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+) -> DataFrame:
+    """As-of join: latest right row with right_time <= left_time per left row.
+
+    Spark has no native as-of join; this is the equi-join + window form:
+    join on the key with a range predicate, then keep the most recent right
+    row per left row (``right_tiebreak`` makes ties deterministic). The
+    equi-key keeps the join a hash/sort-merge join — the range predicate is
+    a post-join filter, so no cartesian blow-up beyond the key match.
+    """
+    joined = left.join(
+        right,
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_time) <= F.col(left_time)),
+        "inner",
+    )
+    w = Window.partitionBy(left_key, left_time).orderBy(
+        F.col(right_time).desc(), F.col(right_tiebreak).desc()
+    )
+    return joined.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def band_join(
+    facts: DataFrame, bands: DataFrame, value_col: str, lo_col: str, hi_col: str
+) -> DataFrame:
+    """Non-equi (range/theta) join of facts to interval bands [lo, hi).
+
+    The bands side is tiny by construction, so it is broadcast — Spark
+    executes this as BroadcastNestedLoopJoin, which is the right physical
+    plan for a non-equi join against a small dimension at any fact scale.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, "inner")
+
+
+def sessionize(
+    df: DataFrame, key_col: str, ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """Assign session ids per key with an inactivity-gap rule (gaps & islands).
+
+    A new session starts when the gap from the previous event exceeds
+    ``gap_seconds``. Expressed with lag + a running sum of session-start
+    flags — two window passes over the same (key, ts) partitioning, a single
+    shuffle. Equivalent to streaming ``session_window`` assignment.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    prev_ts = F.lag(ts_col).over(w)
+    # timestamp->double cast keeps sub-second precision (unix_timestamp would
+    # floor to whole seconds and misjudge gaps that straddle the threshold)
+    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    is_new = (prev_ts.isNull() | (gap > gap_seconds)).cast("long")
+    return df.withColumn("__new", is_new).withColumn(
+        "session_seq",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new")
+
+
+def micro_batch_ids(
+    df: DataFrame, lane_col: str, order_cols: Sequence[Column], batch_size: int
+) -> DataFrame:
+    """Assign (lane, batch_id) per the reference's micro-batch rule (S14).
+
+    Rows are numbered per lane in a deterministic order; every
+    ``batch_size`` consecutive rows share a batch_id — the declarative
+    equivalent of the reference's threshold-flush buffers
+    (reference etl/main.go:240-262).
+    """
+    w = Window.partitionBy(lane_col).orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    return df.withColumn("batch_id", F.floor((rn - F.lit(1)) / F.lit(batch_size)))

@@ -1,0 +1,95 @@
+"""Source readers — lazy, splittable, explicit-schema.
+
+The reference eagerly materializes its whole CSV input in driver memory
+(``r.ReadAll()``, reference etl/main.go:408) — the canonical anti-pattern at
+100 TB. Every reader here is a lazy Spark scan: splittable, predicate- and
+projection-pushdown-capable, never driver-materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from concurrent_etl_go_spark import schemas
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one shared analytics parquet table (TESTDATA.md).
+
+    Handles TIMESTAMP(NANOS) parquet columns, which Spark rejects by
+    default: on PARQUET_TYPE_ILLEGAL the read retries with
+    ``nanosAsLong`` and converts the raw nanosecond longs to microsecond
+    timestamps with integer division (a double division would lose
+    precision: epoch-nanos exceed the 53-bit double mantissa). Truncation
+    to microseconds matches how DuckDB/Arrow read the same files.
+    """
+    # The engine's timestamp semantics are UTC everywhere (window alignment,
+    # epoch extraction, literal parsing, Arrow conversion). Pin it here so
+    # results don't depend on the caller's session timezone.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        # Session-level knob; deliberately left set — it only changes how
+        # nanos-parquet is read, which always needs the conversion below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+
+    # Columns that are timestamp[ns] in the footer surface as bigint under
+    # nanosAsLong (including on the first attempt once the conf is set) —
+    # always reconcile against the footer, not just on the retry path.
+    long_cols = {n for n, t in df.dtypes if t == "bigint"}
+    if long_cols:
+        import pyarrow.parquet as pq
+
+        ns_cols = [
+            f.name
+            for f in pq.read_schema(path)
+            if str(f.type) == "timestamp[ns]" and f.name in long_cols
+        ]
+        for c in ns_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=schemas.TABLES) -> None:
+    """Register the shared tables as temp views for ``spark.sql`` queries."""
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_appliances_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the reference's headerless positional appliance CSV.
+
+    Parity with reference etl/main.go:400-425 (scan S1, malformed-row filter
+    S2, positional projection S3): rows with fewer than 2 fields are dropped;
+    extra fields beyond the first two are ignored.
+
+    Implemented as a permissive CSV read followed by a null filter — the
+    filter is a Catalyst predicate, so malformed-row handling costs nothing
+    extra at scale (no Python in the loop).
+    """
+    raw = (
+        spark.read.schema("ip string, hostname string")
+        .option("mode", "PERMISSIVE")
+        .option("enforceSchema", "true")
+        .csv(path)
+    )
+    # <2 fields => hostname is null (reference drops these, etl/main.go:414-417)
+    return raw.where(F.col("ip").isNotNull() & F.col("hostname").isNotNull())
+
+
+def read_cpu_stats_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a cpu_stats CSV keeping numerics as strings (FIXTURES.md A2).
+
+    Mirrors the reference's wire format (etl/main.go:32-41): the cast to
+    double happens downstream with zero-on-failure semantics.
+    """
+    return spark.read.schema(schemas.CPU_STATS).option("header", "true").csv(path)
