@@ -1,0 +1,15 @@
+"""LLM-data-pipeline operators (SURVEY §2.B extensions).
+
+Dedup (exact / normalized / MinHash-LSH / n-gram Jaccard / SimHash /
+embedding-cosine), similarity search (brute-force + IVF-style), text
+analysis (stats, quality, fingerprint, language-ID), and multimodal binary
+columns. All Spark built-ins; the only Pandas-UDF surface is the multimodal
+decode stubs (the image/audio libraries are not in this environment).
+"""
+
+from concurrent_etl_go_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

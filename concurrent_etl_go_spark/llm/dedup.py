@@ -1,0 +1,312 @@
+"""Deduplication operators over ``documents``: exact, normalized,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB): exact/normalized dedup are single hash-aggregations
+on a derived key (no driver involvement); the near-dup operators avoid the
+O(n²) cross join — candidates come from LSH band buckets (MinHash) or
+16-bit chunk buckets (SimHash), so the join keys are narrow and the
+verification join touches only candidate pairs. Blocking keys (lang) bound
+the worst case for the exact-Jaccard oracle variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.llm.text import normalize_text
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+NUM_MINHASHES = 32
+LSH_BAND_SIZE = 4  # 8 bands of 4 -> catches jaccard >= ~0.7 reliably
+SHINGLE_K = 3
+
+
+def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles ('w1 w2 w3') of a whitespace-tokenized doc.
+
+    Built with sequence+transform over the token array — no UDF. Documents
+    shorter than k tokens yield an empty shingle set.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = NUM_MINHASHES) -> Column:
+    """MinHash signature: per seed i, min over shingles of xxhash64(i:shingle).
+
+    Seeding via prefix keeps everything on the built-in 64-bit hash; the
+    whole signature is one `transform` over the shingle array — computed
+    map-side, no shuffle.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = LSH_BAND_SIZE,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding.
+
+    Pipeline: shingle -> signature -> explode bands -> self-join on
+    (band_id, band_hash) -> verify candidates with exact Jaccard.
+    The band join is an equi-join on a narrow key, so candidate generation
+    scales linearly with data (plus bucket collisions), never O(n²).
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    (b * band_size + 1).cast("int"),
+                                    band_size,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sh", "band.band_id", "band.band_hash")
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_bits(col: Column | str, bits: int = 64) -> Column:
+    """SimHash bit-vote vector: for each bit position, sum of +/-1 votes from
+    each token's xxhash64. One `aggregate` over token hashes — JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    token_hashes = F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0), bits)
+    # bit masks as long literals; bit 63 is the (negative) sign-bit mask
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(bits)]
+    votes = F.aggregate(
+        token_hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                    for m in masks
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.transform(votes, lambda v: (v > 0).cast("int"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: 64-bit fingerprints bucketed into four
+    16-bit chunks (pigeonhole: hamming<=3 pairs share at least one chunk),
+    chunk-equality join for candidates, exact hamming to verify."""
+    fps = docs.select(
+        F.col(id_col).alias("id"), simhash_bits(text_col).alias("bits")
+    ).withColumn(
+        "chunks",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda cidx: F.struct(
+                cidx.alias("chunk_id"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.slice(F.col("bits"), (cidx * 16 + 1).cast("int"), 16),
+                        lambda b: b.cast("string"),
+                    ),
+                ).alias("chunk_val"),
+            ),
+        ),
+    )
+    exploded = fps.select(
+        "id", "bits", F.explode("chunks").alias("c")
+    ).select("id", "bits", "c.chunk_id", "c.chunk_val")
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        candidates.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Registered queries
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on the full text, keeping the smallest
+    doc_id per group (deterministic survivor choice)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "dedup_normalized",
+    oracle="""
+    SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+               'g'), ' +', ' ', 'g')) AS norm_text,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy(normalize_text("text").alias("norm_text")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, lang,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS shingles
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / greatest(len(list_distinct(
+                     list_concat(a.shingles, b.shingles))), 1), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / greatest(len(list_distinct(
+                    list_concat(a.shingles, b.shingles))), 1) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs, blocked on lang to bound
+    the pair space; the MinHash-LSH variant below is the at-scale path."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "lang", shingles("text").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+    )
+    return pairs.where(F.col("j") >= 0.5).select(
+        "id_a", "id_b", F.round("j", 4).alias("jaccard")
+    )
+
+
+@query("dedup_minhash_lsh")  # LSH banding uses xxhash64 — not SQL-portable
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash")  # xxhash64 fingerprints — not SQL-portable
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)

@@ -1,0 +1,179 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, fingerprinting, language-ID.
+
+Everything except language-ID is oracle-checked; all expressions are
+JVM-side built-ins (split/regexp/aggregate), no Python in the row path —
+at 100 TB these are embarrassingly parallel scans with no shuffle except
+the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+# Tiny embedded stopword profiles for the heuristic scorers. Deliberately
+# small and engine-owned: the point is the *operator shape* (vocabulary-
+# profile scoring), swappable for real profiles at deployment.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+# BPE-ish tokenizer regex: words, numbers, or single punctuation marks.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex (words / numbers / punct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_ratio(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    toks = tokens(col)
+    stops = F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(normalize_text(c))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower -> strip non-alphanumerics -> collapse whitespace -> trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")
+    return F.trim(F.regexp_replace(cleaned, r" +", " "))
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           ROUND(AVG(length(text)), 4) AS avg_chars,
+           ROUND(AVG(n_chars), 4) AS avg_n_chars,
+           MIN(length(text)) AS min_chars, MAX(length(text)) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+               t -> lower(t) IN ('the','a','and','of','to','in','is','for',
+                                 'on','with'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1), 4)
+               AS stopword_ratio,
+           ROUND(CAST(length(text) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1), 4)
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, stopword ratio,
+    mean token length — the standard cheap pretraining-quality filters."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(
+            F.length("text") / F.greatest(n_tokens, F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_token_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_regex_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        regex_token_count("text").alias("n_regex_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query("text_langid")  # heuristic scorer — rows-only check (not SQL-portable)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile hit ratio per language; the
+    argmax wins, 'unk' below a confidence floor. Pure built-ins
+    (filter/size/greatest) — scales as a scan."""
+    profiles = {
+        "en": EN_STOPWORDS,
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+        "es": ("el", "la", "los", "las", "es", "una", "que", "por"),
+        "fr": ("le", "la", "les", "est", "une", "que", "pour", "dans"),
+    }
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+
+    def hit_ratio(stopwords):
+        # factory closure: F.filter inspects lambda arity, so the lambda
+        # must take exactly one argument (no default-arg binding)
+        pred = lambda t: F.lower(t).isin(*stopwords)  # noqa: E731
+        return F.size(F.filter(toks, pred)) / F.greatest(F.size(toks), F.lit(1))
+
+    scores = {lang: hit_ratio(sw) for lang, sw in profiles.items()}
+    best_score = F.greatest(*scores.values())
+    predicted = F.when(best_score < 0.02, F.lit("unk"))
+    for lang, score in scores.items():
+        predicted = predicted.when(score == best_score, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        F.round(best_score, 4).alias("confidence"),
+    )

@@ -11,6 +11,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     scalars_queries,
     time_windows,
 )
+from concurrent_etl_go_spark import llm  # noqa: F401  (registers llm queries)
 from concurrent_etl_go_spark.operators.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
