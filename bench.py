@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing uses the noop sink so the full plan executes (no column pruning from
+a count) without sink overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+HEADLINE = (
+    "agg_pricing_summary",     # TPC-H Q1 shape: scan + 8 aggs
+    "join_inner_broadcast",    # star join, broadcast dims
+    "join_q3_top_shipping",    # selective join + agg + top-k
+    "window_running_sum",      # window over 600k lineitem
+    "window_tumbling",         # event-time windows
+    "join_asof",               # as-of join events->orders
+    "etl_transform_flat",      # reference-parity transform
+    "text_quality",            # text analysis scan
+    "dedup_minhash_lsh",       # MinHash+LSH near-dup
+    "similarity_topk",         # brute-force cosine top-k
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+
+    from concurrent_etl_go_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # warm the session (JVM/codegen/parquet footer caches)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,14 +23,14 @@ LSH_BAND_SIZE = 4  # 8 bands of 4 -> catches jaccard >= ~0.7 reliably
 SHINGLE_K = 3
 
 
-def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
-    """Distinct k-token shingles ('w1 w2 w3') of a whitespace-tokenized doc.
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles from an already-tokenized array column.
 
-    Built with sequence+transform over the token array — no UDF. Documents
-    shorter than k tokens yield an empty shingle set.
+    Take the token array as a materialized column (not an inline split
+    expression): Catalyst inlines lambda-captured expressions at every
+    reference, so an inline split would re-tokenize the document for each
+    of the 3 element_at lookups per shingle.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(c, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
     return F.array_distinct(
         F.transform(
@@ -42,6 +42,16 @@ def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
     )
 
 
+def shingles(col: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles ('w1 w2 w3') of a whitespace-tokenized doc.
+
+    Convenience form for one-shot use; hot paths should tokenize into a
+    column first and call ``shingles_from_tokens`` (see note there).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return shingles_from_tokens(F.split(c, " "), k)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (distinct semantics)."""
     inter = F.size(F.array_intersect(a, b))
@@ -49,21 +59,43 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = NUM_MINHASHES) -> Column:
-    """MinHash signature: per seed i, min over shingles of xxhash64(i:shingle).
+_MERSENNE_P = (1 << 31) - 1
 
-    Seeding via prefix keeps everything on the built-in 64-bit hash; the
-    whole signature is one `transform` over the shingle array — computed
-    map-side, no shuffle.
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a, b) per permutation."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = NUM_MINHASHES) -> Column:
+    """MinHash signature via universal hashing over one base hash.
+
+    Each shingle is hashed ONCE (xxhash64, folded into [0, p) for the
+    Mersenne prime p=2^31-1); permutation i is the multiply-add hash
+    (a_i*h + b_i) mod p, whose operands stay < 2^62 — safe under ANSI
+    overflow checking. One `transform` pass, map-side, no shuffle; 32
+    permutations cost 32 multiply-adds per shingle instead of 32 string
+    hashes.
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
+    base = F.transform(
+        shingle_col,
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
+    )
+    def perm(a: int, b: int):
+        # factory closure — F.transform requires an exactly-one-arg lambda
+        return lambda h: (h * a + b) % _MERSENNE_P
+
+    return F.array(
+        *[
+            F.array_min(F.transform(base, perm(a, b)))
+            for a, b in _minhash_coeffs(num_hashes)
+        ]
     )
 
 
@@ -82,15 +114,27 @@ def minhash_lsh_pairs(
     The band join is an equi-join on a narrow key, so candidate generation
     scales linearly with data (plus bucket collisions), never O(n²).
     """
-    sigs = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Spread the CPU-heavy shingle/signature stage across all cores — a
+    # small doc table often arrives as one parquet split; at scale the
+    # repartition keys later joins on id as well.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sh_df = (
+        docs.repartition(parallelism, F.col(id_col))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(F.col("__toks")).alias("sh"),
+        )
+        .persist()
+    )
+    sigs = sh_df.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
+    # Narrow band rows (id, band_id, band_hash) only — the candidate join
+    # never shuffles shingle arrays, so the shuffle volume is O(docs*bands)
+    # small fixed-width rows regardless of document size.
     n_bands = num_hashes // band_size
     bands = sigs.select(
         "id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -112,29 +156,34 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("id", "sh", "band.band_id", "band.band_hash")
+    ).select("id", "band.band_id", "band.band_hash")
 
-    left = bands.alias("a")
-    right = bands.alias("b")
     candidates = (
-        left.join(
-            right,
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        candidates.withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+
+    # Verification joins fetch the shingle sets only for candidate pairs.
+    verified = (
+        candidates.join(
+            sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

@@ -30,6 +30,21 @@ def tokens(col: Column | str) -> Column:
     return F.split(c, " ")
 
 
+def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a materialized ``toks`` column, spread across cores.
+
+    Hot text queries reference the token array several times; tokenizing
+    into a column (instead of inlining ``split`` at each reference) and
+    repartitioning the single-split parquet table keeps the scan parallel
+    and the tokenization single-pass.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    return docs.repartition(parallelism, "doc_id").withColumn(
+        "toks", tokens("text")
+    )
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
@@ -71,10 +86,10 @@ def normalize_text(col: Column | str) -> Column:
     """,
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = tokenized_docs(spark, sf_dir)
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg(token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg(F.size("toks")), 4).alias("avg_tokens"),
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
         F.min(F.length("text")).alias("min_chars"),
@@ -101,14 +116,17 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: token count, stopword ratio,
     mean token length — the standard cheap pretraining-quality filters."""
-    docs = read_table(spark, sf_dir, "documents")
-    n_tokens = token_count("text")
+    docs = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
+    stops = F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.size(toks).alias("n_tokens"),
         F.round(
-            F.length("text") / F.greatest(n_tokens, F.lit(1)), 4
+            F.size(stops) / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4
         ).alias("chars_per_token"),
     )
 
@@ -124,11 +142,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = tokenized_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         regex_token_count("text").alias("n_regex_tokens"),
-        token_count("text").alias("n_ws_tokens"),
+        F.size("toks").alias("n_ws_tokens"),
     )
 
 
@@ -157,8 +175,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "es": ("el", "la", "los", "las", "es", "una", "que", "por"),
         "fr": ("le", "la", "les", "est", "une", "que", "pour", "dans"),
     }
-    docs = read_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    docs = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
 
     def hit_ratio(stopwords):
         # factory closure: F.filter inspects lambda arity, so the lambda

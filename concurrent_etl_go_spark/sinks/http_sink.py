@@ -1,0 +1,113 @@
+"""Chunked HTTP JSON sink with DLQ spill — the reference's load stage.
+
+Reference behavior re-expressed (etl/main.go:240-305,378-394):
+
+- micro-batch accumulate + threshold flush at 200 rows (S14) with a final
+  partial flush per lane (S15) -> chunked iteration inside
+  ``foreachPartition`` (partitions are the lanes; one shuffle upstream
+  routes rows to lanes),
+- JSON array payload (S17), POST with Authorization + Content-Type and a
+  client timeout (S18),
+- on failure, spill the batch as gzip JSON to the DLQ (S19) — with UNIQUE
+  filenames per spill: the reference's per-worker ``os.Create`` overwrite
+  (which silently loses earlier failed batches in the same run,
+  etl/main.go:379) is a deliberate deviation documented in SURVEY §7.4.2,
+- bounded retry with backoff before spilling (engine extension; default 0
+  retries matches the reference's single attempt).
+
+Everything runs executor-side; the driver never sees a row.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import time
+import urllib.error
+import urllib.request
+import uuid
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class HttpSinkConfig:
+    """Engine config for the sink (the reference hard-codes these at
+    etl/main.go:59-66)."""
+
+    endpoint: str
+    auth_token: str = ""
+    batch_size: int = 200
+    timeout_s: float = 15.0
+    max_retries: int = 0
+    backoff_s: float = 0.5
+    dlq_dir: str = "dlq"
+
+
+def chunked(rows: Iterable[dict], size: int) -> Iterator[list[dict]]:
+    """Threshold flush (S14) + final partial flush (S15) as a chunker."""
+    batch: list[dict] = []
+    for row in rows:
+        batch.append(row)
+        if len(batch) >= size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def post_batch(batch: list[dict], config: HttpSinkConfig) -> None:
+    """One JSON-array POST (S17/S18). Raises on non-2xx or transport error."""
+    payload = json.dumps(batch).encode("utf-8")
+    req = urllib.request.Request(
+        config.endpoint,
+        data=payload,
+        method="POST",
+        headers={
+            "Content-Type": "application/json",
+            "Authorization": f"Bearer {config.auth_token}",
+        },
+    )
+    with urllib.request.urlopen(req, timeout=config.timeout_s) as resp:
+        if not (200 <= resp.status < 300):
+            raise RuntimeError(f"sink returned {resp.status}")
+
+
+def spill_batch(batch: list[dict], worker_id: int, config: HttpSinkConfig) -> str:
+    """DLQ spill (S19): gzip JSON array, unique filename per spill."""
+    os.makedirs(config.dlq_dir, exist_ok=True)
+    fname = f"buffer_failed_worker{worker_id}_{uuid.uuid4().hex}.json.gz"
+    path = os.path.join(config.dlq_dir, fname)
+    with gzip.open(path, "wt", encoding="utf-8") as fh:
+        json.dump(batch, fh)
+    return path
+
+
+def sink_partition(rows, config: HttpSinkConfig) -> None:
+    """Per-partition sink loop: chunk -> POST (with bounded retry) -> spill
+    on exhausted retries. Runs on the executor."""
+    ctx = TaskContext.get()
+    worker_id = ctx.partitionId() if ctx is not None else 0
+    dicts = (row.asDict(recursive=True) for row in rows)
+    for batch in chunked(dicts, config.batch_size):
+        attempt = 0
+        while True:
+            try:
+                post_batch(batch, config)
+                break
+            except (urllib.error.URLError, OSError, RuntimeError):
+                if attempt >= config.max_retries:
+                    spill_batch(batch, worker_id, config)
+                    break
+                time.sleep(config.backoff_s * (2**attempt))
+                attempt += 1
+
+
+def run_http_sink(df: DataFrame, config: HttpSinkConfig) -> None:
+    """Sink a DataFrame: each partition is a lane (route upstream with
+    ``repartition(n_lanes, key)`` — see plans.device_pipeline)."""
+    df.foreachPartition(lambda rows: sink_partition(rows, config))

@@ -1,0 +1,134 @@
+"""Structured Streaming parity layer (SURVEY §2.B Streaming; PR 4).
+
+The reference's channels are streams-in-spirit with processing-time
+semantics (etl/main.go:177-182); the engine upgrades them to event-time
+Structured Streaming:
+
+- file source with ``maxFilesPerTrigger`` rate limiting ≈ the bounded
+  channel capacity (S12),
+- watermarks bound state for late data (the reference has no event-time
+  notion at all — timestamps are stamped at extract time, etl/main.go:202),
+- the batch and streaming window operators share the same expressions
+  (``F.window`` / ``F.session_window``), so the DuckDB-oracle checks on the
+  batch forms (operators/time_windows.py) validate streaming semantics too,
+- ``foreachBatch`` drives the PR-3 HTTP sink with DLQ spill, giving the
+  streaming pipeline the same at-least-once + replay story as batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from concurrent_etl_go_spark.sinks.http_sink import HttpSinkConfig, run_http_sink
+
+# events read schema under nanosAsLong (ts arrives as raw nanos).
+_EVENTS_NS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    ``maxFilesPerTrigger`` is the engine's rate limit (S12's bounded
+    channels). The TIMESTAMP(NANOS) column is read as raw nanos and
+    converted exactly as the batch reader does.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file-stream source needs a directory; pathGlobFilter narrows the
+    # listing to the events file(s) within the sf dir
+    stream = (
+        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 1-hour tumbling counts — streaming twin of the
+    oracle-checked ``window_tumbling`` batch query."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 1-hour/30-min sliding counts (twin of ``window_sliding``)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_agg(stream: DataFrame, gap: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Native streaming session windows (inactivity gap): state is bounded
+    by the watermark; the batch twin (``window_session``) uses
+    gaps-and-islands and is oracle-checked."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_to_http(
+    stream: DataFrame, config: HttpSinkConfig, checkpoint_dir: str
+) -> StreamingQuery:
+    """Drive the chunked HTTP sink from a stream via ``foreachBatch``:
+    every micro-batch gets the same chunk->POST->DLQ-spill semantics as the
+    batch pipeline (at-least-once; checkpointing makes replays bounded)."""
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda batch_df, _epoch: run_http_sink(batch_df, config))
+        .start()
+    )
