@@ -195,3 +195,70 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicted.alias("predicted_lang"),
         F.round(best_score, 4).alias("confidence"),
     )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                    for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS bigram
+                FROM w)
+    SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts: sequence+transform over the token array,
+    explode, aggregate — the n-gram feature extractor."""
+    docs = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(-1)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF from first principles (explode -> tf -> df -> join), smoothed
+    idf = ln((N+1)/(df+1)). The df side is a small term dictionary —
+    broadcast; the doc count joins in-plan (no driver-side collect)."""
+    docs = tokenized_docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
