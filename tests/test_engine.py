@@ -1,0 +1,77 @@
+"""End-to-end engine tests: the full reference flow (run_etl) against the
+mock server, including crash-recovery across two runs, and the Engine
+query facade."""
+
+from __future__ import annotations
+
+import pytest
+
+from concurrent_etl_go_spark.engine import Engine, run_etl
+from concurrent_etl_go_spark.sinks import HttpSinkConfig, dlq_files
+from tests.conftest import SF_SMOKE
+from tests.mock_api import MockApiServer
+
+
+@pytest.fixture()
+def mock_api():
+    server = MockApiServer().start()
+    yield server
+    server.stop()
+
+
+@pytest.fixture()
+def appliances_csv(tmp_path):
+    lines = [f"192.168.{i // 256}.{i % 256},device-{i}" for i in range(400)]
+    lines.insert(7, "192.168.99.1")  # malformed: dropped by the scan
+    path = tmp_path / "appliances.csv"
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_run_etl_end_to_end(spark, mock_api, appliances_csv, tmp_path):
+    sink = HttpSinkConfig(
+        endpoint=mock_api.endpoint,
+        auth_token="run-token",
+        batch_size=200,
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    report = run_etl(spark, appliances_csv, sink, lanes=4)
+    assert mock_api.total_rows_received() == 400  # malformed row dropped
+    assert report.extracted_rows == 400
+    assert report.quarantined_rows == 0
+    assert report.replayed_rows == 0
+    assert report.spill_files_after == 0
+    assert report.wall_clock_s > 0
+    assert set(report.phases) == {"dlq_replay_s", "plan_s", "load_s"}
+
+
+def test_run_etl_crash_recovery_two_runs(spark, mock_api, appliances_csv, tmp_path):
+    """Run 1 with the sink down spills everything; run 2 replays the spills
+    and clears them after ack — the reference's restart story (S19/S20)."""
+    sink = HttpSinkConfig(
+        endpoint=mock_api.endpoint, batch_size=200, dlq_dir=str(tmp_path / "dlq")
+    )
+    mock_api.state.fail_all = True
+    r1 = run_etl(spark, appliances_csv, sink, lanes=4)
+    assert mock_api.total_rows_received() == 0
+    assert r1.spill_files_after > 0
+
+    mock_api.state.fail_all = False
+    r2 = run_etl(spark, appliances_csv, sink, lanes=4)
+    # run 2 delivers its own 400 fresh + 400 replayed
+    assert mock_api.total_rows_received() == 800
+    assert r2.replayed_rows == 400
+    assert r2.spill_files_after == 0
+    assert dlq_files(sink.dlq_dir) == []
+
+
+def test_engine_facade_sql_and_named_queries(spark):
+    engine = Engine(spark, SF_SMOKE)
+    assert engine.table("nation").count() == 25
+    df = engine.sql(
+        "SELECT r_name, COUNT(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert df.count() == 5
+    assert "agg_pricing_summary" in engine.queries()
+    assert engine.query("agg_pricing_summary").count() > 0
