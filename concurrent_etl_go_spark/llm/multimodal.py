@@ -125,3 +125,116 @@ def multimodal_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min("media_meta.n_bytes").alias("n_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Media transform ops (decode / resize / frame-sample)
+#
+# The Spark-side plumbing (schemas, Arrow batching, partition-parallel
+# execution) is real; the media math itself is stubbed behind injectable
+# callables because no image/audio libraries exist in this environment.
+# --------------------------------------------------------------------------
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixels", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_frames_sampled", T.IntegerType(), True),
+    ]
+)
+
+
+def _stub(name: str):
+    def fn(*_args, **_kwargs):
+        raise NotImplementedError(
+            f"{name} requires media libraries not present in this "
+            "environment; inject an implementation"
+        )
+
+    return fn
+
+
+def decode_image(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], tuple[int, int, list[float]]] = _stub("decode_image"),
+) -> DataFrame:
+    """binary -> (width, height, pixel array) via Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decoder(p) for p in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "pixels": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, IMAGE_SCHEMA)
+
+
+def resize_image(
+    images: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer: Callable[[list[float], int, int, int, int], list[float]] = _stub(
+        "resize_image"
+    ),
+) -> DataFrame:
+    """(pixels, w, h) -> resized pixel array; output schema fixed to the
+    target dims so downstream operators can rely on the shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                resizer(px, w, h, target_w, target_h)
+                for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "pixels": resized,
+                }
+            )
+
+    return images.mapInPandas(batches, IMAGE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    prober: Callable[[bytes], int] = _stub("sample_frames"),
+) -> DataFrame:
+    """video binary -> deterministic every-Nth frame index sample; the
+    prober returns the container's frame count (stubbed)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            counts = [prober(p) for p in pdf[binary_col]]
+            idx = [list(range(0, c, every_n)) for c in counts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "frame_idx": idx,
+                    "n_frames_sampled": [len(i) for i in idx],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, FRAMES_SCHEMA)

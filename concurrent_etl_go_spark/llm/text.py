@@ -92,8 +92,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.size("toks")), 4).alias("avg_tokens"),
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
-        F.min(F.length("text")).alias("min_chars"),
-        F.max(F.length("text")).alias("max_chars"),
+        F.min(F.length("text")).cast("long").alias("min_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
     )
 
 
@@ -121,7 +121,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops = F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(
             F.size(stops) / F.greatest(F.size(toks), F.lit(1)), 4
         ).alias("stopword_ratio"),
@@ -145,8 +145,8 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tokenized_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        regex_token_count("text").alias("n_regex_tokens"),
-        F.size("toks").alias("n_ws_tokens"),
+        regex_token_count("text").cast("long").alias("n_regex_tokens"),
+        F.size("toks").cast("long").alias("n_ws_tokens"),
     )
 
 

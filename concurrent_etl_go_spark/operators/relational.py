@@ -526,8 +526,8 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     )
 
 

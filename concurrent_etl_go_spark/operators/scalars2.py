@@ -1,0 +1,194 @@
+"""Scalar-function coverage, batch 2: date arithmetic, extended string ops,
+null-handling, map columns, conditional aggregation, bitwise ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')
+               AS days_to_ref,
+           o_orderdate + INTERVAL 30 DAY AS plus_30d,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS doy
+    FROM orders
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic. Note dialect traps handled here: Spark
+    ``dayofweek`` is 1=Sunday..7 while DuckDB ``dow`` is 0=Sunday..6
+    (normalized via -1); datediff argument order differs too."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.lit("1998-01-01").cast("timestamp").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("days_to_ref"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus_30d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@query(
+    "scalar_string2",
+    oracle="""
+    SELECT p_partkey,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           repeat('*', p_size % 5) AS stars,
+           strpos(p_name, 'a') AS first_a,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass
+    FROM part
+    """,
+)
+def scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.instr("p_name", "a").cast("bigint").alias("first_a"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+    )
+
+
+@query(
+    "scalar_null_fns",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           ROUND(LEAST(c_acctbal, 1000.0), 4) AS capped_low,
+           ROUND(GREATEST(c_acctbal, 0.0), 4) AS floored,
+           CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END AS bal_is_null
+    FROM customer
+    """,
+)
+def scalar_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.round(F.least("c_acctbal", F.lit(1000.0)), 4).alias("capped_low"),
+        F.round(F.greatest("c_acctbal", F.lit(0.0)), 4).alias("floored"),
+        F.when(F.col("c_acctbal").isNull(), 1).otherwise(0).alias("bal_is_null"),
+    )
+
+
+@query(
+    "scalar_map_column",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity
+                      ELSE l_extendedprice END, 4) AS selected_metric
+    FROM lineitem
+    """,
+)
+def scalar_map_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map column build + dynamic key lookup. The oracle states the
+    equivalent value directly — the point is that the map implementation
+    computes the same thing."""
+    li = _t(spark, sf_dir, "lineitem")
+    metric_map = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("price"), F.col("l_extendedprice"),
+    )
+    key = F.when(F.col("l_orderkey") % 2 == 0, "qty").otherwise("price")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at(metric_map, key), 4).alias("selected_metric"),
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           ROUND(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 4)
+               AS returned_value,
+           ROUND(AVG(l_quantity) FILTER (WHERE l_quantity > 25), 4)
+               AS avg_large_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics via when/count_if)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))),
+            4,
+        ).alias("returned_value"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") > 25, F.col("l_quantity"))), 4
+        ).alias("avg_large_qty"),
+    )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 1 AS set_low,
+           xor(l_orderkey, l_linenumber) AS xored,
+           l_orderkey << 2 AS shifted
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("set_low"),
+        F.col("l_orderkey")
+        .bitwiseXOR(F.col("l_linenumber").cast("long"))
+        .alias("xored"),
+        F.shiftleft("l_orderkey", 2).alias("shifted"),
+    )
+
+
+@query(
+    "scalar_array2",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_type, ' ')) AS n_words,
+           list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass,
+           array_to_string(list_sort(string_split(p_type, ' ')), '-')
+               AS joined
+    FROM part
+    """,
+)
+def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops (sort/contains/join) — outputs scalarized (array_join) so
+    the cross-engine value hash compares strings, not list encodings."""
+    part = _t(spark, sf_dir, "part").withColumn("words", F.split("p_type", " "))
+    return part.select(
+        "p_partkey",
+        F.size("words").cast("long").alias("n_words"),
+        F.array_contains("words", "BRASS").alias("has_brass"),
+        F.array_join(F.sort_array("words"), "-").alias("joined"),
+    )

@@ -38,7 +38,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_head"),
         F.split("p_type", " ").getItem(0).alias("type_first"),
         F.coalesce(

@@ -105,3 +105,43 @@ def test_multimodal_default_decoder_is_stubbed(spark):
     with_meta = with_media_meta(payloads, "payload", media_type="image/png")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_features(with_meta).collect()
+
+
+def test_media_ops_plumbing_with_fakes(spark):
+    """decode -> resize -> frame-sample plumbing with deterministic fakes:
+    schemas, batch shapes, and partition-parallel execution are real."""
+    from concurrent_etl_go_spark.llm.multimodal import (
+        decode_image,
+        resize_image,
+        sample_frames,
+    )
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(20)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def fake_decoder(payload: bytes):
+        w, h = 4, 2
+        return w, h, [float(b % 7) for b in payload[: w * h]]
+
+    images = decode_image(payloads, decoder=fake_decoder)
+    rows = images.collect()
+    assert len(rows) == 20 and all(len(r.pixels) == 8 for r in rows)
+
+    def fake_resizer(px, w, h, tw, th):
+        return (px * ((tw * th) // len(px) + 1))[: tw * th]
+
+    resized = resize_image(images, 2, 2, resizer=fake_resizer)
+    rrows = resized.collect()
+    assert all(r.width == 2 and r.height == 2 and len(r.pixels) == 4 for r in rrows)
+
+    frames = sample_frames(payloads, every_n=10, prober=lambda p: len(p) % 50 + 20)
+    frows = frames.collect()
+    for r in frows:
+        assert r.frame_idx[0] == 0 and r.n_frames_sampled == len(r.frame_idx)
+
+    # default stubs must raise, loudly, not silently fake
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_image(payloads).collect()

@@ -81,6 +81,13 @@ def frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     s, o = normalize(spark_df), normalize(oracle_df)
     for col in s.columns:
+        # strict dtype parity (post datetime normalization): the driver's
+        # value hash may be dtype-sensitive, so int32-vs-int64 skew is a bug
+        if str(s[col].dtype) != str(o[col].dtype):
+            problems.append(
+                f"col {col}: dtype spark={s[col].dtype} oracle={o[col].dtype}"
+            )
+    for col in s.columns:
         sv, ov = s[col].to_numpy(), o[col].to_numpy()
         bad = [
             i

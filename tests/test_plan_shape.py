@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the plans the engine relies on at scale
+must not silently degrade (lost pushdown, broadcast -> shuffle join,
+Python creeping into the row path)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_project_pushes_down_and_prunes(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    # column pruning: the scan must not read all 11 lineitem columns
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_returnflag" not in scan_line and "l_tax" not in scan_line
+
+
+def test_star_joins_broadcast_dimensions(spark, sf_dir):
+    for name in ("join_inner_broadcast", "join_q5_local_supplier"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_band_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_range_band")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_transform_pipeline_has_no_python_and_one_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "etl_transform_flat")
+    assert "Exchange" not in plan  # pure map-side pipeline
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+    from concurrent_etl_go_spark.plans import flagship
+
+    flagship_plan = (
+        flagship(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly the one lane-routing shuffle (the reference's channel fan-in)
+    assert flagship_plan.count("Exchange") - flagship_plan.count(
+        "BroadcastExchange"
+    ) == 1
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine: HashAggregate appears both below and above the
+    exchange."""
+    plan = plan_of(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2

@@ -74,3 +74,30 @@ def test_stream_foreachbatch_http_sink(spark, tmp_path):
         )
     finally:
         server.stop()
+
+
+def test_stateful_running_totals_matches_batch(spark):
+    """applyInPandasWithState: final per-user running totals across all
+    micro-batches must equal the batch groupBy."""
+    from concurrent_etl_go_spark.streaming.stateful import running_totals
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    stream = events_file_stream(spark, SF_SMOKE)
+    got = run_to_memory(spark, running_totals(stream), "t_state", mode="update")
+    # last update per user wins
+    import pandas as pd
+
+    pdf = got.toPandas()
+    final = pdf.groupby("user_id").last()
+
+    batch = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tot"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in batch.iterrows():
+        assert final.loc[uid, "running_n"] == row["n"]
+        assert abs(final.loc[uid, "running_total"] - row["tot"]) < 1e-6
