@@ -156,7 +156,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
+    ).select("id", "band.band_id", "band.band_hash").persist()
 
     candidates = (
         bands.alias("a")

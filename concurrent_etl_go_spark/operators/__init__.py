@@ -9,6 +9,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     etl_queries,
     relational,
     relational2,
+    relational3,
     scalars2,
     scalars_queries,
     time_windows,
