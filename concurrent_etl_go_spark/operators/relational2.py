@@ -101,8 +101,8 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_O,
-           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_F
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS qty_o,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS qty_f
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -114,7 +114,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 4))
-        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
     )
 
 

@@ -1,0 +1,68 @@
+"""Tests for the UDF registration surface and file sinks."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.functions.udfs import (
+    register_pandas_udf,
+    register_python_udf,
+)
+from concurrent_etl_go_spark.sinks.files import (
+    write_csv,
+    write_json_gzip,
+    write_parquet,
+)
+from concurrent_etl_go_spark.sources.readers import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_pandas_udf_registration_dataframe_and_sql(spark):
+    def softcap(s: pd.Series) -> pd.Series:
+        return s.clip(upper=100.0)
+
+    udf = register_pandas_udf(spark, "softcap", softcap, "double")
+    events = read_table(spark, SF_SMOKE, "events")
+    via_df = events.select(udf("value").alias("v")).agg(F.max("v")).collect()[0][0]
+    events.createOrReplaceTempView("events")
+    via_sql = spark.sql("SELECT MAX(softcap(value)) FROM events").collect()[0][0]
+    assert via_df == via_sql <= 100.0
+
+
+def test_python_udf_registration(spark):
+    register_python_udf(spark, "shout", lambda s: (s or "") + "!", "string")
+    docs = read_table(spark, SF_SMOKE, "documents").limit(5)
+    docs.createOrReplaceTempView("docs5")
+    rows = spark.sql("SELECT shout(lang) AS l FROM docs5").collect()
+    assert all(r.l.endswith("!") for r in rows)
+
+
+def test_partitioned_parquet_roundtrip(spark, tmp_path):
+    events = read_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # partition pruning: reading one partition scans only that directory
+    one = spark.read.parquet(out).where(F.col("event_type") == "click")
+    expected = events.where(F.col("event_type") == "click").count()
+    assert one.count() == expected
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_csv_and_json_gzip_roundtrip(spark, tmp_path):
+    nation = read_table(spark, SF_SMOKE, "nation")
+    csv_out = str(tmp_path / "nation_csv")
+    write_csv(nation, csv_out)
+    back_csv = spark.read.option("header", "true").schema(nation.schema).csv(csv_out)
+    assert back_csv.count() == 25
+
+    json_out = str(tmp_path / "nation_json")
+    write_json_gzip(nation, json_out)
+    back_json = spark.read.schema(nation.schema).json(json_out)
+    assert back_json.count() == 25
+    import glob
+
+    assert glob.glob(f"{json_out}/*.json.gz"), "expected gzip json part files"
