@@ -22,15 +22,20 @@ if REPO_ROOT not in sys.path:
 
 HEADLINE = (
     "agg_pricing_summary",     # TPC-H Q1 shape: scan + 8 aggs
+    "agg_percentiles",         # exact quantiles
     "join_inner_broadcast",    # star join, broadcast dims
     "join_q3_top_shipping",    # selective join + agg + top-k
+    "join_q5_local_supplier",  # 6-table star join
     "window_running_sum",      # window over 600k lineitem
     "window_tumbling",         # event-time windows
+    "window_session",          # gaps-and-islands sessionization
     "join_asof",               # as-of join events->orders
     "etl_transform_flat",      # reference-parity transform
     "text_quality",            # text analysis scan
+    "text_tfidf",              # explode + tf/df joins
     "dedup_minhash_lsh",       # MinHash+LSH near-dup
     "similarity_topk",         # brute-force cosine top-k
+    "similarity_pairs",        # label-blocked cosine pairs
 )
 
 

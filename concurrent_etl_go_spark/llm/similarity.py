@@ -29,21 +29,31 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors as array<double> + precomputed self-norm, spread across
+    cores (the embeddings table is often one parquet split). Precomputing
+    ``norm`` once per vector keeps pairwise cosine to a single dot product
+    per pair instead of three."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return emb.select(
+    parallelism = spark.sparkContext.defaultParallelism
+    base = emb.repartition(parallelism, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    return base.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
 
 
 def brute_force_topk(
     vectors: DataFrame, query_vec: DataFrame, k: int
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast the single query row against the
-    vector table; rank with a deterministic tie-break. At scale this is one
-    scan + a TakeOrdered(k) — no shuffle of the vectors themselves."""
+    """Exact top-k by cosine: broadcast the single query row (qv + qnorm)
+    against the vector table; one dot product per row against precomputed
+    norms; deterministic tie-break. At scale this is one scan + a
+    TakeOrdered(k) — no shuffle of the vectors themselves."""
     joined = vectors.crossJoin(F.broadcast(query_vec))
     scored = joined.select(
-        "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 4).alias("sim")
+        "vec_id",
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")), 4
+        ).alias("sim"),
     )
     return scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k)
 
@@ -63,7 +73,9 @@ def brute_force_topk(
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = _vectors(spark, sf_dir)
-    qv = vectors.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qv = vectors.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
     return brute_force_topk(vectors.where(F.col("vec_id") != 0), qv, k=10)
 
 
@@ -79,8 +91,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: label-blocked (the coarse-cluster key) so
-    the pair space is per-bucket, then exact cosine filter."""
-    vectors = _vectors(spark, sf_dir)
+    the pair space is per-bucket; one dot product per pair against the
+    precomputed norms (persisted so the self-join computes vectors once)."""
+    vectors = _vectors(spark, sf_dir).persist()
     a, b = vectors.alias("a"), vectors.alias("b")
     pairs = a.join(
         b,
@@ -89,7 +102,10 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("s"),
+        (
+            dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("s"),
     )
     return pairs.where(F.col("s") >= 0.3).select(
         "id_a", "id_b", F.round("s", 4).alias("sim")
@@ -102,7 +118,9 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels by query-centroid cosine, probe the top 3 partitions, exact
     search inside them. At 100 TB the probed fraction bounds the scan."""
     vectors = _vectors(spark, sf_dir)
-    qv = vectors.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qv = vectors.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
 
     # centroid per label: element-wise mean via explode + posexplode-free agg
     dim = 64

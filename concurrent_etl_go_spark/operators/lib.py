@@ -113,3 +113,35 @@ def micro_batch_ids(
     w = Window.partitionBy(lane_col).orderBy(*order_cols)
     rn = F.row_number().over(w)
     return df.withColumn("batch_id", F.floor((rn - F.lit(1)) / F.lit(batch_size)))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small side.
+
+    For a hot key whose rows overwhelm one reducer, the salt fans its rows
+    across ``n_salts`` partitions; the small side is replicated once per
+    salt so every (key, salt) bucket still joins completely. Result is
+    row-identical to the plain join. AQE's skew-join handles moderate skew
+    automatically; explicit salting is for the pathological keys AQE can't
+    split (e.g. a single key larger than an executor).
+    """
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")
+    )
+    salted_small = small.withColumn("__salt", salts)
+    joined = salted_big.join(
+        salted_small,
+        (F.col(big_key) == F.col(small_key))
+        & (salted_big["__salt"] == salted_small["__salt"]),
+    )
+    return joined.drop("__salt")

@@ -75,12 +75,22 @@ def join_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``); the approximate variant is ``agg_approx`` below."""
+    ``quantile_cont``); the approximate variant is ``agg_approx`` below.
+    One array-quantile aggregate (single value buffer per group) instead of
+    three scalar ones."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("__p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__p")[0], 4).alias("p50"),
+            F.round(F.col("__p")[1], 4).alias("p90"),
+            F.round(F.col("__p")[2], 4).alias("p99"),
+        )
     )
 
 

@@ -33,3 +33,22 @@ def write_csv(
 def write_json_gzip(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """gzip-JSON lines — the DLQ spill format as a general sink (S19/S21)."""
     df.write.mode(mode).option("compression", "gzip").json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``n_buckets`` by
+    ``bucket_col`` at write time so later joins/aggregations on that key
+    read co-located buckets with NO exchange — the pay-once-shuffle-never
+    pattern for repeatedly-joined fact tables."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
