@@ -71,16 +71,21 @@ def run_etl(
     sink: HttpSinkConfig,
     fetch_fn: FetchFn = synthetic_fetch,
     extractor: ExtractorConfig = ExtractorConfig(),
-    lanes: int = LOAD_WORKERS,
+    lanes: int | None = LOAD_WORKERS,
     fanout_partitions: int | None = None,
 ) -> RunReport:
     """The reference's whole ``main`` as one Spark run.
 
     1. DLQ replay scan (S20-S22): spilled batches become a source.
     2. Appliance CSV scan + malformed drop (S1-S3).
-    3. Extract fan-out (S4-S6): ``fanout_partitions`` x cores bounds
-       concurrency — the semaphore (S13) as partitioning.
-    4. Transform + hash route (S7-S11).
+    3. Extract fan-out (S4-S6): ``fanout_partitions`` x
+       ``extractor.concurrency`` bounds in-flight fetches — the semaphore
+       (S13) as partitioning x pool width.
+    4. Transform + hash route (S7-S11). ``lanes=None`` skips the routing
+       shuffle and sinks straight from the extract partitions — extract and
+       load then PIPELINE within each task (the reference's channel overlap;
+       a repartition would barrier the whole extract before the first POST).
+       Use explicit lanes only when batch-packing efficiency needs it.
     5. Micro-batched HTTP load with DLQ spill on failure (S14-S19).
     6. DLQ files that were replayed are deleted only after the sink pass
        completes (stronger than the reference's delete-after-enqueue).
@@ -92,25 +97,37 @@ def run_etl(
     replayed_files = dlq_files(sink.dlq_dir)
     replayed = read_dlq(spark, sink.dlq_dir, schemas.DEVICE_DATA)
     report.spill_files_before = len(replayed_files)
-    report.replayed_rows = replayed.count()
+    # don't spend a Spark job counting an empty DLQ
+    report.replayed_rows = replayed.count() if replayed_files else 0
     report.phases["dlq_replay_s"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     appliances = read_appliances_csv(spark, appliances_csv)
     if fanout_partitions:
         appliances = appliances.repartition(fanout_partitions)
-    extracted = run_extract(appliances, fetch_fn, extractor)
+    # Persist the fetch results: the sink pass and the report counters all
+    # consume them, and re-running a high-latency extract per action would
+    # multiply the run's wall-clock (and re-hit the devices).
+    extracted = run_extract(appliances, fetch_fn, extractor).persist()
     ok, failed = quarantine_split(extracted)
-    fresh = device_pipeline(ok, lanes=lanes)
+    if lanes is None:
+        from concurrent_etl_go_spark.plans.etl_pipeline import transform_cpu_stats
+
+        fresh = transform_cpu_stats(ok)  # no routing shuffle: pipelined sink
+    else:
+        fresh = device_pipeline(ok, lanes=lanes)
     merged = replay_union(fresh, replayed)
     report.phases["plan_s"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    run_http_sink(merged, sink)
-    report.phases["load_s"] = round(time.perf_counter() - t0, 3)
+    try:
+        run_http_sink(merged, sink)
+        report.phases["load_s"] = round(time.perf_counter() - t0, 3)
 
-    report.quarantined_rows = failed.count()
-    report.extracted_rows = ok.count()
+        report.quarantined_rows = failed.count()
+        report.extracted_rows = ok.count()
+    finally:
+        extracted.unpersist()
 
     # ack: this run's sink pass is done; replayed inputs either landed or
     # were re-spilled under new unique names — the originals can go.

@@ -44,11 +44,20 @@ FetchFn = Callable[[str, str], dict]
 
 @dataclass(frozen=True)
 class ExtractorConfig:
-    """Reference constants: 6 s simulated delay, +2 s deadline margin
-    (etl/main.go:60,189-190)."""
+    """Reference constants: 6 s simulated delay, +2 s deadline margin,
+    1000-way fan-out (etl/main.go:60,65,189-190).
+
+    ``concurrency`` is the per-partition thread-pool width. The reference's
+    semaphore allows 1000 in-flight fetches; Spark tasks are thread-bound,
+    so sleeping 6 s per row serially would take partitions x cores x 6 s.
+    The per-partition pool restores the fan-out: total in-flight =
+    partitions x concurrency (e.g. 32 partitions x 32 threads ~ 1000) —
+    which is also the right production design for high-latency I/O
+    enrichment (connection pool per partition, not per row)."""
 
     timeout_s: float = 8.0
     simulate_delay_s: float = 0.0
+    concurrency: int = 32
 
 
 def synthetic_fetch(ip: str, hostname: str) -> dict:
@@ -77,36 +86,41 @@ def run_extract(
     clock = clock or (lambda: int(time.time()))
     timeout_s = config.timeout_s
     delay_s = config.simulate_delay_s
+    concurrency = max(1, config.concurrency)
+
+    def fetch_one(ip: str, hostname: str) -> dict:
+        start = time.monotonic()
+        row = {
+            "name": hostname,
+            "timestamp": clock(),
+            "cpu_number": None,
+            "p_idle": None,
+            "p_user": None,
+            "p_sys": None,
+            "p_irq": None,
+            "p_nice": None,
+            "error": None,
+        }
+        try:
+            if delay_s:
+                time.sleep(delay_s)
+            payload = fetch_fn(ip, hostname)
+            if time.monotonic() - start > timeout_s:
+                raise TimeoutError(f"fetch exceeded {timeout_s}s deadline")
+            row.update(payload)
+        except Exception as exc:  # noqa: BLE001 — quarantine, don't fail task
+            row["error"] = f"{type(exc).__name__}: {exc}"
+        return row
 
     def fetch_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = []
-            for ip, hostname in zip(pdf["ip"], pdf["hostname"]):
-                start = time.monotonic()
-                row = {
-                    "name": hostname,
-                    "timestamp": clock(),
-                    "cpu_number": None,
-                    "p_idle": None,
-                    "p_user": None,
-                    "p_sys": None,
-                    "p_irq": None,
-                    "p_nice": None,
-                    "error": None,
-                }
-                try:
-                    if delay_s:
-                        time.sleep(delay_s)
-                    payload = fetch_fn(ip, hostname)
-                    if time.monotonic() - start > timeout_s:
-                        raise TimeoutError(
-                            f"fetch exceeded {timeout_s}s deadline"
-                        )
-                    row.update(payload)
-                except Exception as exc:  # noqa: BLE001 — quarantine, don't fail task
-                    row["error"] = f"{type(exc).__name__}: {exc}"
-                out.append(row)
-            yield pd.DataFrame(out, columns=[f.name for f in EXTRACT_RESULT])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in it:
+                out = list(pool.map(fetch_one, pdf["ip"], pdf["hostname"]))
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in EXTRACT_RESULT]
+                )
 
     return appliances.mapInPandas(fetch_batches, EXTRACT_RESULT)
 

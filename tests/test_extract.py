@@ -71,3 +71,21 @@ def test_extract_to_transform_end_to_end(spark):
     assert len(rows) == 8
     names = [i.name for i in rows[0].indicators]
     assert names == ["utilization", "nice", "user", "system", "irq"]
+
+
+def test_extract_fanout_concurrency(spark):
+    """The per-partition thread pool must give real fan-out: 100 devices at
+    0.5 s each would take 50 s serially; with pool width 50 over 2
+    partitions it must finish in ~1 wave."""
+    import time
+
+    config = ExtractorConfig(
+        timeout_s=5.0, simulate_delay_s=0.5, concurrency=50
+    )
+    appliances = make_appliances(spark, 100).repartition(2)
+    start = time.perf_counter()
+    out = run_extract(appliances, config=config)
+    n = out.count()
+    wall = time.perf_counter() - start
+    assert n == 100
+    assert wall < 10, f"fan-out broken: {wall:.1f}s for 100 x 0.5s fetches"
