@@ -10,6 +10,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     scalars2,
     scalars_queries,
     time_windows,

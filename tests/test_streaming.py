@@ -101,3 +101,32 @@ def test_stateful_running_totals_matches_batch(spark):
     for uid, row in batch.iterrows():
         assert final.loc[uid, "running_n"] == row["n"]
         assert abs(final.loc[uid, "running_total"] - row["tot"]) < 1e-6
+
+
+def test_stream_sink_failure_spills_to_dlq(spark, tmp_path):
+    """Streaming foreachBatch inherits the batch sink's DLQ semantics: a
+    down endpoint spills every micro-batch chunk; rows are preserved."""
+    from concurrent_etl_go_spark.sinks import dlq_files, read_dlq
+    from pyspark.sql import types as T
+
+    stream = events_file_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    config = HttpSinkConfig(
+        endpoint="http://127.0.0.1:1/load",  # nothing listens here
+        batch_size=200,
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    q = stream_to_http(stream, config, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    spills = dlq_files(config.dlq_dir)
+    assert spills
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    assert read_dlq(spark, config.dlq_dir, schema).count() == 1000
