@@ -11,6 +11,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     scalars2,
     scalars_queries,
     time_windows,

@@ -1,0 +1,130 @@
+"""Fifth coverage batch: left as-of join, grouping flags, map functions,
+interval-overlap join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "join_asof_left",
+    oracle="""
+    WITH matched AS (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id, m.o_orderkey, m.o_orderdate
+    FROM events e LEFT JOIN matched m
+      ON m.event_id = e.event_id AND m.rn = 1
+    """,
+)
+def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join: every event survives; unmatched events carry nulls.
+    Implemented as the inner as-of result re-joined to the full left side —
+    the left side shuffles once on the key."""
+    from concurrent_etl_go_spark.operators.lib import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    inner = asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_tiebreak="o_orderkey",
+    ).select("event_id", "o_orderkey", "o_orderdate")
+    return events.select("event_id").join(inner, "event_id", "left")
+
+
+@query(
+    "agg_rollup_grouping",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping flags: distinguishes 'NULL because subtotal'
+    from 'NULL in the data'."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "scalar_map_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           'discount,tax' AS keys_joined,
+           ROUND(l_discount + l_tax, 4) AS values_sum,
+           2 AS n_entries
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_keys/map_values/size over a map column, scalarized for the
+    cross-engine hash (the oracle states the equivalent values directly)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    m = F.create_map(
+        F.lit("discount"), F.col("l_discount"), F.lit("tax"), F.col("l_tax")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+        F.round(
+            F.aggregate(F.map_values(m), F.lit(0.0), lambda a, v: a + v), 4
+        ).alias("values_sum"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(e.event_id) AS n_events_30d
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events falling inside each order's 30-day window.
+    The equi-key (user = customer) keeps it a hash join; the interval is a
+    residual filter — no cartesian blow-up."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    cond = (
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("ts") >= F.col("o_orderdate"))
+        & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        orders.join(events, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events_30d"))
+    )

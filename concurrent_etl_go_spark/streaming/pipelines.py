@@ -132,3 +132,11 @@ def stream_to_http(
         .foreachBatch(lambda batch_df, _epoch: run_http_sink(batch_df, config))
         .start()
     )
+
+
+def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so dedup state cannot grow without bound (the
+    batch twin is ``dedup_exact``)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

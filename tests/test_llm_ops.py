@@ -145,3 +145,30 @@ def test_media_ops_plumbing_with_fakes(spark):
 
     with _pytest.raises(Exception):
         decode_image(payloads).collect()
+
+
+def test_kmeans_deterministic_and_converging(spark):
+    from concurrent_etl_go_spark.llm.kmeans import similarity_kmeans
+
+    a = similarity_kmeans(spark, SF_SMOKE).collect()
+    b = similarity_kmeans(spark, SF_SMOKE).collect()
+    assert {(r.vec_id, r.cluster, r.sq_dist) for r in a} == {
+        (r.vec_id, r.cluster, r.sq_dist) for r in b
+    }
+    assert len(a) == 500
+    clusters = {r.cluster for r in a}
+    assert clusters <= set(range(8)) and len(clusters) >= 2
+    # inertia after 5 iterations must beat inertia after 1
+    from concurrent_etl_go_spark.llm.kmeans import kmeans_assign
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    vecs = (
+        read_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    inertia1 = kmeans_assign(vecs, k=8, iterations=1).agg(
+        F.sum("sq_dist")
+    ).collect()[0][0]
+    inertia5 = sum(r.sq_dist for r in a)
+    assert inertia5 < inertia1

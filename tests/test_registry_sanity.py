@@ -22,6 +22,7 @@ def test_oracles_are_subset_of_queries():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "similarity_ivf_topk",
+        "similarity_kmeans",
         "text_langid",
     }
 

@@ -130,3 +130,15 @@ def test_stream_sink_failure_spills_to_dlq(spark, tmp_path):
         ]
     )
     assert read_dlq(spark, config.dlq_dir, schema).count() == 1000
+
+
+def test_stream_dedup_within_watermark(spark):
+    from concurrent_etl_go_spark.streaming import stream_dedup
+
+    stream = events_file_stream(spark, SF_SMOKE).select("ts", "event_id", "user_id")
+    got = run_to_memory(
+        spark, stream_dedup(stream, ["event_id"]), "t_dedup", mode="append"
+    )
+    # events are unique: dedup preserves all; state bounded by watermark
+    assert got.count() == 1000
+    assert got.select("event_id").distinct().count() == 1000
