@@ -164,3 +164,15 @@ class Engine:
         from concurrent_etl_go_spark import operators
 
         return sorted(operators.QUERIES)
+
+
+def explain_query(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Formatted physical plan of a registry query — the engine's EXPLAIN
+    surface (used by the plan-shape tests and for eyeballing pushdown/
+    broadcast/codegen at any sf)."""
+    from concurrent_etl_go_spark import operators
+
+    df = operators.QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )

@@ -128,3 +128,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count("event_id").alias("n_events_30d"))
     )
+
+
+@query("sample_fraction")  # engine-seeded sampling — rows-only check
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed: deterministic within Spark
+    (per-partition seeded), not portable to other engines — rows-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

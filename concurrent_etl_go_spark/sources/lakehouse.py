@@ -1,0 +1,47 @@
+"""Lakehouse connectors (Delta / Iceberg / Hudi) — import-gated stubs.
+
+The v1 image ships none of the lakehouse jars (SURVEY §"Sources & sinks"),
+so these connectors probe for their packages and fail loudly with the
+exact dependency needed rather than at some later executor stack trace.
+The read/write signatures are final; only the jar is missing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class MissingConnectorError(ImportError):
+    """Raised when a lakehouse format's jars are not on the classpath."""
+
+
+def _probe(spark: SparkSession, fmt: str, package_hint: str) -> None:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — classpath probe
+            {
+                "delta": "org.apache.spark.sql.delta.DeltaLog",
+                "iceberg": "org.apache.iceberg.Table",
+                "hudi": "org.apache.hudi.DataSourceReadOptions",
+            }[fmt]
+        )
+    except Exception as exc:
+        raise MissingConnectorError(
+            f"{fmt} support requires its runtime jar on the Spark classpath "
+            f"(spark.jars.packages={package_hint}); not present in this "
+            "environment"
+        ) from exc
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    _probe(spark, "delta", "io.delta:delta-spark_2.13:<version>")
+    return spark.read.format("delta").load(path)
+
+
+def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    _probe(spark, "iceberg", "org.apache.iceberg:iceberg-spark-runtime-<ver>")
+    return spark.read.format("iceberg").load(table)
+
+
+def read_hudi(spark: SparkSession, path: str) -> DataFrame:
+    _probe(spark, "hudi", "org.apache.hudi:hudi-spark-bundle_2.13:<version>")
+    return spark.read.format("hudi").load(path)
