@@ -199,12 +199,12 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__ceg_orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                ROUND(SUM(o_totalprice), 4) AS sum_price, COUNT(*) AS n
-        FROM orders
+        FROM __ceg_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )

@@ -175,14 +175,15 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery (computed once, broadcast into the predicate)."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # prefixed view name: never clobber a caller's own temp views
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__ceg_customer")
     return spark.sql(
         """
         SELECT c_custkey, c_acctbal,
-               ROUND(c_acctbal - (SELECT AVG(c_acctbal) FROM customer), 4)
+               ROUND(c_acctbal - (SELECT AVG(c_acctbal) FROM __ceg_customer), 4)
                    AS bal_vs_avg
-        FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        FROM __ceg_customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __ceg_customer)
         """
     )
 
@@ -203,13 +204,13 @@ def correlated_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS decorrelated by Catalyst into a
     semi-join."""
     for name in ("orders", "lineitem"):
-        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"__ceg_{name}")
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders
-        FROM orders
+        FROM __ceg_orders
         WHERE EXISTS (
-            SELECT 1 FROM lineitem
+            SELECT 1 FROM __ceg_lineitem
             WHERE l_orderkey = o_orderkey AND l_quantity > 45
         )
         GROUP BY o_orderpriority

@@ -96,13 +96,13 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery predicate (planned as a semi-join)."""
     for name in ("orders", "customer"):
-        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"__ceg_{name}")
     return spark.sql(
         """
         SELECT o_orderkey, ROUND(o_totalprice, 4) AS total
-        FROM orders
+        FROM __ceg_orders
         WHERE o_custkey IN (
-            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+            SELECT c_custkey FROM __ceg_customer WHERE c_mktsegment = 'MACHINERY'
         ) AND o_orderstatus = 'O'
         """
     )
