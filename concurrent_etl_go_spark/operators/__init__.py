@@ -12,6 +12,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
     scalars2,
     scalars_queries,
     time_windows,
