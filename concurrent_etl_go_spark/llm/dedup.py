@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from concurrent_etl_go_spark.llm.text import normalize_text
+from concurrent_etl_go_spark.llm.text import kgram_index, normalize_text
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -31,7 +31,7 @@ def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
     reference, so an inline split would re-tokenize the document for each
     of the 3 element_at lookups per shingle.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    idx = kgram_index(toks, k)
     return F.array_distinct(
         F.transform(
             idx,
@@ -125,6 +125,10 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             shingles_from_tokens(F.col("__toks")).alias("sh"),
         )
+        # docs shorter than k tokens have no shingles: their signature would
+        # be all-NULL and every such doc would band-collide with every other;
+        # they can never verify (jaccard 0), so drop them up front.
+        .where(F.size("sh") > 0)
         .persist()
     )
     sigs = sh_df.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))

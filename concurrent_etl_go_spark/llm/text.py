@@ -30,6 +30,22 @@ def tokens(col: Column | str) -> Column:
     return F.split(c, " ")
 
 
+def kgram_index(toks: Column, k: int) -> Column:
+    """0-based k-gram start indices; EMPTY for docs with fewer than k tokens.
+
+    A naive ``sequence(0, size - k)`` DESCENDS when size < k (Spark
+    ``sequence`` counts down toward a smaller stop), yielding [0, -1] whose
+    lookups throw under Spark 4 ANSI ``element_at`` (index 0 is always
+    illegal). Guarding with ``when(size >= k)`` makes short/empty documents
+    legal — they simply have no k-grams, matching the SQL oracle's
+    ``range``-comprehension semantics.
+    """
+    n = F.size(toks)
+    return F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a materialized ``toks`` column, spread across cores.
 
@@ -212,7 +228,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, aggregate — the n-gram feature extractor."""
     docs = tokenized_docs(spark, sf_dir)
     toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(-1)))
+    idx = kgram_index(toks, 2)
     bigrams = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -60,9 +60,18 @@ def chunked(rows: Iterable[dict], size: int) -> Iterator[list[dict]]:
         yield batch
 
 
+def _json_default(value):
+    """Serialize non-JSON-native Spark row values (datetime/date/Decimal,
+    bytearray) instead of failing the task — a timestamp column must not be
+    able to take down the sink stage."""
+    if isinstance(value, (bytes, bytearray)):
+        return value.hex()
+    return str(value)
+
+
 def post_batch(batch: list[dict], config: HttpSinkConfig) -> None:
     """One JSON-array POST (S17/S18). Raises on non-2xx or transport error."""
-    payload = json.dumps(batch).encode("utf-8")
+    payload = json.dumps(batch, default=_json_default).encode("utf-8")
     req = urllib.request.Request(
         config.endpoint,
         data=payload,
@@ -83,7 +92,7 @@ def spill_batch(batch: list[dict], worker_id: int, config: HttpSinkConfig) -> st
     fname = f"buffer_failed_worker{worker_id}_{uuid.uuid4().hex}.json.gz"
     path = os.path.join(config.dlq_dir, fname)
     with gzip.open(path, "wt", encoding="utf-8") as fh:
-        json.dump(batch, fh)
+        json.dump(batch, fh, default=_json_default)
     return path
 
 
@@ -99,7 +108,9 @@ def sink_partition(rows, config: HttpSinkConfig) -> None:
             try:
                 post_batch(batch, config)
                 break
-            except (urllib.error.URLError, OSError, RuntimeError):
+            # TypeError: belt-and-braces — if a payload still defies JSON
+            # encoding the batch must spill, not fail the Spark task.
+            except (urllib.error.URLError, OSError, RuntimeError, TypeError):
                 if attempt >= config.max_retries:
                     spill_batch(batch, worker_id, config)
                     break

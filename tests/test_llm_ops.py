@@ -172,3 +172,58 @@ def test_kmeans_deterministic_and_converging(spark):
     ).collect()[0][0]
     inertia5 = sum(r.sq_dist for r in a)
     assert inertia5 < inertia1
+
+
+def test_short_docs_yield_zero_kgrams_not_ansi_crash(spark):
+    """Regression: docs with fewer than k tokens used to hit a DESCENDING
+    F.sequence ([0,-1]) whose element_at(toks, 0) throws under Spark 4
+    ANSI. They must instead yield zero shingles/bigrams, matching the
+    DuckDB oracles' range-comprehension semantics."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.llm.dedup import minhash_lsh_pairs, shingles
+    from concurrent_etl_go_spark.llm.text import kgram_index, tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en"),
+            (2, "one", "en"),
+            (3, "two words", "en"),
+            (4, "exactly three tokens", "en"),
+            (5, "a longer document with several tokens present", "en"),
+            (6, "a longer document with several tokens present", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: len(r.sh)
+        for r in docs.select("doc_id", shingles("text").alias("sh")).collect()
+    }
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0
+    assert got[4] == 1 and got[5] == 5
+
+    # the text_ngrams bigram expression on the same frame
+    bdf = docs.withColumn("toks", tokens("text"))
+    toks = F.col("toks")
+    bigrams = F.transform(
+        kgram_index(toks, 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+    counts = {
+        r.doc_id: len(r.bg)
+        for r in bdf.select("doc_id", bigrams.alias("bg")).collect()
+    }
+    assert counts[1] == 0 and counts[2] == 0
+    assert counts[3] == 1 and counts[4] == 2 and counts[5] == 6
+
+    # end-to-end LSH over the mixed corpus: short docs are dropped (no
+    # all-NULL signatures band-colliding), the exact dup pair survives
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(5, 6)}

@@ -169,3 +169,28 @@ def test_worker_id_parse_from_spill_filenames(spark, tmp_path):
     }
     for fname, expect in names:
         assert got[fname] == expect, fname
+
+
+def test_timestamp_decimal_columns_sink_without_typeerror(spark, mock_api, tmp_path):
+    """Regression: json.dumps raised TypeError on datetime/date/Decimal rows,
+    failing the Spark task instead of POSTing (or at worst spilling). The
+    sink must serialize them (default=str) and deliver every row."""
+    df = spark.range(5).select(
+        F.col("id"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("ts"),
+        F.to_date(F.lit("2026-01-02")).alias("d"),
+        F.lit("1.23").cast("decimal(10,2)").alias("amount"),
+        F.lit(b"\x01\x02").alias("blob"),
+    )
+    config = HttpSinkConfig(
+        endpoint=mock_api.endpoint,
+        batch_size=10,
+        dlq_dir=str(tmp_path / "dlq"),
+    )
+    run_http_sink(df, config)
+    assert mock_api.total_rows_received() == 5
+    assert dlq_files(config.dlq_dir) == []
+    row = mock_api.state.requests[0].batch[0]
+    assert row["ts"].startswith("2026-01-02")
+    assert row["amount"] == "1.23"
+    assert row["blob"] == "0102"
