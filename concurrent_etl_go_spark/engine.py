@@ -165,6 +165,24 @@ class Engine:
 
         return sorted(operators.QUERIES)
 
+    def query_info(self) -> dict[str, dict]:
+        """Registry metadata per query: scale_class ('production' vs
+        'oracle_twin' — bounded correctness twins a user must not run on a
+        full corpus) and whether a DuckDB oracle exists."""
+        from concurrent_etl_go_spark import operators
+        from concurrent_etl_go_spark.operators.registry import (
+            ORACLES,
+            SCALE_CLASS,
+        )
+
+        return {
+            name: {
+                "scale_class": SCALE_CLASS.get(name, "production"),
+                "has_oracle": name in ORACLES,
+            }
+            for name in sorted(operators.QUERIES)
+        }
+
 
 def explain_query(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Formatted physical plan of a registry query — the engine's EXPLAIN

@@ -316,6 +316,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    scale_class="oracle_twin",  # blocked all-pairs; dedup_minhash_lsh scales
     oracle="""
     WITH sh AS (
         SELECT doc_id, lang,

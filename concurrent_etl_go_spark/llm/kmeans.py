@@ -2,11 +2,15 @@
 algorithm pattern.
 
 Each iteration is one distributed pass (assign via argmin over k distance
-expressions, recompute centroids via per-dimension sums); only the k x dim
-centroid matrix crosses the driver boundary between iterations (exactly how
-MLlib structures Lloyd's algorithm). Initialization is deterministic (the k
-lowest vec_ids), so results are bit-stable across runs — required for the
-driver's rows-only determinism check.
+expressions, recompute centroids via posexplode + per-(cluster, dim) avg);
+only the k x dim centroid matrix crosses the driver boundary between
+iterations (exactly how MLlib structures Lloyd's algorithm). Initialization
+is deterministic (the k lowest vec_ids), so results are bit-stable across
+runs — required for the driver's rows-only determinism check.
+
+The centroid update is dimension-agnostic: ``posexplode`` derives positions
+from the data instead of unrolling ``element_at(v, i)`` for a hardcoded
+dim, so any embedding width works unchanged.
 """
 
 from __future__ import annotations
@@ -16,8 +20,6 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
-
-DIM = 64
 
 
 def _sq_dist(v, centroid: list[float]):
@@ -29,51 +31,64 @@ def _sq_dist(v, centroid: list[float]):
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     vectors: DataFrame, k: int = 8, iterations: int = 5
-) -> DataFrame:
-    """Lloyd's k-means: returns (vec_id, cluster, sq_dist).
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means returning (assignments, learned centroids).
 
-    ``vectors`` needs columns (vec_id, v: array<double>). Deterministic:
-    init = vectors with the k smallest vec_ids; argmin ties break to the
-    lowest cluster index.
+    ``vectors`` needs (vec_id, v: array<double>); every other input column
+    passes through to the assignment DataFrame (so callers can keep
+    precomputed norms etc. without a re-join). Deterministic: init = the k
+    smallest vec_ids; argmin ties break to the lowest cluster index.
+
+    Driver traffic per iteration is exactly the k x dim centroid matrix —
+    the canonical Lloyd's structure; everything else is one distributed
+    assign pass + one partial-aggregated centroid update.
     """
-    vectors = vectors.select("vec_id", "v").persist()
+    vectors = vectors.persist()
     centroids = [
-        row.v
+        list(row.v)
         for row in vectors.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
 
     assigned = None
     for _ in range(iterations):
         dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
-        assigned = vectors.select(
-            "vec_id",
-            "v",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min(dists).alias("sq_dist"),
+        assigned = vectors.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        ).withColumn("sq_dist", F.array_min(dists))
+        per_dim = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mean"))
         )
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-                for i in range(DIM)
-            ],
+        rows = (
+            per_dim.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("c")
+            )
+            .collect()  # k tiny rows — the only driver traffic
         )
         new_centroids = list(centroids)
-        for row in sums.collect():  # k tiny rows — the only driver traffic
-            new_centroids[row.cluster] = [
-                row[f"s{i}"] / row.n for i in range(DIM)
-            ]
+        for row in rows:
+            new_centroids[row.cluster] = list(row.c)
         centroids = new_centroids
 
-    result = assigned.select(
+    return assigned, centroids
+
+
+def kmeans_assign(
+    vectors: DataFrame, k: int = 8, iterations: int = 5
+) -> DataFrame:
+    """Lloyd's k-means: returns (vec_id, cluster, sq_dist)."""
+    assigned, _ = kmeans_fit(vectors.select("vec_id", "v"), k, iterations)
+    return assigned.select(
         "vec_id", "cluster", F.round("sq_dist", 4).alias("sq_dist")
     )
-    vectors.unpersist()
-    return result
 
 
 @query("similarity_kmeans")  # iterative algorithm — rows-only check

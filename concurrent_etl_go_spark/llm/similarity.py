@@ -1,10 +1,10 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-Brute-force cosine top-k is the exact baseline (oracle-checked); the
-IVF-style variant is the scale path: a coarse quantizer (here the label
-column standing in for cluster assignment) prunes the candidate set so the
-scan touches only probed partitions. Dot products run through
-``zip_with``/``aggregate`` — JVM-side, no Python in the row path.
+Brute-force cosine top-k is the exact baseline (oracle-checked); the IVF
+variant is the scale path: a LEARNED coarse quantizer (k-means centroids
+from ``llm.kmeans``) prunes the candidate set so the scan touches only the
+probed cells. Dot products run through ``zip_with``/``aggregate`` —
+JVM-side, no Python in the row path.
 """
 
 from __future__ import annotations
@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.llm.kmeans import kmeans_fit
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -81,6 +82,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_pairs",
+    scale_class="oracle_twin",  # label-blocked all-pairs; LSH/IVF scale
     oracle="""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -112,37 +114,67 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_ivf_topk")  # pruned search — result ≈ exact, rows-only
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: centroids per label (the coarse quantizer), rank
-    labels by query-centroid cosine, probe the top 3 partitions, exact
-    search inside them. At 100 TB the probed fraction bounds the scan."""
+@query(
+    "similarity_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT label, generate_subscripts(v, 1) AS pos,
+                      unnest(v) AS val FROM e)
+    SELECT label, pos, ROUND(AVG(val), 4) AS mean
+    FROM x GROUP BY label, pos
+    """,
+)
+def similarity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise per-label centroids — the coarse-quantizer 'fit' step as
+    a declarative aggregation, scalarized to (label, pos, mean) rows so the
+    oracle compare avoids array-typed columns.
+
+    Dimension-agnostic: ``posexplode`` derives positions from the data (no
+    hardcoded dim). The shuffle key is (label, pos) with map-side partial
+    aggregation — at 100 TB this is one combine-heavy pass, k x dim output
+    rows. Same shape the k-means centroid update uses each iteration.
+    """
     vectors = _vectors(spark, sf_dir)
-    qv = vectors.where(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    return (
+        vectors.select("label", F.posexplode("v").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 4).alias("mean"))
     )
 
-    # centroid per label: element-wise mean via explode + posexplode-free agg
-    dim = 64
-    sums = vectors.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
-            for i in range(dim)
-        ],
+
+@query("similarity_ivf_topk")  # pruned search — result ≈ exact, rows-only
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: k-means centroids partition
+    the vector space (not a pre-existing label column); rank cells by
+    query-centroid cosine, probe the top ``nprobe``, exact-search inside.
+
+    At 100 TB the probed fraction bounds the scan: the inverted lists
+    (cluster assignments) are computed once and would be persisted/
+    partitioned by cluster; a query touches nprobe/k of the data. Driver
+    traffic is only the k x dim centroid matrix (from the k-means fit) and
+    the single query row — probing is decided on k tiny centroids, never
+    on data rows.
+    """
+    nprobe, k_clusters = 3, 8
+    vectors = _vectors(spark, sf_dir)
+    assigned, centroids = kmeans_fit(vectors, k=k_clusters, iterations=3)
+
+    qrow = vectors.where(F.col("vec_id") == 0).select("v", "norm").first()
+    q, qn = list(qrow.v), float(qrow.norm)
+
+    def centroid_cos(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5
+        return sum(x * y for x, y in zip(c, q)) / ((cn * qn) or 1.0)
+
+    probed = sorted(
+        range(len(centroids)), key=lambda i: (-centroid_cos(centroids[i]), i)
+    )[:nprobe]
+
+    candidates = assigned.where(
+        F.col("cluster").isin(probed) & (F.col("vec_id") != 0)
     )
-    centroids = sums.select(
-        "label",
-        F.array(*[F.col(f"s{i}") / F.col("n") for i in range(dim)]).alias("c"),
+    qdf = vectors.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
-    probed = (
-        centroids.crossJoin(F.broadcast(qv))
-        .select("label", cosine(F.col("c"), F.col("qv")).alias("csim"))
-        .orderBy(F.col("csim").desc(), F.col("label"))
-        .limit(3)
-        .select("label")
-    )
-    candidates = vectors.join(F.broadcast(probed), "label").where(
-        F.col("vec_id") != 0
-    )
-    return brute_force_topk(candidates, qv, k=10)
+    return brute_force_topk(candidates, qdf, k=10)

@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def top_k_per_group(
@@ -63,6 +64,92 @@ def asof_join(
     return joined.withColumn("__rn", F.row_number().over(w)).where(
         F.col("__rn") == 1
     ).drop("__rn")
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_tiebreak: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Bounded as-of join: co-partition both sides on the key, then run a
+    two-cursor sorted merge (``pd.merge_asof``) per key group.
+
+    The rank-based ``asof_join`` above materializes
+    |left_rows(k)| x |right_rows(k)| intermediate rows per key k before its
+    rank filter — correct, but a hot key explodes the shuffle at 100 TB.
+    Here each side shuffles ONCE on its key (cogroup), each group is sorted
+    once, and the merge advances two cursors, so the intermediate never
+    exceeds the group's left row count: a hot key costs
+    O(L log L + R log R), not O(L*R). Arrow-batched ``applyInPandas`` is
+    the documented escape hatch for semantics Catalyst can't express
+    without the blow-up (Spark has no native as-of join).
+
+    Tie semantics match ``asof_join``: latest ``right_time <= left_time``
+    wins, ties broken by the largest ``right_tiebreak`` (the right side is
+    sorted ascending by (time, tiebreak) and ``merge_asof`` takes the last
+    qualifying row). ``how='left'`` keeps unmatched left rows with nulls.
+
+    Reference analog: the routed-stream join pattern (etl/main.go:143-145)
+    — co-locate rows by key into a lane, then stream within the lane.
+    """
+    import pandas as pd
+
+    left_cols = list(left.columns)
+    right_names = list(right.columns)
+    dup = set(left_cols) & set(right_names)
+    if dup:
+        raise ValueError(f"ambiguous columns across as-of sides: {sorted(dup)}")
+    # every output field nullable: how='left' emits nulls on the right side
+    # even when the source fields are non-nullable (e.g. built from range())
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in list(left.schema.fields) + list(right.schema.fields)
+        ]
+    )
+    out_cols = left_cols + right_names
+
+    def _sortable(s: "pd.Series") -> "pd.Series":
+        # merge_asof needs an ordered numeric/datetime key; date columns
+        # arrive as object dtype (datetime.date), so coerce — midnight
+        # timestamps match Spark's date->timestamp comparison cast (UTC).
+        return s if pd.api.types.is_numeric_dtype(s) else pd.to_datetime(s)
+
+    def merge(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if lpdf.empty or (rpdf.empty and how == "inner"):
+            # object dtype, not the float64 default — Arrow can cast empty
+            # object arrays to any field type, but not double->timestamp
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in out_cols}
+            )
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in right_names:
+                out[c] = None
+            return out[out_cols]
+        lpdf = lpdf.assign(__lt=_sortable(lpdf[left_time])).sort_values(
+            "__lt", kind="mergesort"
+        )
+        rpdf = rpdf.assign(__rt=_sortable(rpdf[right_time])).sort_values(
+            ["__rt", right_tiebreak], kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on="__lt", right_on="__rt", direction="backward"
+        )
+        if how == "inner":
+            merged = merged[merged[right_key].notna()]
+        return merged[out_cols]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, schema=out_schema)
+    )
 
 
 def band_join(

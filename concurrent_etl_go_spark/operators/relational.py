@@ -432,10 +432,14 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event matched to the user's latest prior order."""
+    """As-of join: each event matched to the user's latest prior order.
+
+    Uses the bounded cogroup/merge_asof form (``lib.asof_join_merge``) —
+    the rank-based ``lib.asof_join`` is its oracle twin (pytest asserts
+    equality; a hot key would explode its pre-rank intermediate)."""
     events = _t(spark, sf_dir, "events")
     orders = _t(spark, sf_dir, "orders")
-    joined = lib.asof_join(
+    joined = lib.asof_join_merge(
         events.select("event_id", "user_id", "ts"),
         orders.select("o_custkey", "o_orderkey", "o_orderdate"),
         left_key="user_id",

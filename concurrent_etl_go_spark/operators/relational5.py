@@ -31,15 +31,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT as-of join: every event survives; unmatched events carry nulls.
-    Implemented as the inner as-of result re-joined to the full left side —
-    the left side shuffles once on the key."""
-    from concurrent_etl_go_spark.operators.lib import asof_join
+    Single cogroup pass (``how='left'``) — both sides shuffle once on the
+    key, and the per-key merge is cursor-bounded (no pre-rank blow-up)."""
+    from concurrent_etl_go_spark.operators.lib import asof_join_merge
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
-    inner = asof_join(
+    return asof_join_merge(
         events,
         orders,
         left_key="user_id",
@@ -47,8 +47,8 @@ def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="o_orderdate",
         right_tiebreak="o_orderkey",
+        how="left",
     ).select("event_id", "o_orderkey", "o_orderdate")
-    return events.select("event_id").join(inner, "event_id", "left")
 
 
 @query(

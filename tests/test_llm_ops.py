@@ -43,18 +43,23 @@ def test_simhash_near_dups_have_low_hamming(spark):
 
 
 def test_ivf_topk_matches_brute_force_head(spark):
-    """IVF probing 3/10 label partitions should still recover most of the
-    exact top-10 (the query vector's own cluster is always probed)."""
+    """IVF with the LEARNED k-means quantizer, probing 3/8 cells, must
+    recover >=90% of the exact top-10 at sf0.01 (the query vector's own
+    cell is always probed; k-means init is deterministic so this is a
+    stable bar, measured 9/10)."""
     from concurrent_etl_go_spark.llm.similarity import (
         similarity_ivf_topk,
         similarity_topk,
     )
+    from tests.conftest import SF_CORRECTNESS
 
-    exact = [r.vec_id for r in similarity_topk(spark, SF_SMOKE).collect()]
-    approx = [r.vec_id for r in similarity_ivf_topk(spark, SF_SMOKE).collect()]
+    exact = [r.vec_id for r in similarity_topk(spark, SF_CORRECTNESS).collect()]
+    approx = [
+        r.vec_id for r in similarity_ivf_topk(spark, SF_CORRECTNESS).collect()
+    ]
     assert len(approx) == 10
     overlap = len(set(exact) & set(approx))
-    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+    assert overlap >= 9, f"IVF recall too low: {overlap}/10"
 
 
 def test_langid_deterministic_and_bounded(spark):

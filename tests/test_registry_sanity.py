@@ -39,3 +39,50 @@ def test_query_runs_with_sane_schema(spark, sf_dir, name):
     # stable schema across invocations
     assert df.schema == fn(spark, sf_dir).schema
     assert df.count() >= 0
+
+
+def test_scale_class_metadata_marks_oracle_twins():
+    """Bounded all-pairs correctness twins must be tagged so a user cannot
+    mistake them for the at-scale path; everything else is production."""
+    from concurrent_etl_go_spark.operators import registry
+    import concurrent_etl_go_spark.llm  # noqa: F401 — trigger registration
+    import concurrent_etl_go_spark.operators  # noqa: F401
+
+    twins = {n for n, c in registry.SCALE_CLASS.items() if c == "oracle_twin"}
+    assert twins == {"dedup_ngram_jaccard", "similarity_pairs"}
+    assert set(registry.SCALE_CLASS) == set(registry.QUERIES)
+
+
+def test_engine_query_info_surfaces_scale_class(spark):
+    from concurrent_etl_go_spark.engine import Engine
+
+    info = Engine(spark, "/root/testdata/sf0.001").query_info()
+    assert info["similarity_pairs"]["scale_class"] == "oracle_twin"
+    assert info["similarity_pairs"]["has_oracle"] is True
+    assert info["dedup_minhash_lsh"]["scale_class"] == "production"
+    assert info["dedup_minhash_lsh"]["has_oracle"] is False
+    assert set(info) == set(Engine(spark, ".").queries())
+
+
+def test_lakehouse_stubs_fail_loudly_without_jars(spark):
+    """No lakehouse jars ship in this image: each connector must raise
+    MissingConnectorError naming the missing package, not a deep executor
+    stack trace (error-path coverage for the import-gated stubs)."""
+    import pytest
+
+    from concurrent_etl_go_spark.sources.lakehouse import (
+        MissingConnectorError,
+        read_delta,
+        read_hudi,
+        read_iceberg,
+    )
+
+    for fn, arg, hint in (
+        (read_delta, "/tmp/nope-delta", "delta"),
+        (read_iceberg, "db.nope", "iceberg"),
+        (read_hudi, "/tmp/nope-hudi", "hudi"),
+    ):
+        with pytest.raises(MissingConnectorError) as exc:
+            fn(spark, arg)
+        assert hint in str(exc.value)
+        assert "spark.jars.packages" in str(exc.value)

@@ -68,3 +68,65 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == lineitem.count()
     finally:
         spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_asof_merge_matches_rank_twin_and_survives_hot_key(spark):
+    """The production as-of join (cogroup + pd.merge_asof) must be
+    row-identical to its rank-based oracle twin, including on a hot-key
+    fixture (1 user, 3k orders x 3k events = 9M pre-rank intermediate for
+    the twin; the merge form's intermediate stays at 3k rows per group)."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.operators.lib import asof_join, asof_join_merge
+
+    events = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit(7).alias("user_id"),
+            F.to_timestamp(
+                F.lit("2026-01-01 00:00:00")
+            ).alias("base"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("base") + F.make_interval(secs=F.col("event_id") * 10)).alias("ts"),
+        )
+    )
+    orders = spark.range(3000).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit(7).alias("o_custkey"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("id") * 7)
+        ).alias("o_ts"),
+    )
+    kwargs = dict(
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_ts",
+        right_tiebreak="o_orderkey",
+    )
+    merge = asof_join_merge(events, orders, **kwargs)
+    assert "FlatMapCoGroupsInPandas" in merge._jdf.queryExecution().executedPlan().toString()
+    got = {
+        (r.event_id, r.o_orderkey)
+        for r in merge.select("event_id", "o_orderkey").collect()
+    }
+    want = {
+        (r.event_id, r.o_orderkey)
+        for r in asof_join(events, orders, **kwargs)
+        .select("event_id", "o_orderkey")
+        .collect()
+    }
+    assert got == want and len(got) == 3000
+
+    # left variant: a key present only on the left survives with nulls
+    lonely = events.withColumn("user_id", F.lit(99)).limit(5)
+    left_out = asof_join_merge(
+        events.union(lonely), orders, how="left", **kwargs
+    )
+    rows = left_out.where(F.col("user_id") == 99).collect()
+    assert len(rows) == 5 and all(r.o_orderkey is None for r in rows)
