@@ -116,7 +116,9 @@ def run_etl(
         fresh = transform_cpu_stats(ok)  # no routing shuffle: pipelined sink
     else:
         fresh = device_pipeline(ok, lanes=lanes)
-    merged = replay_union(fresh, replayed)
+    # empty DLQ: don't pay the union node (plan/codegen cost on the
+    # latency-critical load job) for a zero-row side
+    merged = replay_union(fresh, replayed) if replayed_files else fresh
     report.phases["plan_s"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()

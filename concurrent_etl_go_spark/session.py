@@ -15,6 +15,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "concurrent-etl-go-spark"
 
+#: Bundled with Spark since 3.2 — no extra jar needed. RocksDB keeps
+#: streaming state on local disk with an in-memory cache, so stateful
+#: queries (applyInPandasWithState, streaming dedup, session windows)
+#: survive state far larger than executor heap — the 100 TB-scale choice.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch streaming state to the RocksDB provider for queries started
+    after this call (the provider is read at query start). Also settable
+    at session build time via ``SPARK_GRAFT_ROCKSDB_STATE=1``."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
 
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
@@ -46,6 +61,10 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "").lower() in ("1", "true"):
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()

@@ -1,14 +1,22 @@
 from concurrent_etl_go_spark.streaming.pipelines import (
     events_file_stream,
+    kafka_stream,
+    kafka_wire_stream,
+    parse_kafka_events,
     session_agg,
     sliding_agg,
     stream_dedup,
     stream_to_http,
     tumbling_agg,
 )
+from concurrent_etl_go_spark.streaming.stateful import running_totals
 
 __all__ = [
     "events_file_stream",
+    "kafka_stream",
+    "kafka_wire_stream",
+    "parse_kafka_events",
+    "running_totals",
     "session_agg",
     "sliding_agg",
     "stream_dedup",

@@ -60,6 +60,106 @@ def events_file_stream(
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Kafka source (key/value/topic/partition/offset/timestamp wire shape).
+
+    The Kafka connector jar does not ship in this image, so this probes for
+    it and fails loudly with the exact package needed — same pattern as the
+    lakehouse connectors. Pipelines should be written against the wire
+    shape and tested with ``kafka_wire_stream`` (below), which emits the
+    identical schema from the built-in rate source.
+    """
+    from concurrent_etl_go_spark.sources.lakehouse import MissingConnectorError
+
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 — classpath probe
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception as exc:
+        raise MissingConnectorError(
+            "kafka support requires the connector jar on the Spark classpath "
+            "(spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            "<spark-version>); not present in this environment"
+        ) from exc
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .load()
+    )
+
+
+def kafka_wire_stream(
+    spark: SparkSession,
+    topic: str = "events",
+    rows_per_second: int = 100,
+    n_partitions: int = 4,
+    rows_per_batch: int | None = None,
+) -> DataFrame:
+    """Kafka-WIRE-shaped stream from the built-in rate source: the exact
+    (key, value, topic, partition, offset, timestamp) schema the Kafka
+    source emits, with a JSON event payload in ``value``.
+
+    This is the test double for ``kafka_stream`` AND the proof that the
+    engine's streaming operators are source-agnostic: anything written
+    against the wire shape runs unchanged on real Kafka. The rate source's
+    ``rowsPerSecond`` plays the reference's bounded-channel capacity
+    (etl/main.go:177-182) — backpressure by admission rate. Pass
+    ``rows_per_batch`` to use the deterministic ``rate-micro-batch``
+    source instead (exact batch sizes, for tests).
+    """
+    if rows_per_batch is not None:
+        rate = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("startTimestamp", 0)
+            .load()
+        )
+    else:
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+    payload = F.to_json(
+        F.struct(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 100).alias("user_id"),
+        )
+    )
+    return rate.select(
+        F.col("value").cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.col("value"), F.lit(n_partitions)).cast("int").alias("partition"),
+        F.col("value").alias("offset"),
+        F.col("timestamp").alias("timestamp"),
+    )
+
+
+_WIRE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+    ]
+)
+
+
+def parse_kafka_events(wire: DataFrame) -> DataFrame:
+    """Decode a kafka-wire frame's JSON ``value`` payload into typed event
+    columns — the standard first stage of a Kafka pipeline. Works on
+    ``kafka_stream`` and ``kafka_wire_stream`` alike."""
+    return wire.select(
+        F.from_json(F.col("value").cast("string"), _WIRE_EVENT_SCHEMA).alias("e"),
+        "partition",
+        "offset",
+    ).select("e.event_id", "e.ts", "e.user_id", "partition", "offset")
+
+
 def tumbling_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked 1-hour tumbling counts — streaming twin of the
     oracle-checked ``window_tumbling`` batch query."""

@@ -75,3 +75,35 @@ def spark_cast(spark):
         return df.select(cast_zero_default("s").alias("v")).collect()[0].v
 
     return run
+
+
+def test_agg_approx_within_bounds_of_exact(spark, sf_dir):
+    """The sketch query is rows-only for the driver, so pin its meaning
+    here: HLL distinct within 5% of exact per group, and approx-p50 within
+    the 1-percentile band [p49, p51] of the exact distribution."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.operators.relational2 import agg_approx
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    approx = {r.l_returnflag: r for r in agg_approx(spark, sf_dir).collect()}
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.49), F.lit(0.50), F.lit(0.51))
+            ).alias("band"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.approx_parts - e.n_parts) / e.n_parts <= 0.05, (
+            flag, a.approx_parts, e.n_parts,
+        )
+        p49, _p50, p51 = e.band
+        assert p49 <= a.approx_p50 <= p51, (flag, a.approx_p50, e.band)

@@ -110,7 +110,7 @@ def test_asof_merge_matches_rank_twin_and_survives_hot_key(spark):
         right_tiebreak="o_orderkey",
     )
     merge = asof_join_merge(events, orders, **kwargs)
-    assert "FlatMapCoGroupsInPandas" in merge._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in merge._jdf.queryExecution().executedPlan().toString()
     got = {
         (r.event_id, r.o_orderkey)
         for r in merge.select("event_id", "o_orderkey").collect()

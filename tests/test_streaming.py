@@ -142,3 +142,102 @@ def test_stream_dedup_within_watermark(spark):
     # events are unique: dedup preserves all; state bounded by watermark
     assert got.count() == 1000
     assert got.select("event_id").distinct().count() == 1000
+
+
+def test_stateful_running_totals_under_rocksdb_provider(spark):
+    """The RocksDB state store (large-state streaming) must drive the same
+    stateful operator to the same answer; progress metrics prove RocksDB
+    actually held the state."""
+    import json
+
+    from concurrent_etl_go_spark.session import ROCKSDB_PROVIDER, enable_rocksdb_state
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from concurrent_etl_go_spark.streaming.stateful import running_totals
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    enable_rocksdb_state(spark)
+    try:
+        assert spark.conf.get(conf_key) == ROCKSDB_PROVIDER
+        stream = events_file_stream(spark, SF_SMOKE)
+        q = (
+            running_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_state_rocks")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = json.loads(q.lastProgress.json) if q.lastProgress else {}
+        finally:
+            q.stop()
+        metrics = progress["stateOperators"][0]["customMetrics"]
+        assert any("rocksdb" in k.lower() for k in metrics)
+
+        pdf = spark.sql("SELECT * FROM t_state_rocks").toPandas()
+        final = pdf.groupby("user_id").last()
+        batch = (
+            read_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .toPandas()
+            .set_index("user_id")
+        )
+        assert len(final) == len(batch)
+        for uid, row in batch.iterrows():
+            assert final.loc[uid, "running_n"] == row["n"]
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+
+
+def test_kafka_wire_stream_shape_and_parse(spark):
+    """The kafka-wire test double must emit the exact Kafka source schema,
+    and parse_kafka_events must decode its JSON payloads; a windowed agg
+    over the parsed stream proves the operators are source-agnostic."""
+    import time
+
+    from concurrent_etl_go_spark.streaming import (
+        kafka_wire_stream,
+        parse_kafka_events,
+    )
+
+    wire = kafka_wire_stream(spark, topic="t1", rows_per_batch=50, n_partitions=4)
+    assert [f.name for f in wire.schema] == [
+        "key", "value", "topic", "partition", "offset", "timestamp",
+    ]
+    assert wire.schema["key"].dataType.simpleString() == "binary"
+    assert wire.schema["value"].dataType.simpleString() == "binary"
+
+    parsed = parse_kafka_events(wire)
+    q = (
+        parsed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_kwire")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) AS n FROM t_kwire").first().n >= 50:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_kwire").collect()
+    assert len(rows) >= 50
+    by_id = {r.event_id: r for r in rows}
+    assert by_id[7].user_id == 7 and by_id[7].partition == 3
+    assert by_id[7].offset == 7 and by_id[7].ts is not None
+
+
+def test_kafka_stream_fails_loudly_without_connector(spark):
+    from concurrent_etl_go_spark.sources.lakehouse import MissingConnectorError
+    from concurrent_etl_go_spark.streaming import kafka_stream
+
+    with pytest.raises(MissingConnectorError) as exc:
+        kafka_stream(spark, "localhost:9092", "events")
+    assert "spark-sql-kafka" in str(exc.value)
