@@ -143,6 +143,117 @@ def similarity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_BITS = 32
+RP_BAND_SIZE = 4  # 8 bands of 4 bits
+
+
+def _hyperplanes(dim: int, bits: int = RP_BITS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for signed random projection."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def rp_lsh_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    bits: int = RP_BITS,
+    band_size: int = RP_BAND_SIZE,
+) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH — the
+    PRODUCTION twin of the label-blocked ``similarity_pairs``.
+
+    Each vector gets a ``bits``-bit signature (sign of the dot product
+    with deterministic hyperplanes; P[bit match] = 1 - angle/pi, the SimHash
+    bound); banding turns candidate generation into an equi-join on narrow
+    (band_id, band_val) keys, and an exact-cosine verify join touches only
+    candidates — never O(n^2). Recall rises steeply with similarity: near
+    1.0 for true near-duplicates (cos >= 0.9), lower in the 0.3-0.5 band —
+    which is the right trade for dedup, where only high-sim pairs matter.
+
+    The hyperplane count is derived from the data's dimensionality (one
+    1-row driver fetch), not hardcoded.
+    """
+    dim = len(vectors.select("v").first().v)
+    planes = _hyperplanes(dim, bits)
+    bit_arr = F.array(
+        *[
+            (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in p])) >= 0).cast(
+                "int"
+            )
+            for p in planes
+        ]
+    )
+    sigs = vectors.withColumn("bits", bit_arr).persist()
+
+    n_bands = bits // band_size
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.slice(
+                                F.col("bits"),
+                                (b * band_size + 1).cast("int"),
+                                band_size,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_val"),
+                ),
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_val")
+
+    candidates = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        candidates.join(
+            sigs.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("v_a"),
+                F.col("norm").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("v_b"),
+                F.col("norm").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "sim", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
+    )
+    return verified.where(F.col("sim") >= threshold).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    )
+
+
+@query("similarity_rp_lsh")  # hyperplane signatures — not SQL-portable
+def similarity_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _vectors(spark, sf_dir)
+    return rp_lsh_pairs(vectors, threshold=0.3)
+
+
 @query("similarity_ivf_topk")  # pruned search — result ≈ exact, rows-only
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a LEARNED coarse quantizer: k-means centroids partition

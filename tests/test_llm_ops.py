@@ -232,3 +232,49 @@ def test_short_docs_yield_zero_kgrams_not_ansi_crash(spark):
         for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
     }
     assert pairs == {(5, 6)}
+
+
+def test_rp_lsh_recalls_planted_near_dups(spark):
+    """Signed-random-projection LSH is the production near-dup path: on a
+    corpus with PLANTED near-duplicates (cos ~ 0.999) it must recall
+    essentially all of them, with zero false positives below threshold
+    (the verify join computes exact cosine)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.llm.similarity import dot, rp_lsh_pairs
+
+    rng = random.Random(42)
+    dim, n, planted = 16, 200, 20
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    for j in range(planted):  # vec n+j is a near-copy of vec j
+        base = rows[j][1]
+        rows.append((n + j, [x + rng.gauss(0, 0.01) for x in base]))
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>").withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    pairs = rp_lsh_pairs(vecs, threshold=0.8)
+    got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    recalled = sum(1 for j in range(planted) if (j, n + j) in got)
+    assert recalled >= planted - 1, f"planted recall {recalled}/{planted}"
+    assert all(s >= 0.8 for s in got.values())
+    assert all(a < b for a, b in got)
+
+
+def test_rp_lsh_mid_band_recall_vs_blocked_exact(spark):
+    """On the shared embeddings (only 0.3-0.5-sim pairs exist), RP-LSH at
+    8 bands x 4 bits recalls a majority of the label-blocked exact pairs —
+    the documented trade (recall rises steeply with similarity)."""
+    from concurrent_etl_go_spark.llm.similarity import (
+        similarity_pairs,
+        similarity_rp_lsh,
+    )
+
+    exact = {(r.id_a, r.id_b) for r in similarity_pairs(spark, SF_SMOKE).collect()}
+    lsh = {(r.id_a, r.id_b) for r in similarity_rp_lsh(spark, SF_SMOKE).collect()}
+    assert exact, "fixture should contain blocked exact pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.6, f"mid-band recall too low: {recall:.3f}"

@@ -23,6 +23,7 @@ def test_oracles_are_subset_of_queries():
         "dedup_simhash",
         "similarity_ivf_topk",
         "similarity_kmeans",
+        "similarity_rp_lsh",
         "sample_fraction",
         "text_langid",
     }
