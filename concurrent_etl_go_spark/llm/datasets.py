@@ -149,3 +149,51 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+@query(
+    "text_sequence_pack",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cum_prev
+               FROM t)
+    SELECT doc_id, lang, n_tokens,
+           CAST(cum_prev // 2048 AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign documents to fixed
+    token-budget packs (2048 tokens) in deterministic doc_id order.
+
+    ``pack_id = floor(exclusive-cumulative-tokens / budget)`` — the
+    streaming-concat semantics (a document may straddle a pack boundary;
+    the tokenizer-side concat handles the split). Packing is partitioned
+    by ``lang``, which is the scale story: each partition packs
+    independently (one window shuffle on the partition key, no global
+    sort), so 100 TB packs as parallel per-stream runs. A global pack
+    order would serialize the corpus through one partition — exactly what
+    this layout avoids.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = docs.select("doc_id", "lang", n_tokens.cast("long").alias("n_tokens"))
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_prev / 2048).cast("long").alias("pack_id"),
+    )

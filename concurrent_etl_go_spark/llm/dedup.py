@@ -367,3 +367,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 10
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, component)
+    where component = the smallest id reachable through pairs.
+
+    Iterative min-label propagation — each iteration is one distributed
+    join + aggregation (labels pull the min label of their neighbors), and
+    only a changed-row COUNTER crosses the driver between iterations (the
+    same driver-exchange discipline as the k-means loop). Converges in
+    O(graph diameter) passes; near-dup clusters are shallow (dup groups,
+    not long chains), so the default cap is generous. This is the standard
+    scalable CC shape (GraphX/GraphFrames propagate the same way) without
+    needing a graph library.
+    """
+    edges = pairs.select(
+        F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()  # the only driver traffic per iteration
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+@query("dedup_components")  # iterative graph algorithm — rows-only check
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over the
+    MinHash-LSH near-dup graph. The survivor set for a 100 TB dedup pass is
+    'keep component == doc_id' — one row per cluster representative."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return connected_components(pairs).orderBy("id")

@@ -13,6 +13,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
     scalars2,
     scalars_queries,
     time_windows,

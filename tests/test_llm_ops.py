@@ -278,3 +278,42 @@ def test_rp_lsh_mid_band_recall_vs_blocked_exact(spark):
     assert exact, "fixture should contain blocked exact pairs"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.6, f"mid-band recall too low: {recall:.3f}"
+
+
+def test_dedup_components_match_union_find(spark):
+    """Connected components over the LSH near-dup graph must equal a
+    driver-side union-find of the same pair list (exact), and converge to
+    min-id labels deterministically."""
+    from concurrent_etl_go_spark.llm.dedup import dedup_components, minhash_lsh_pairs
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    ]
+    assert pairs, "fixture should contain near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    # canonicalize to min-id representative per node
+    expected = {x: find(x) for x in parent}
+
+    got = {r.id: r.component for r in dedup_components(spark, SF_SMOKE).collect()}
+    assert got == expected
+    again = {r.id: r.component for r in dedup_components(spark, SF_SMOKE).collect()}
+    assert got == again

@@ -24,6 +24,7 @@ def test_oracles_are_subset_of_queries():
         "similarity_ivf_topk",
         "similarity_kmeans",
         "similarity_rp_lsh",
+        "dedup_components",
         "sample_fraction",
         "text_langid",
     }
