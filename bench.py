@@ -36,6 +36,10 @@ HEADLINE = (
     "dedup_minhash_lsh",       # MinHash+LSH near-dup
     "similarity_topk",         # brute-force cosine top-k
     "similarity_pairs",        # label-blocked cosine pairs
+    "similarity_rp_lsh",       # random-projection LSH pairs (production)
+    "agg_retention_cohort",    # weekly cohort retention over events
+    "text_sequence_pack",      # token-budget sequence packing
+    "split_train_val_test",    # deterministic hash split
 )
 
 
