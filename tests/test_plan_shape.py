@@ -66,3 +66,21 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     exchange."""
     plan = plan_of(spark, sf_dir, "agg_pricing_summary")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hash_split_is_shuffle_free_pruned_scan(spark, sf_dir):
+    """The dataset-split ops must be pure scans: no exchange at all, and
+    the parquet read pruned to the columns actually used."""
+    plan = plan_of(spark, sf_dir, "split_train_val_test")
+    assert "Exchange" not in plan
+    assert "doc_id:bigint" in plan and "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+    sample_plan = plan_of(spark, sf_dir, "sample_stratified_hash")
+    assert "Exchange" not in sample_plan
+
+
+def test_retention_single_scan_two_logical_shuffles(spark, sf_dir):
+    """Retention reads events ONCE (window cohort, no self-join) and keeps
+    the shuffle count to the window + count-distinct phases."""
+    plan = plan_of(spark, sf_dir, "agg_retention_cohort")
+    assert plan.count("ReadSchema") == 1
+    assert "Join" not in plan
