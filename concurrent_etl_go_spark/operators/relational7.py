@@ -55,3 +55,52 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "agg_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_click,
+           COUNT(CASE WHEN t_purch > t_click AND t_click > t_view
+                      THEN 1 END) AS n_purchase
+    FROM s
+    """,
+)
+def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user counts
+    at each step only if the step's FIRST occurrence strictly follows the
+    previous step's first occurrence.
+
+    One shuffle (per-user conditional-min pivot, map-side combined) plus a
+    scalar global aggregate — the standard scalable funnel shape; no
+    self-joins, no per-user event sorting.
+    """
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    s = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purch"),
+    )
+    return s.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_click"),
+        F.count(
+            F.when(
+                (F.col("t_purch") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_purchase"),
+    )
