@@ -52,18 +52,23 @@ def asof_join(
     equi-key keeps the join a hash/sort-merge join — the range predicate is
     a post-join filter, so no cartesian blow-up beyond the key match.
     """
-    joined = left.join(
+    # rank per LEFT ROW, not per (key, time): two left rows sharing both
+    # would otherwise collapse into one window partition and lose a match
+    tagged = left.withColumn("__rid", F.monotonically_increasing_id())
+    joined = tagged.join(
         right,
         (F.col(left_key) == F.col(right_key))
         & (F.col(right_time) <= F.col(left_time)),
         "inner",
     )
-    w = Window.partitionBy(left_key, left_time).orderBy(
+    w = Window.partitionBy("__rid").orderBy(
         F.col(right_time).desc(), F.col(right_tiebreak).desc()
     )
-    return joined.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") == 1
-    ).drop("__rn")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__rid")
+    )
 
 
 def asof_join_merge(

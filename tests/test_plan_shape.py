@@ -84,3 +84,20 @@ def test_retention_single_scan_two_logical_shuffles(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_retention_cohort")
     assert plan.count("ReadSchema") == 1
     assert "Join" not in plan
+
+
+def test_no_query_uses_cartesian_or_row_python(spark, sf_dir):
+    """Registry-wide plan invariants: no CartesianProduct anywhere (cross
+    joins must broadcast), and no row-at-a-time Python (BatchEvalPython) —
+    Python appears only Arrow-batched (MapInPandas/FlatMap*) where
+    semantics demand it."""
+    from concurrent_etl_go_spark import operators
+
+    violations = []
+    for name, fn in sorted(operators.QUERIES.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            violations.append((name, "BatchEvalPython"))
+    assert not violations, violations

@@ -107,3 +107,75 @@ def test_agg_approx_within_bounds_of_exact(spark, sf_dir):
         )
         p49, _p50, p51 = e.band
         assert p49 <= a.approx_p50 <= p51, (flag, a.approx_p50, e.band)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 50),         # left time
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 50),         # right time
+            st.integers(0, 10**6),      # tiebreak
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_merge_equals_rank_twin_property(spark, left, right):
+    """Property: for random key/time/tiebreak sets — including duplicate
+    times, empty sides, and keys present on only one side — the
+    partition-merge as-of join is row-identical to the rank-based twin in
+    both inner and left modes."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.operators.lib import asof_join, asof_join_merge
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "lid long, k long, lt long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, tb) for (k, t, tb) in right], "rk long, rt long, tb long"
+    )
+    kwargs = dict(
+        left_key="k",
+        right_key="rk",
+        left_time="lt",
+        right_time="rt",
+        right_tiebreak="tb",
+    )
+    got_inner = {
+        (r.lid, r.rt, r.tb)
+        for r in asof_join_merge(ldf, rdf, **kwargs).collect()
+    }
+    want_inner = {
+        (r.lid, r.rt, r.tb) for r in asof_join(ldf, rdf, **kwargs).collect()
+    }
+    assert got_inner == want_inner
+
+    got_left = {
+        (r.lid, r.rt, r.tb)
+        for r in asof_join_merge(ldf, rdf, how="left", **kwargs).collect()
+    }
+    # left semantics: inner matches plus null rows for unmatched left ids
+    matched = {lid for lid, _, _ in want_inner}
+    want_left = want_inner | {
+        (i, None, None) for i, _ in enumerate(left) if i not in matched
+    }
+    assert got_left == want_left
