@@ -113,57 +113,10 @@ def minhash_lsh_pairs(
     (band_id, band_hash) -> verify candidates with exact Jaccard.
     The band join is an equi-join on a narrow key, so candidate generation
     scales linearly with data (plus bucket collisions), never O(n²).
+    The shingle/band halves live in ``_band_table`` (shared with the
+    incremental ingest variant below).
     """
-    # Spread the CPU-heavy shingle/signature stage across all cores — a
-    # small doc table often arrives as one parquet split; at scale the
-    # repartition keys later joins on id as well.
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    sh_df = (
-        docs.repartition(parallelism, F.col(id_col))
-        .withColumn("__toks", F.split(F.col(text_col), " "))
-        # docs shorter than k tokens have no shingles: their signature would
-        # be all-NULL and every such doc would band-collide with every other;
-        # they can never verify (jaccard 0), so drop them up front. Filter
-        # on the TOKEN count, not size(sh) — a size(sh) predicate makes
-        # Catalyst inline the whole shingle expression into the filter and
-        # compute it twice (measured 4x on the full pipeline).
-        .where(F.size("__toks") >= SHINGLE_K)
-        .select(
-            F.col(id_col).alias("id"),
-            shingles_from_tokens(F.col("__toks")).alias("sh"),
-        )
-        .persist()
-    )
-    sigs = sh_df.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-
-    # Narrow band rows (id, band_id, band_hash) only — the candidate join
-    # never shuffles shingle arrays, so the shuffle volume is O(docs*bands)
-    # small fixed-width rows regardless of document size.
-    n_bands = num_hashes // band_size
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"),
-                                    (b * band_size + 1).cast("int"),
-                                    band_size,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash").persist()
+    sh_df, bands = _band_table(docs, id_col, text_col, num_hashes, band_size)
 
     candidates = (
         bands.alias("a")
@@ -435,3 +388,136 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
     return connected_components(pairs).orderBy("id")
+
+
+def _band_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle table, band table) for a document set — the persisted
+    index halves of the LSH pipeline, reusable across ingest batches.
+
+    Band rows are narrow (id, band_id, band_hash) so candidate joins never
+    shuffle shingle arrays. The repartition spreads the CPU-heavy shingle
+    stage off single-split parquet files.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sh_df = (
+        docs.repartition(parallelism, F.col(id_col))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        # docs shorter than k tokens have no shingles: their signature
+        # would be all-NULL and band-collide with every other such doc;
+        # they can never verify (jaccard 0), so drop them up front. Filter
+        # on the TOKEN count, not size(sh) — a size(sh) predicate makes
+        # Catalyst inline the shingle expression into the filter and
+        # compute it twice (measured 4x on the full pipeline).
+        .where(F.size("__toks") >= SHINGLE_K)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(F.col("__toks")).alias("sh"),
+        )
+        .persist()
+    )
+    sigs = sh_df.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    (b * band_size + 1).cast("int"),
+                                    band_size,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_hash").persist()
+    return sh_df, bands
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    band_size: int = LSH_BAND_SIZE,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental near-dup check: match a NEW batch against an existing
+    corpus (and within itself) WITHOUT re-pairing the corpus against
+    itself — the production ingest shape for a continuously-growing
+    100 TB dataset.
+
+    Candidate generation joins the full band index against only the NEW
+    side's bands, so corpus-corpus candidates are never generated: each
+    ingest costs O(|new| x bands) probe rows against the corpus band
+    index (which a real deployment persists bucketed by (band_id,
+    band_hash) so the probe is a co-located join). Output: (id_a, id_b,
+    jaccard, is_new_pair) where id_b is always a NEW doc and
+    ``is_new_pair`` marks new-vs-new matches.
+    """
+    new_ids = new_docs.select(F.col(id_col).alias("nid")).persist()
+    all_docs = corpus_docs.unionByName(new_docs)
+    sh_all, bands_all = _band_table(
+        all_docs, id_col, text_col, num_hashes, band_size
+    )
+    bands_new = bands_all.join(
+        new_ids.withColumnRenamed("nid", "id"), "id"
+    )
+
+    candidates = (
+        bands_all.alias("a")
+        .join(
+            bands_new.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        candidates.join(
+            sh_all.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh_all.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(jaccard("sh_a", "sh_b"), 4))
+        .where(F.col("jaccard") >= threshold)
+    )
+    # canonicalize: keep one row per pair; for new-new pairs keep id_a < id_b
+    tagged = verified.join(
+        new_ids.select(F.col("nid").alias("id_a")).withColumn(
+            "a_new", F.lit(True)
+        ),
+        "id_a",
+        "left",
+    ).withColumn("a_new", F.coalesce("a_new", F.lit(False)))
+    return (
+        tagged.where(~F.col("a_new") | (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.col("a_new").alias("is_new_pair"),
+        )
+    )

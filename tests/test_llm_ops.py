@@ -390,3 +390,34 @@ def test_real_wav_decode_through_spark(spark):
         assert duration == 1.0 and rate == 8000.0 and nch == 1.0
         # sine RMS = amplitude / sqrt(2)
         assert abs(rms - 10000 / math.sqrt(2)) < 100, (doc_id, rms)
+
+
+def test_incremental_lsh_matches_full_run_restricted_to_new(spark):
+    """Splitting the corpus into existing/new and running the incremental
+    check must find exactly the full-run pairs that touch a new doc, with
+    id_b always new and new-new pairs flagged."""
+    from concurrent_etl_go_spark.llm.dedup import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+
+    full = {
+        frozenset((r.id_a, r.id_b)): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expected = {
+        p: j for p, j in full.items() if any(x in new_ids for x in p)
+    }
+
+    rows = minhash_lsh_incremental(new, corpus, threshold=0.5).collect()
+    got = {frozenset((r.id_a, r.id_b)): r.jaccard for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r.id_b in new_ids
+        assert r.is_new_pair == (r.id_a in new_ids)
