@@ -197,3 +197,69 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_prev / 2048).cast("long").alias("pack_id"),
     )
+
+
+@query(
+    "corpus_clean",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> lower(t) IN ('the','a','and','of','to','in','is',
+                                     'for','on','with'))) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1) AS sw_ratio,
+               CAST(length(text) AS DOUBLE)
+                   / greatest(len(string_split(text, ' ')), 1) AS cpt,
+               trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM q
+        WHERE n_tokens >= 20 AND sw_ratio >= 0.02 AND cpt <= 5.7
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY norm) AS keeper FROM kept)
+    WHERE doc_id = keeper
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality gate, then keep one survivor
+    (smallest doc_id) per normalized-text group — the composed
+    filter -> dedup pipeline a pretraining corpus actually runs, as one
+    declarative plan (Catalyst fuses the quality predicates into the scan;
+    the only shuffle is the normalized-text window).
+
+    The near-dup stage (LSH -> components -> keep representatives) chains
+    after this with ``dedup_components``; this query is the
+    SQL-expressible prefix, so the driver hash-checks the composition.
+    """
+    from pyspark.sql import Window
+
+    from concurrent_etl_go_spark.llm.text import (
+        EN_STOPWORDS,
+        normalize_text,
+        tokenized_docs,
+    )
+
+    docs = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
+    stops = F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))
+    n_tokens = F.size(toks)
+    sw_ratio = F.size(stops) / F.greatest(n_tokens, F.lit(1))
+    cpt = F.length("text") / F.greatest(n_tokens, F.lit(1))
+    kept = docs.where(
+        (n_tokens >= 20) & (sw_ratio >= 0.02) & (cpt <= 5.7)
+    ).select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        normalize_text("text").alias("norm"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("norm"))
+    return (
+        kept.withColumn("keeper", keeper)
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "n_tokens")
+    )
