@@ -38,8 +38,10 @@ HEADLINE = (
     "similarity_pairs",        # label-blocked cosine pairs
     "similarity_rp_lsh",       # random-projection LSH pairs (production)
     "agg_retention_cohort",    # weekly cohort retention over events
+    "agg_funnel",              # ordered conversion funnel
     "text_sequence_pack",      # token-budget sequence packing
     "split_train_val_test",    # deterministic hash split
+    "corpus_clean",            # composed quality-gate + dedup pipeline
 )
 
 
