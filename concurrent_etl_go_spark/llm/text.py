@@ -180,11 +180,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
-@query("text_langid")  # heuristic scorer — rows-only check (not SQL-portable)
+@query(
+    "text_langid",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(w, x -> lower(x) IN ('the','a','and','of','to',
+            'in','is','for','on','with'))) AS DOUBLE)
+            / greatest(len(w), 1) AS s_en,
+        CAST(len(list_filter(w, x -> lower(x) IN ('der','die','das','und',
+            'ist','nicht','ein','zu'))) AS DOUBLE)
+            / greatest(len(w), 1) AS s_de,
+        CAST(len(list_filter(w, x -> lower(x) IN ('el','la','los','las','es',
+            'una','que','por'))) AS DOUBLE)
+            / greatest(len(w), 1) AS s_es,
+        CAST(len(list_filter(w, x -> lower(x) IN ('le','la','les','est','une',
+            'que','pour','dans'))) AS DOUBLE)
+            / greatest(len(w), 1) AS s_fr
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_en, s_de, s_es, s_fr) < 0.02 THEN 'unk'
+           WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+           WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+           WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+           ELSE 'fr' END AS predicted_lang,
+      ROUND(greatest(s_en, s_de, s_es, s_fr), 4) AS confidence
+    FROM s
+    """,
+)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-profile hit ratio per language; the
-    argmax wins, 'unk' below a confidence floor. Pure built-ins
-    (filter/size/greatest) — scales as a scan."""
+    argmax wins ('unk' below a confidence floor; ties break in profile
+    order en,de,es,fr — mirrored by the oracle's CASE order). Pure
+    built-ins (filter/size/greatest) — scales as a scan."""
     profiles = {
         "en": EN_STOPWORDS,
         "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),

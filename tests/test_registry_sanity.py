@@ -26,7 +26,6 @@ def test_oracles_are_subset_of_queries():
         "similarity_rp_lsh",
         "dedup_components",
         "sample_fraction",
-        "text_langid",
     }
 
 
