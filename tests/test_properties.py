@@ -179,3 +179,20 @@ def test_asof_merge_equals_rank_twin_property(spark, left, right):
         (i, None, None) for i, _ in enumerate(left) if i not in matched
     }
     assert got_left == want_left
+
+
+def test_sample_fraction_bounds_and_determinism(spark, sf_dir):
+    """The rows-only sampling query must be deterministic for a fixed seed
+    and land within binomial bounds of the nominal 10% fraction."""
+    from concurrent_etl_go_spark.operators.relational5 import sample_fraction
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    total = read_table(spark, sf_dir, "lineitem").count()
+    a = sample_fraction(spark, sf_dir)
+    n = a.count()
+    assert n == sample_fraction(spark, sf_dir).count()  # seeded => stable
+    # 6-sigma binomial envelope around p=0.1
+    import math
+
+    sigma = math.sqrt(total * 0.1 * 0.9)
+    assert abs(n - 0.1 * total) <= 6 * sigma, (n, total)
