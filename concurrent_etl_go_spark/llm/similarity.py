@@ -177,13 +177,22 @@ def rp_lsh_pairs(
     """
     dim = len(vectors.select("v").first().v)
     planes = _hyperplanes(dim, bits)
-    bit_arr = F.array(
-        *[
-            (dot(F.col("v"), F.array(*[F.lit(float(x)) for x in p])) >= 0).cast(
-                "int"
+    # one transform over a 2D plane literal instead of `bits` separate fold
+    # expressions: same math (identical output), much smaller expression
+    # tree for Catalyst to carry
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    bit_arr = F.transform(
+        planes_lit,
+        lambda p: (
+            F.aggregate(
+                F.zip_with(F.col("v"), p, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            for p in planes
-        ]
+            >= 0
+        ).cast("int"),
     )
     sigs = vectors.withColumn("bits", bit_arr).persist()
 
