@@ -6,6 +6,7 @@ from concurrent_etl_go_spark.streaming.pipelines import (
     session_agg,
     sliding_agg,
     stream_dedup,
+    stream_enrich,
     stream_to_http,
     tumbling_agg,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stream_dedup",
+    "stream_enrich",
     "stream_to_http",
     "tumbling_agg",
 ]

@@ -240,3 +240,15 @@ def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours")
     watermark passes it, so dedup state cannot grow without bound (the
     batch twin is ``dedup_exact``)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_enrich(
+    stream: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) static dimension — the streaming analog of the reference's
+    per-row enrichment fetch (etl/main.go:188-207), but set-based: no
+    per-row RPC, the dimension ships once per executor. The static side is
+    re-read per batch, so slowly-changing dimensions pick up updates
+    between batches at scale."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -309,3 +309,24 @@ def test_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
         assert 1000 <= len(delivered_ids) <= 1000 + 250  # <= one file replayed
     finally:
         server.stop()
+
+
+def test_stream_static_enrichment_join(spark):
+    """Stream-static join: every streamed event picks up its user's
+    dimension row via a broadcast join inside each micro-batch, equal to
+    the batch join."""
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from concurrent_etl_go_spark.streaming import stream_enrich
+
+    users = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("long"))
+    )
+    stream = events_file_stream(spark, SF_SMOKE).select("event_id", "user_id")
+    enriched = stream_enrich(stream, users, on="user_id")
+    got = run_to_memory(spark, enriched, "t_enrich", mode="append")
+    rows = got.collect()
+    assert len(rows) == 1000
+    assert all(r.tier == r.user_id % 3 for r in rows)
