@@ -73,15 +73,18 @@ def main() -> None:
         return round(time.perf_counter() - start, 3)
 
     # Per query: one warm-up pass (codegen compile, footer cache), then the
-    # timed steady-state pass. clearCache() between passes so no query's
-    # internal persist() carries results across runs.
+    # timed steady-state pass. release_caches() between passes so no
+    # query's internal scoped persist carries results across runs (and the
+    # tracked-cache list doesn't grow across the bench session).
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = run_once(name)
-        spark.catalog.clearCache()
+        release_caches()
         timings[name] = run_once(name)
-        spark.catalog.clearCache()
+        release_caches()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -157,10 +157,23 @@ class Engine:
         return self.spark.sql(statement)
 
     def query(self, name: str) -> DataFrame:
-        """Run a named operator query from the registry."""
+        """Run a named operator query from the registry.
+
+        Cache-lifetime contract: some queries persist intermediates
+        (LSH band tables, vector norms) for the duration of their
+        execution. After the terminal action on the returned DataFrame,
+        call :meth:`release_caches` so a long-lived engine process does
+        not accumulate cached blocks across queries.
+        """
         from concurrent_etl_go_spark import operators
 
         return operators.QUERIES[name](self.spark, self.sf_dir)
+
+    def release_caches(self) -> None:
+        """Unpersist intermediates cached by previously-run queries."""
+        from concurrent_etl_go_spark.operators.registry import release_caches
+
+        release_caches()
 
     def queries(self) -> list[str]:
         from concurrent_etl_go_spark import operators

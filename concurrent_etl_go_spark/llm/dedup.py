@@ -323,20 +323,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 10
+    pairs: DataFrame, max_iterations: int = 25
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, component)
     where component = the smallest id reachable through pairs.
 
-    Iterative min-label propagation — each iteration is one distributed
-    join + aggregation (labels pull the min label of their neighbors), and
-    only a changed-row COUNTER crosses the driver between iterations (the
-    same driver-exchange discipline as the k-means loop). Converges in
-    O(graph diameter) passes; near-dup clusters are shallow (dup groups,
-    not long chains), so the default cap is generous. This is the standard
-    scalable CC shape (GraphX/GraphFrames propagate the same way) without
-    needing a graph library.
+    Iterative min-label propagation with a POINTER-JUMPING step per round
+    (component <- component[component], the large-star/small-star trick),
+    so convergence needs O(log diameter) rounds instead of O(diameter) —
+    a 1M-hop duplicate chain converges in ~20 rounds. Each round is two
+    joins + one aggregation, and only a changed-row COUNTER crosses the
+    driver between rounds (the same driver-exchange discipline as the
+    k-means loop). This is the standard scalable CC shape (GraphX/
+    GraphFrames propagate the same way) without a graph library.
+
+    Runs to FIXPOINT (changed == 0). If ``max_iterations`` rounds pass
+    without convergence the function RAISES rather than silently returning
+    split components — an unconverged label set would over-keep duplicates
+    in a 'keep component == doc_id' survivor pass.
     """
+    from concurrent_etl_go_spark.operators.registry import (
+        release_df,
+        track_cache,
+    )
+
     edges = pairs.select(
         F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
     )
@@ -349,45 +359,82 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jumping: follow the label's own label one hop. Labels
+        # are node ids and monotonically non-increasing, so the hop target
+        # always exists and stays within the component.
+        hop = propagated.select(
+            F.col("id").alias("jid"), F.col("component").alias("jcomp")
+        )
+        # localCheckpoint (not persist): each round's plan references the
+        # previous round's twice (propagate + jump), so without lineage
+        # TRUNCATION the logical plan doubles per round and the driver
+        # OOMs on analysis long before the data is large. Checkpointing
+        # per iteration is exactly what GraphX/GraphFrames do.
         new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            propagated.join(hop, propagated["component"] == hop["jid"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
+                F.coalesce("jcomp", "component").alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.component") != F.col("o.component"))
-            .count()  # the only driver traffic per iteration
+            .count()  # the only driver traffic per round
         )
-        labels.unpersist()
+        release_df(labels)  # frees persist AND prior-round checkpoint blocks
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
-    return labels
+    if not converged:
+        release_df(labels)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds — raise max_iterations (graph diameter exceeds 2^rounds)"
+        )
+    # the fixpoint labels stay persisted for the caller's terminal action;
+    # released via registry.release_caches()
+    return track_cache(labels)
 
 
 @query("dedup_components")  # iterative graph algorithm — rows-only check
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS (not just pairs): connected components over the
-    MinHash-LSH near-dup graph. The survivor set for a 100 TB dedup pass is
-    'keep component == doc_id' — one row per cluster representative."""
+    """Duplicate CLUSTERS over the MinHash-LSH near-dup graph, as a TOTAL
+    labeling of the corpus: every document gets a component id, defaulting
+    to its own doc_id when it appears in no near-dup pair. The survivor
+    set for a 100 TB dedup pass is exactly ``component == doc_id`` — one
+    row per cluster representative, isolated (unique) docs included."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    return connected_components(pairs).orderBy("id")
+    labels = connected_components(pairs)
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+        .orderBy("id")
+    )
 
 
 def _band_table(
@@ -402,8 +449,11 @@ def _band_table(
 
     Band rows are narrow (id, band_id, band_hash) so candidate joins never
     shuffle shingle arrays. The repartition spreads the CPU-heavy shingle
-    stage off single-split parquet files.
+    stage off single-split parquet files. Both halves are persisted for
+    the query's execution and tracked for ``registry.release_caches()``.
     """
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     sh_df = (
         docs.repartition(parallelism, F.col(id_col))
@@ -419,8 +469,8 @@ def _band_table(
             F.col(id_col).alias("id"),
             shingles_from_tokens(F.col("__toks")).alias("sh"),
         )
-        .persist()
     )
+    sh_df = scoped_persist(sh_df)
     sigs = sh_df.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     n_bands = num_hashes // band_size
     bands = sigs.select(
@@ -446,8 +496,8 @@ def _band_table(
                 ),
             )
         ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash").persist()
-    return sh_df, bands
+    ).select("id", "band.band_id", "band.band_hash")
+    return sh_df, scoped_persist(bands)
 
 
 def minhash_lsh_incremental(
@@ -472,7 +522,9 @@ def minhash_lsh_incremental(
     jaccard, is_new_pair) where id_b is always a NEW doc and
     ``is_new_pair`` marks new-vs-new matches.
     """
-    new_ids = new_docs.select(F.col(id_col).alias("nid")).persist()
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    new_ids = scoped_persist(new_docs.select(F.col(id_col).alias("nid")))
     all_docs = corpus_docs.unionByName(new_docs)
     sh_all, bands_all = _band_table(
         all_docs, id_col, text_col, num_hashes, band_size

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 
@@ -45,7 +45,9 @@ def kmeans_fit(
     the canonical Lloyd's structure; everything else is one distributed
     assign pass + one partial-aggregated centroid update.
     """
-    vectors = vectors.persist()
+    # persisted across the assign/update iterations AND the caller's final
+    # action over the returned assignments; released via release_caches()
+    vectors = scoped_persist(vectors)
     centroids = [
         list(row.v)
         for row in vectors.where(F.col("vec_id") < k).orderBy("vec_id").collect()

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.llm.kmeans import kmeans_fit
-from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 
@@ -94,8 +94,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: label-blocked (the coarse-cluster key) so
     the pair space is per-bucket; one dot product per pair against the
-    precomputed norms (persisted so the self-join computes vectors once)."""
-    vectors = _vectors(spark, sf_dir).persist()
+    precomputed norms (persisted so the self-join computes vectors once;
+    released via ``registry.release_caches()`` after the action)."""
+    vectors = scoped_persist(_vectors(spark, sf_dir))
     a, b = vectors.alias("a"), vectors.alias("b")
     pairs = a.join(
         b,
@@ -173,9 +174,16 @@ def rp_lsh_pairs(
     which is the right trade for dedup, where only high-sim pairs matter.
 
     The hyperplane count is derived from the data's dimensionality (one
-    1-row driver fetch), not hardcoded.
+    1-row driver fetch), not hardcoded; an empty or null-vector input
+    yields an empty pair set instead of crashing the probe.
     """
-    dim = len(vectors.select("v").first().v)
+    probe = vectors.select("v").first()
+    if probe is None or probe.v is None:
+        # no rows (or a null leading vector): no pairs, stable schema
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    dim = len(probe.v)
     planes = _hyperplanes(dim, bits)
     # one transform over a 2D plane literal instead of `bits` separate fold
     # expressions: same math (identical output), much smaller expression
@@ -194,7 +202,7 @@ def rp_lsh_pairs(
             >= 0
         ).cast("int"),
     )
-    sigs = vectors.withColumn("bits", bit_arr).persist()
+    sigs = scoped_persist(vectors.withColumn("bits", bit_arr))
 
     n_bands = bits // band_size
     bands = sigs.select(

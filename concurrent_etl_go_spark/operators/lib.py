@@ -109,6 +109,8 @@ def asof_join_merge(
     """
     import pandas as pd
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     left_cols = list(left.columns)
     right_names = list(right.columns)
     dup = set(left_cols) & set(right_names)
@@ -162,12 +164,23 @@ def asof_join_merge(
         pdf = pd.concat(pdfs, ignore_index=True)
         lpdf = pdf[pdf["__side"] == 0]
         rpdf = pdf[pdf["__side"] == 1]
-        if lpdf.empty or (rpdf.empty and how == "inner"):
-            yield _empty()
-            return
-        if rpdf.empty:
-            out = lpdf.copy()
-            yield out[out_cols]
+        # Null time keys crash pd.merge_asof ("merge keys contain null
+        # values"), so split them out first under the join's null
+        # semantics: a null time never satisfies <=, so null-time right
+        # rows can never match anything (dropped), and null-time left
+        # rows match nothing (kept with null right columns when
+        # how='left' — the stacked frame already carries right columns
+        # as nulls on left-side rows).
+        rpdf = rpdf[rpdf[right_time].notna()]
+        null_left = lpdf[lpdf[left_time].isna()]
+        lpdf = lpdf[lpdf[left_time].notna()]
+        unmatched = null_left if how == "left" else null_left.iloc[0:0]
+        if lpdf.empty or rpdf.empty:
+            if how == "left":
+                out = pd.concat([unmatched, lpdf], ignore_index=True)
+                yield out[out_cols] if len(out) else _empty()
+            else:
+                yield _empty()
             return
         # merge_asof(by=) needs both frames globally sorted on the time
         # key; equal-time order is preserved (mergesort), so sorting the
@@ -189,7 +202,10 @@ def asof_join_merge(
         )
         if how == "inner":
             merged = merged[merged[right_key].notna()]
-        yield merged[out_cols]
+        out = merged[out_cols]
+        if not unmatched.empty:
+            out = pd.concat([out, unmatched[out_cols]], ignore_index=True)
+        yield out
 
     return parts.mapInPandas(merge_partition, schema=out_schema)
 

@@ -35,6 +35,56 @@ SCALE_CLASS: dict[str, str] = {}
 SCALE_CLASSES = ("production", "oracle_twin")
 
 
+#: DataFrames persisted inside registered queries, awaiting release.
+#: Registered queries return LAZY DataFrames, so a cache created inside a
+#: query function cannot be unpersisted before the caller's terminal
+#: action — instead it is tracked here and the caller (Engine, bench, the
+#: test harness) releases it after materializing.  A long-lived engine
+#: process serving many queries calls ``release_caches()`` between
+#: queries; otherwise each invocation would leak cached blocks into the
+#: shared session (they are evictable, but pin executor memory until
+#: eviction).
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` for the duration of the current query's execution and
+    track it for ``release_caches()``."""
+    df.persist()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Track an already-persisted DataFrame for ``release_caches()``."""
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_df(df: DataFrame) -> None:
+    """Unpersist a DataFrame's blocks, including ``localCheckpoint`` ones.
+
+    ``DataFrame.unpersist()`` only clears SQL-cache entries; a
+    localCheckpoint persists the underlying internal RDD, which otherwise
+    lingers until the JVM garbage-collects it (ContextCleaner). For a
+    checkpointed DataFrame the analyzed plan is a LogicalRDD whose rdd we
+    can unpersist directly; for plain DataFrames that accessor raises and
+    the regular unpersist has already done the work.
+    """
+    df.unpersist()
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
+    except Exception:  # noqa: BLE001 — not a LogicalRDD: nothing to free
+        pass
+
+
+def release_caches() -> None:
+    """Unpersist every cache created by query functions since the last
+    release. Call after the terminal action on a query's DataFrame."""
+    while _SCOPED_CACHES:
+        release_df(_SCOPED_CACHES.pop())
+
+
 def query(
     name: str, oracle: str | None = None, scale_class: str = "production"
 ) -> Callable[[QueryFn], QueryFn]:

@@ -310,13 +310,82 @@ def test_dedup_components_match_union_find(spark):
 
     for a, b in pairs:
         union(a, b)
-    # canonicalize to min-id representative per node
-    expected = {x: find(x) for x in parent}
+    # canonicalize to min-id representative per node; the output is a TOTAL
+    # labeling, so isolated docs default to their own id
+    paired = {x: find(x) for x in parent}
+    expected = {
+        r.doc_id: paired.get(r.doc_id, r.doc_id)
+        for r in docs.select("doc_id").collect()
+    }
 
     got = {r.id: r.component for r in dedup_components(spark, SF_SMOKE).collect()}
     assert got == expected
     again = {r.id: r.component for r in dedup_components(spark, SF_SMOKE).collect()}
     assert got == again
+
+
+def test_connected_components_long_chain_and_convergence_guard(spark):
+    """A 200-hop duplicate chain must converge to a single component —
+    pointer jumping makes that ~log2(200) rounds, well inside the default
+    cap — and an insufficient cap must RAISE, never silently return split
+    components."""
+    import pytest
+
+    from concurrent_etl_go_spark.llm.dedup import connected_components
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    labels = connected_components(chain)
+    got = {r.id: r.component for r in labels.collect()}
+    release_caches()
+    assert got == {i: 0 for i in range(201)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+
+
+def test_rp_lsh_pairs_empty_input(spark):
+    """An empty vector table must yield an empty pair set with the stable
+    (id_a, id_b, sim) schema — not crash the dim probe."""
+    from concurrent_etl_go_spark.llm.similarity import rp_lsh_pairs
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, label string, v array<double>, norm double"
+    )
+    out = rp_lsh_pairs(empty)
+    assert out.columns == ["id_a", "id_b", "sim"]
+    assert out.count() == 0
+
+
+def test_queries_release_scoped_caches(spark):
+    """Queries that persist intermediates (LSH band tables, vector norms,
+    k-means inputs) must leave ZERO cached blocks behind once
+    release_caches() runs after the terminal action — the long-lived
+    engine-process contract."""
+    import __spark_entry__ as entry_mod
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    qs = entry_mod.queries()
+    release_caches()  # clean slate in the shared test session
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc  # noqa: SLF001
+    assert jsc.getPersistentRDDs().size() == 0
+
+    for name in (
+        "similarity_pairs",
+        "dedup_minhash_lsh",
+        "similarity_kmeans",
+        "dedup_components",
+        "similarity_rp_lsh",
+    ):
+        qs[name](spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
+        assert jsc.getPersistentRDDs().size() > 0, f"{name}: expected caches"
+        release_caches()
+        assert (
+            jsc.getPersistentRDDs().size() == 0
+        ), f"{name}: residual cached blocks after release"
 
 
 def test_real_pnm_decode_resize_through_spark(spark):

@@ -86,18 +86,27 @@ def test_retention_single_scan_two_logical_shuffles(spark, sf_dir):
     assert "Join" not in plan
 
 
+#: Queries whose semantics genuinely need Arrow-batched Python — the
+#: bounded as-of merge runs one pd.merge_asof per partition (MapInPandas).
+#: Nothing is allowed to use scalar pandas UDFs in projections
+#: (ArrowEvalPython): every scalar expression must stay in codegen.
+ARROW_ALLOWLIST = {"join_asof", "join_asof_left"}
+
+
 def test_no_query_uses_cartesian_or_row_python(spark, sf_dir):
     """Registry-wide plan invariants: no CartesianProduct anywhere (cross
-    joins must broadcast), and no row-at-a-time Python (BatchEvalPython) —
-    Python appears only Arrow-batched (MapInPandas/FlatMap*) where
+    joins must broadcast), no row-at-a-time Python (BatchEvalPython), and
+    no scalar pandas UDFs (ArrowEvalPython) — Python appears only
+    Arrow-batched via MapInPandas on the allowlisted queries where
     semantics demand it."""
     from concurrent_etl_go_spark import operators
 
     violations = []
     for name, fn in sorted(operators.QUERIES.items()):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            violations.append((name, "CartesianProduct"))
-        if "BatchEvalPython" in plan:
-            violations.append((name, "BatchEvalPython"))
+        for marker in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+            if marker in plan:
+                violations.append((name, marker))
+        if "MapInPandas" in plan and name not in ARROW_ALLOWLIST:
+            violations.append((name, "MapInPandas outside allowlist"))
     assert not violations, violations

@@ -130,3 +130,53 @@ def test_asof_merge_matches_rank_twin_and_survives_hot_key(spark):
     )
     rows = left_out.where(F.col("user_id") == 99).collect()
     assert len(rows) == 5 and all(r.o_orderkey is None for r in rows)
+
+
+def test_asof_merge_null_time_keys_and_how_validation(spark):
+    """Null time keys must not crash pd.merge_asof inside the task: a
+    null-time right row can never match (null never satisfies <=); a
+    null-time left row matches nothing — dropped under how='inner', kept
+    with null right columns under how='left'. Unknown ``how`` raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.operators.lib import asof_join_merge
+
+    events = spark.createDataFrame(
+        [
+            (1, 7, "2026-01-01 00:10:00"),
+            (2, 7, None),  # null left time
+            (3, 8, "2026-01-01 00:10:00"),
+        ],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    orders = spark.createDataFrame(
+        [
+            (100, 7, "2026-01-01 00:00:00"),
+            (101, 7, None),  # null right time: never matches
+            (102, 8, None),  # key 8's only right row is null-time
+        ],
+        "o_orderkey long, o_custkey long, o_ts_s string",
+    ).select("o_orderkey", "o_custkey", F.to_timestamp("o_ts_s").alias("o_ts"))
+    kwargs = dict(
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_ts",
+        right_tiebreak="o_orderkey",
+    )
+
+    inner = {
+        (r.event_id, r.o_orderkey)
+        for r in asof_join_merge(events, orders, **kwargs).collect()
+    }
+    assert inner == {(1, 100)}
+
+    left = {
+        (r.event_id, r.o_orderkey)
+        for r in asof_join_merge(events, orders, how="left", **kwargs).collect()
+    }
+    assert left == {(1, 100), (2, None), (3, None)}
+
+    with pytest.raises(ValueError, match="how"):
+        asof_join_merge(events, orders, how="outer", **kwargs)
