@@ -161,6 +161,7 @@ def rp_lsh_pairs(
     threshold: float = 0.3,
     bits: int = RP_BITS,
     band_size: int = RP_BAND_SIZE,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH — the
     PRODUCTION twin of the label-blocked ``similarity_pairs``.
@@ -169,9 +170,18 @@ def rp_lsh_pairs(
     with deterministic hyperplanes; P[bit match] = 1 - angle/pi, the SimHash
     bound); banding turns candidate generation into an equi-join on narrow
     (band_id, band_val) keys, and an exact-cosine verify join touches only
-    candidates — never O(n^2). Recall rises steeply with similarity: near
-    1.0 for true near-duplicates (cos >= 0.9), lower in the 0.3-0.5 band —
-    which is the right trade for dedup, where only high-sim pairs matter.
+    candidates — never O(n^2). Band values are the band's sign bits PACKED
+    INTO AN INT (no per-band string building).
+
+    ``multiprobe=True`` additionally probes every band value at Hamming
+    distance 1 (one flipped bit) from the ONE probe side of the self-join:
+    a pair then collides if any band differs by <= 1 bit, which sharply
+    raises recall in the mid-similarity range (0.3-0.5 cosine — the
+    documented weak spot of plain banding) at the cost of ``band_size``
+    extra probe rows per band — the candidate join stays an equi-join on
+    the same narrow key, never a distance join. The index side stays
+    exact-valued, so at 100 TB a persisted band index is probed by a
+    (band_size+1)x-wider stream of NARROW probe rows, not rebuilt.
 
     The hyperplane count is derived from the data's dimensionality (one
     1-row driver fetch), not hardcoded; an empty or null-vector input
@@ -202,36 +212,49 @@ def rp_lsh_pairs(
             >= 0
         ).cast("int"),
     )
+    # materialize the signature as a stored column BEFORE slicing it into
+    # bands: lambda-captured expressions inline at every reference, so
+    # packing straight from `bit_arr` would recompute all hyperplane dot
+    # products once per band
     sigs = scoped_persist(vectors.withColumn("bits", bit_arr))
 
     n_bands = bits // band_size
+    # pack each band's sign bits into one int: band_val = fold(acc*2 + bit)
+    band_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(F.col("bits"), (b * band_size + 1).cast("int"), band_size),
+            F.lit(0),
+            lambda acc, v: acc * 2 + v,
+        ),
+    )
     bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.concat_ws(
-                        "",
-                        F.transform(
-                            F.slice(
-                                F.col("bits"),
-                                (b * band_size + 1).cast("int"),
-                                band_size,
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_val"),
-                ),
-            )
-        ).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_val")
+        "vec_id", F.posexplode(band_vals).alias("band_id", "band_val")
+    )
+    if multiprobe:
+        # probe side: the exact value plus each single-bit flip. Pair
+        # (x < y) with hamming(band_x, band_y) <= 1 collides because
+        # band_x is always among probes(band_y).
+        probes = bands.select(
+            "vec_id",
+            "band_id",
+            F.explode(
+                F.array(
+                    F.col("band_val"),
+                    *[
+                        F.col("band_val").bitwiseXOR(F.lit(1 << j))
+                        for j in range(band_size)
+                    ],
+                )
+            ).alias("band_val"),
+        )
+    else:
+        probes = bands
 
     candidates = (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            probes.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
