@@ -598,3 +598,47 @@ def minhash_lsh_incremental(
             F.col("a_new").alias("is_new_pair"),
         )
     )
+
+
+@query("dedup_survivor_corpus")  # end-to-end dedup pass — rows-only check
+def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus dedup deliverable in one pass: MinHash-LSH
+    near-dup pairs -> connected components -> survivor filter.
+
+    Output is the DEDUPLICATED corpus: one row per component
+    representative (smallest doc_id in its duplicate cluster — the
+    deterministic survivor rule), unique docs included, with the cluster
+    size carried for audit. At 100 TB each stage is the production shape
+    already proven separately (banded candidate join; counter-only
+    convergence loop; one broadcast-able label join back to the corpus);
+    this query exists because "run the whole funnel" is the actual user
+    operation, and stitching errors between stages are where dedup
+    pipelines silently lose documents — the pytest invariant checks
+    survivors + removed == corpus exactly.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    total = (
+        docs.select(F.col("doc_id").alias("id"), "lang", "n_chars")
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            "lang",
+            "n_chars",
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )
+    cluster_sizes = total.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        total.where(F.col("id") == F.col("component"))
+        .join(cluster_sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            "lang",
+            "n_chars",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -9,7 +9,7 @@ JVM-side, no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.llm.kmeans import kmeans_fit
@@ -329,3 +329,112 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
     return brute_force_topk(candidates, qdf, k=10)
+
+
+@query(
+    "similarity_knn_join",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         scored AS (
+             SELECT q.query_id, e.vec_id,
+                    ROUND(list_dot_product(e.v, q.qv)
+                        / (sqrt(list_dot_product(e.v, e.v))
+                           * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim
+             FROM e CROSS JOIN q
+             WHERE e.vec_id >= 5
+         )
+    SELECT query_id, vec_id, sim, CAST(rn AS BIGINT) AS knn_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-5 cosine neighbors for EACH of a set of query
+    vectors (ids < 5) against the rest of the corpus — the batch shape of
+    embedding retrieval (one query row = ``similarity_topk``).
+
+    Scale: the query set broadcasts (it is small by construction — a
+    probe batch, not the corpus); the corpus is scanned ONCE and scored
+    against all queries map-side. Top-k then runs in two phases: a
+    per-input-partition row_number prunes to k rows per (query,
+    partition) BEFORE the shuffle, so the final per-query window receives
+    at most k x n_partitions rows instead of the whole scored corpus —
+    the same partial-top-k trick a 1000-executor run needs to avoid one
+    hot reducer per query. Both phases share the (sim DESC, vec_id)
+    deterministic order, so phase 1 can never evict a global top-k row.
+    """
+    vectors = _vectors(spark, sf_dir)
+    queries = vectors.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    corpus = vectors.where(F.col("vec_id") >= 5)
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm")), 4
+        ).alias("sim"),
+    )
+    order = [F.col("sim").desc(), F.col("vec_id")]
+    partial = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        *order
+    )
+    pruned = (
+        scored.withColumn("prn", F.row_number().over(partial))
+        .where(F.col("prn") <= 5)
+        .drop("prn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") <= 5)
+        .select(
+            "query_id", "vec_id", "sim", F.col("rn").cast("long").alias("knn_rank")
+        )
+    )
+
+
+@query(
+    "embeddings_normalize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    x AS (
+        SELECT vec_id, v, nrm, unnest(range(1, len(v) + 1)) AS i
+        FROM e WHERE nrm > 0
+    )
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_pos,
+           ROUND(v[i] / nrm, 4) AS unit_val
+    FROM x
+    """,
+)
+def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm (L2) projection of the embedding column, emitted in
+    exploded (vec_id, dim_pos, unit_val) form — pre-normalization turns
+    every downstream cosine into a plain dot product (see
+    ``brute_force_topk``'s norm precompute).
+
+    The exploded layout is the oracle-compare convention (array columns
+    hash unreliably); the production form keeps the array:
+    ``F.transform(v, x -> x / norm)``. Map-side only — zero shuffles at
+    any scale; zero vectors are excluded (no NaN propagation).
+    """
+    vectors = _vectors(spark, sf_dir).where(F.col("norm") > 0)
+    return vectors.select(
+        "vec_id",
+        F.posexplode(F.col("v")).alias("dim_pos", "val"),
+        "norm",
+    ).select(
+        "vec_id",
+        F.col("dim_pos").cast("long").alias("dim_pos"),
+        F.round(F.col("val") / F.col("norm"), 4).alias("unit_val"),
+    )

@@ -14,6 +14,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational5,
     relational6,
     relational7,
+    relational8,
     scalars2,
     scalars_queries,
     time_windows,

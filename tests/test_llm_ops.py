@@ -502,3 +502,42 @@ def test_incremental_lsh_matches_full_run_restricted_to_new(spark):
     for r in rows:
         assert r.id_b in new_ids
         assert r.is_new_pair == (r.id_a in new_ids)
+
+
+def test_dedup_survivor_corpus_partitions_the_corpus(spark):
+    """The end-to-end dedup funnel must partition the corpus exactly:
+    every document is in exactly one cluster, survivors are the min-id
+    representative of their cluster, and cluster sizes sum back to the
+    corpus size (no documents silently lost or double-kept)."""
+    from concurrent_etl_go_spark.llm.dedup import (
+        dedup_survivor_corpus,
+        minhash_lsh_pairs,
+    )
+    from concurrent_etl_go_spark.operators import registry
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    n_docs = docs.count()
+    survivors = {
+        r.doc_id: r.cluster_size
+        for r in dedup_survivor_corpus(spark, SF_SMOKE).collect()
+    }
+    registry.release_caches()
+    assert sum(survivors.values()) == n_docs
+    assert len(survivors) <= n_docs
+
+    # every near-dup pair's smaller endpoint chain leads to a survivor;
+    # no survivor is a non-representative member of another cluster
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    ]
+    registry.release_caches()
+    assert pairs, "fixture should contain near-dup pairs"
+    # a verified pair's endpoints share a component, so at most one of
+    # them can be the (min-id) representative
+    for a, b in pairs:
+        assert not (a in survivors and b in survivors), (a, b)
+    # clusters with size > 1 removed exactly size-1 docs
+    n_removed = n_docs - len(survivors)
+    assert n_removed == sum(s - 1 for s in survivors.values() if s > 1)

@@ -25,6 +25,7 @@ def test_oracles_are_subset_of_queries():
         "similarity_kmeans",
         "similarity_rp_lsh",
         "dedup_components",
+        "dedup_survivor_corpus",
         "sample_fraction",
     }
 
