@@ -42,6 +42,10 @@ HEADLINE = (
     "text_sequence_pack",      # token-budget sequence packing
     "split_train_val_test",    # deterministic hash split
     "corpus_clean",            # composed quality-gate + dedup pipeline
+    "join_q10_returns",        # TPC-H Q10 shape: 4-table star, top-20
+    "sessionize_events",       # 30-min-gap sessionization over events
+    "similarity_knn_join",     # k-NN join, two-phase partial top-k
+    "dedup_survivor_corpus",   # end-to-end dedup funnel (LSH->CC->keep)
 )
 
 

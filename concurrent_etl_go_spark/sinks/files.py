@@ -35,6 +35,20 @@ def write_json_gzip(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("compression", "gzip").json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer (built into Spark — no external jar): the other columnar
+    lake format, with the same pushdown/pruning behavior as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -66,3 +66,25 @@ def test_csv_and_json_gzip_roundtrip(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{json_out}/*.json.gz"), "expected gzip json part files"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip (builtin format, no external jar): values survive,
+    partition pruning and predicate pushdown reach the ORC scan just as
+    they do for parquet."""
+    from concurrent_etl_go_spark.sinks.files import write_orc
+
+    events = read_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_orc")
+    write_orc(events, out, partition_by=["event_type"])
+    back = spark.read.orc(out)
+    assert back.count() == events.count()
+
+    one = back.where((F.col("event_type") == "click") & (F.col("value") > 50))
+    expected = events.where(
+        (F.col("event_type") == "click") & (F.col("value") > 50)
+    ).count()
+    assert one.count() == expected
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "PushedFilters: [" in plan and "value" in plan.split("PushedFilters")[1][:120]
