@@ -357,13 +357,17 @@ def connected_components(
     Iterative min-label propagation with a POINTER-JUMPING step per round
     (component <- component[component], the large-star/small-star trick),
     so convergence needs O(log diameter) rounds instead of O(diameter) —
-    a 1M-hop duplicate chain converges in ~20 rounds. Each round is two
-    joins + one aggregation, and only a changed-row COUNTER crosses the
-    driver between rounds (the same driver-exchange discipline as the
-    k-means loop). This is the standard scalable CC shape (GraphX/
-    GraphFrames propagate the same way) without a graph library.
+    a 1M-hop duplicate chain converges in ~20 rounds. Each round is one
+    join + one union-aggregation + the jump join, and only the label SUM
+    crosses the driver between rounds: labels are monotonically
+    non-increasing, so the (overflow-proof decimal) sum strictly
+    decreases until fixpoint — an exact convergence test with no
+    old-vs-new comparison join. The initial labels already fold in the
+    first propagation round (min of self and direct neighbors) as part of
+    the dedup aggregation. This is the standard scalable CC shape
+    (GraphX/GraphFrames propagate the same way) without a graph library.
 
-    Runs to FIXPOINT (changed == 0). If ``max_iterations`` rounds pass
+    Runs to FIXPOINT (sum unchanged). If ``max_iterations`` rounds pass
     without convergence the function RAISES rather than silently returning
     split components — an unconverged label set would over-keep duplicates
     in a 'keep component == doc_id' survivor pass.
@@ -379,27 +383,34 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # init = round 0's propagation for free: label(v) = min(v, neighbors)
+    # in the same aggregation that dedups the node set
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.col("id"), F.min("dst")).alias("component"))
         .persist()
     )
+    # sum(component) in decimal: int64 sums overflow (and ANSI-throw) once
+    # id magnitude x node count crosses 2^63; decimal(38,0) never does at
+    # any realistic corpus size
+    label_sum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).first()[0]
     converged = False
+    # the DataFrame owning the current labels' storage: release_df frees
+    # checkpoint blocks only on the checkpointed frame itself (LogicalRDD
+    # plan), not on projections over it
+    storage = labels
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+        # each neighbor contributes its label to v; union with v's own
+        # label and take the min — one aggregation replaces the
+        # neighbor-min + left-join-back pair (null-free by construction)
+        contrib = sym.join(labels, sym["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "component"
         )
-        propagated = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["src"], "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_min"), F.col("component")),
-            ).alias("component"),
+        propagated = (
+            labels.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
         )
         # pointer jumping: follow the label's own label one hop. Labels
         # are node ids and monotonically non-increasing, so the hop target
@@ -420,27 +431,26 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()  # the only driver traffic per round
-        )
-        release_df(labels)  # frees persist AND prior-round checkpoint blocks
+        new_sum = new_labels.agg(label_sum).first()[0]  # only driver traffic
+        release_df(storage)  # frees persist AND prior-round checkpoint blocks
+        storage = new_labels
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     sym.unpersist()
     if not converged:
-        release_df(labels)
+        release_df(storage)
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "rounds — raise max_iterations (graph diameter exceeds 2^rounds)"
         )
-    # the fixpoint labels stay persisted for the caller's terminal action;
-    # released via registry.release_caches()
-    return track_cache(labels)
+    # the fixpoint labels stay checkpointed for the caller's terminal
+    # action; the OWNING frame is tracked so release_caches() frees the
+    # checkpoint blocks (not just the projection's SQL-cache entry)
+    track_cache(storage)
+    return labels
 
 
 @query("dedup_components")  # iterative graph algorithm — rows-only check
