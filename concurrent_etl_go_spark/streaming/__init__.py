@@ -7,6 +7,7 @@ from concurrent_etl_go_spark.streaming.pipelines import (
     sliding_agg,
     stream_dedup,
     stream_enrich,
+    stream_stream_join,
     stream_to_http,
     tumbling_agg,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "sliding_agg",
     "stream_dedup",
     "stream_enrich",
+    "stream_stream_join",
     "stream_to_http",
     "tumbling_agg",
 ]

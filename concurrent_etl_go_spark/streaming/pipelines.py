@@ -252,3 +252,32 @@ def stream_enrich(
     re-read per batch, so slowly-changing dimensions pick up updates
     between batches at scale."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_bound: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: a right-side event
+    matches a left-side event with the same ``key`` when it lands within
+    ``[left.ts, left.ts + time_bound]`` — the attribution-join shape
+    (view -> click within the window).
+
+    Both sides carry watermarks AND the join has a time-range constraint,
+    which is exactly what lets Structured Streaming expire buffered rows:
+    state per side is bounded by watermark + bound, not by stream length —
+    the requirement for an unbounded 100 TB/day correlation job. Columns
+    are exposed under ``l``/``r`` aliases for disambiguation.
+    """
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {time_bound}")),
+        "inner",
+    )

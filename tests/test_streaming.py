@@ -330,3 +330,47 @@ def test_stream_static_enrichment_join(spark):
     rows = got.collect()
     assert len(rows) == 1000
     assert all(r.tier == r.user_id % 3 for r in rows)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream time-bound join (view->click attribution
+    within 1 hour) produces exactly the rows of the equivalent batch join."""
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from concurrent_etl_go_spark.streaming import stream_stream_join
+
+    def split(df):
+        views = df.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        )
+        clicks = df.where(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        return views, clicks
+
+    sv, sc = split(events_file_stream(spark, SF_SMOKE))
+    joined = stream_stream_join(sv, sc, key="user_id").select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.view_id").alias("view_id"),
+        F.col("r.click_id").alias("click_id"),
+    )
+    got = run_to_memory(spark, joined, "t_ssjoin", mode="append")
+
+    bv, bc = split(read_table(spark, SF_SMOKE, "events"))
+    batch = (
+        bv.alias("l")
+        .join(
+            bc.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.view_id").alias("view_id"),
+            F.col("r.click_id").alias("click_id"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert b, "fixture should produce attribution pairs"
+    assert g == b
