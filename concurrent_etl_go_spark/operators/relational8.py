@@ -298,3 +298,100 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+@query(
+    "join_q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY 1, 2, 3, 4
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders — an
+    aggregation-defined IN-subquery (HAVING) feeding a semi join, then a
+    re-aggregation over the joined star.
+
+    Scale: the HAVING subquery is a map-side-combined agg producing a
+    SMALL key set, which semi-joins the fact chain before the expensive
+    star join (Catalyst rewrites IN to LeftSemi and pushes it below); the
+    top-20 is TakeOrderedAndProject on o_totalprice.
+    """
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "filter_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 40
+           AND l.l_quantity >= 20)
+       OR (p.p_type = 'ECONOMY' AND l.l_quantity < 5)
+    """,
+)
+def filter_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    columns from BOTH join sides — the classic test of disjunctive
+    predicate handling.
+
+    Scale: Catalyst extracts the common join key (equi-join, not a
+    cartesian with a residual filter) and pushes the single-side
+    conjuncts it can factor out to the scans; the mixed-side disjunction
+    evaluates post-join inside whole-stage codegen. One broadcast-able
+    part dim, one agg row out.
+    """
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(10, 40)
+        & (F.col("l_quantity") >= 20)
+    ) | (
+        (F.col("p_type") == "ECONOMY") & (F.col("l_quantity") < 5)
+    )
+    return joined.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
