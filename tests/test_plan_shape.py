@@ -110,3 +110,41 @@ def test_no_query_uses_cartesian_or_row_python(spark, sf_dir):
         if "MapInPandas" in plan and name not in ARROW_ALLOWLIST:
             violations.append((name, "MapInPandas outside allowlist"))
     assert not violations, violations
+
+
+def test_q18_semi_join_prunes_before_star_join(spark, sf_dir):
+    """Q18: the HAVING subquery must reach the plan as a LeftSemi join
+    and the final top-20 must be TakeOrderedAndProject, not a full sort."""
+    plan = plan_of(spark, sf_dir, "join_q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_stays_equi_join_with_residual_filter(spark, sf_dir):
+    """Q19's OR-of-ANDs must NOT degrade the join: the part-key equi-join
+    survives (broadcast hash join, no cartesian/BNLJ) with the mixed-side
+    disjunction as a post-join filter."""
+    plan = plan_of(spark, sf_dir, "filter_q19_disjunctive")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Sessionization: both windows and the rollup share the user-id
+    partitioning — exactly ONE data shuffle, events read once, no join."""
+    plan = plan_of(spark, sf_dir, "sessionize_events")
+    assert plan.count("ReadSchema") == 1
+    assert "Join" not in plan
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, f"expected 1 shuffle, plan has {n_shuffles}"
+
+
+def test_knn_join_broadcasts_queries_and_prunes_per_partition(spark, sf_dir):
+    """k-NN join: the query set broadcasts (corpus never shuffles whole),
+    and the two-phase top-k means the full scored corpus never feeds the
+    final per-query window directly (a partial-window filter sits below)."""
+    plan = plan_of(spark, sf_dir, "similarity_knn_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # two window phases: partial (query_id, partition) then final (query_id)
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
