@@ -96,6 +96,93 @@ def decode_pnm(payload: bytes) -> tuple[int, int, list[float]]:
     return w, h, px
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL image decoder for uncompressed 24-bit BMP payloads — pure
+    stdlib ``struct`` parsing of the BITMAPFILEHEADER/BITMAPINFOHEADER
+    layout (a public, fixed format). Returns (width, height, grayscale
+    pixels in [0, 255], top-down row order); BMP stores rows bottom-up
+    with 4-byte padding and BGR channel order, both normalized here.
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP variants not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    top_down = h < 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < pixel_offset + row_stride * h:
+        raise ValueError("truncated BMP payload")
+    px: list[float] = []
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for row in rows:
+        base = pixel_offset + row * row_stride
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            px.append((r + g + b) / 3.0)
+    return w, h, px
+
+
+def probe_gif_frames(payload: bytes) -> int:
+    """REAL video-ish frame prober for GIF payloads: counts image frames
+    by walking the container's block structure (image descriptors 0x2C,
+    extensions 0x21, sub-block length prefixes) — no LZW decompression
+    needed, so this is pure stdlib and exact. The frame-SAMPLING pattern
+    this feeds (``sample_frames``) is the same one an MP4 prober would
+    use; compressed video containers still require external parsers and
+    keep the loud stub default.
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    packed = payload[pos + 4]
+    pos += 7  # logical screen descriptor
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            frames += 1
+            local_packed = payload[pos + 8]
+            pos += 9
+            if local_packed & 0x80:  # local color table
+                pos += 3 * (2 << (local_packed & 0x07))
+            pos += 1  # LZW minimum code size
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # skip length-prefixed sub-blocks (shared by 0x21 and 0x2C)
+        while pos < len(payload) and payload[pos] != 0:
+            pos += payload[pos] + 1
+        pos += 1  # sub-block terminator
+    return frames
+
+
+def probe_frames_auto(payload: bytes) -> int:
+    """Default ``sample_frames`` prober: real GIF structure walk for GIF
+    payloads; anything else (MP4/WebM — external parsers required) raises
+    loudly rather than silently faking a count."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return probe_gif_frames(payload)
+    raise NotImplementedError(
+        "frame probing implemented for GIF containers only; inject a "
+        "prober for compressed video formats"
+    )
+
+
 def resize_nearest(
     px: list[float], w: int, h: int, tw: int, th: int
 ) -> list[float]:
@@ -132,11 +219,12 @@ def decode_wav_features(payload: bytes) -> list[float]:
 
 def decode_auto_features(payload: bytes) -> list[float]:
     """Default feature extractor: dispatch on magic bytes to the REAL
-    stdlib decoders (PNM image -> [w, h, mean, std]; WAV audio ->
+    stdlib decoders (PNM/BMP image -> [w, h, mean, std]; WAV audio ->
     [duration, rate, channels, rms]); anything else raises loudly —
     compressed formats need codecs this environment doesn't ship."""
-    if payload[:2] in (b"P5", b"P6"):
-        w, h, px = decode_pnm(payload)
+    if payload[:2] in (b"P5", b"P6") or payload[:2] == b"BM":
+        decode = decode_pnm if payload[:1] == b"P" else decode_bmp
+        w, h, px = decode(payload)
         n = max(len(px), 1)
         mean = sum(px) / n
         var = sum((p - mean) ** 2 for p in px) / n
@@ -308,10 +396,12 @@ def sample_frames(
     every_n: int,
     binary_col: str = "payload",
     id_col: str = "doc_id",
-    prober: Callable[[bytes], int] = _stub("sample_frames"),
+    prober: Callable[[bytes], int] = probe_frames_auto,
 ) -> DataFrame:
     """video binary -> deterministic every-Nth frame index sample; the
-    prober returns the container's frame count (stubbed)."""
+    default prober really walks GIF container structure (exact frame
+    count, no decompression) and raises loudly for compressed video
+    formats — inject a prober for those."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
