@@ -627,3 +627,43 @@ def test_bmp_decode_and_gif_frame_probe_through_spark(spark):
     bad = spark.createDataFrame([(1, b"\x00\x00mp4?")], "doc_id long, payload binary")
     with _pytest.raises(Exception):
         sample_frames(bad, every_n=2).collect()
+
+
+def test_sketches_bounded_error_vs_exact(spark):
+    """CMS estimates are one-sided (never below the true count) and exact
+    here (width >> distinct items); the merged HLL union row estimates
+    total distinct users within the lgK=12 error envelope, and per-group
+    estimates match exact distinct counts within 5%."""
+    from concurrent_etl_go_spark.operators.sketches import (
+        agg_hll_mergeable,
+        text_countmin_sketch,
+    )
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    true_counts = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    est = {r.item: r.approx_count for r in text_countmin_sketch(spark, SF_SMOKE).collect()}
+    assert set(est) == set(true_counts)
+    total = sum(true_counts.values())
+    for lang, n in true_counts.items():
+        assert est[lang] >= n, "CMS must never underestimate"
+        assert est[lang] <= n + 0.05 * total, f"CMS overestimate too large for {lang}"
+
+    events = read_table(spark, SF_SMOKE, "events")
+    exact_by_type = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_all = events.select("user_id").distinct().count()
+    hll = {r.event_type: r.approx_users for r in agg_hll_mergeable(spark, SF_SMOKE).collect()}
+    assert set(hll) == set(exact_by_type) | {"__all__"}
+    for t, n in exact_by_type.items():
+        assert abs(hll[t] - n) <= max(2, 0.05 * n), (t, hll[t], n)
+    assert abs(hll["__all__"] - exact_all) <= max(2, 0.05 * exact_all)
+    # determinism across runs (sketches are seed-fixed)
+    again = {r.event_type: r.approx_users for r in agg_hll_mergeable(spark, SF_SMOKE).collect()}
+    assert hll == again

@@ -27,6 +27,8 @@ def test_oracles_are_subset_of_queries():
         "dedup_components",
         "dedup_survivor_corpus",
         "sample_fraction",
+        "agg_hll_mergeable",
+        "text_countmin_sketch",
     }
 
 
