@@ -395,3 +395,52 @@ def filter_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order_price
+    FROM orders
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame: each order row carries the
+    customer's second-ever order price (null for single-order customers).
+    Deterministic (orderdate, orderkey) ordering; one window shuffle."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+    )
+
+
+@query(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 5) AS all_qty_gt5,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           COUNT(CASE WHEN l_tax > 0.05 THEN 1 END) AS n_high_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (universal/existential per group) plus a
+    conditional count — single hash agg with map-side partials."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 5).alias("all_qty_gt5"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count(F.when(F.col("l_tax") > 0.05, 1)).alias("n_high_tax"),
+    )

@@ -260,6 +260,7 @@ def stream_stream_join(
     key: str,
     time_bound: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with event-time bounds: a right-side event
     matches a left-side event with the same ``key`` when it lands within
@@ -271,7 +272,14 @@ def stream_stream_join(
     state per side is bounded by watermark + bound, not by stream length —
     the requirement for an unbounded 100 TB/day correlation job. Columns
     are exposed under ``l``/``r`` aliases for disambiguation.
+
+    ``how="left_outer"`` additionally emits unmatched left rows (null
+    right columns) once the watermark passes their join window — the
+    "views that never converted" shape; supported outer modes follow
+    Structured Streaming's rules (the time bound makes them evictable).
     """
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how!r}")
     lw = left.withWatermark("ts", watermark).alias("l")
     rw = right.withWatermark("ts", watermark).alias("r")
     return lw.join(
@@ -279,5 +287,5 @@ def stream_stream_join(
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col("r.ts") >= F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {time_bound}")),
-        "inner",
+        how,
     )
