@@ -9,6 +9,8 @@ JVM-side, no Python in the row path.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -156,6 +158,34 @@ def _hyperplanes(dim: int, bits: int = RP_BITS) -> list[list[float]]:
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+@_functools.lru_cache(maxsize=8)
+def _signature_expr(dim: int, bits: int) -> Column:
+    """Sign-bit signature expression over column ``v`` — one transform
+    over a 2D plane literal instead of ``bits`` separate fold expressions
+    (same math, much smaller tree for Catalyst to carry).
+
+    Cached per (dim, bits): building the dim x bits literal array costs
+    ~0.5s of driver-side Column construction, pure overhead to repeat —
+    Column objects are immutable unresolved ASTs, safe to reuse across
+    plans and sessions.
+    """
+    planes = _hyperplanes(dim, bits)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    return F.transform(
+        planes_lit,
+        lambda p: (
+            F.aggregate(
+                F.zip_with(F.col("v"), p, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int"),
+    )
+
+
 def rp_lsh_pairs(
     vectors: DataFrame,
     threshold: float = 0.3,
@@ -194,24 +224,7 @@ def rp_lsh_pairs(
             [], "id_a long, id_b long, sim double"
         )
     dim = len(probe.v)
-    planes = _hyperplanes(dim, bits)
-    # one transform over a 2D plane literal instead of `bits` separate fold
-    # expressions: same math (identical output), much smaller expression
-    # tree for Catalyst to carry
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
-    )
-    bit_arr = F.transform(
-        planes_lit,
-        lambda p: (
-            F.aggregate(
-                F.zip_with(F.col("v"), p, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0
-        ).cast("int"),
-    )
+    bit_arr = _signature_expr(dim, bits)
     # materialize the signature as a stored column BEFORE slicing it into
     # bands: lambda-captured expressions inline at every reference, so
     # packing straight from `bit_arr` would recompute all hyperplane dot
