@@ -15,6 +15,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational6,
     relational7,
     relational8,
+    relational9,
     scalars2,
     sketches,
     scalars_queries,

@@ -148,3 +148,45 @@ def test_knn_join_broadcasts_queries_and_prunes_per_partition(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # two window phases: partial (query_id, partition) then final (query_id)
     assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    """Q6: all three filters must reach the parquet scan and the
+    projection must prune lineitem to the columns the agg needs."""
+    plan = plan_of(spark, sf_dir, "agg_q6_forecast")
+    assert "PushedFilters: [" in plan
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert pushed in plan.split("PushedFilters")[1][:400], pushed
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_returnflag" not in scan_line and "l_partkey" not in scan_line
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """Q4's EXISTS must stay a semi join (no row expansion before agg)."""
+    plan = plan_of(spark, sf_dir, "join_q4_priority")
+    assert "LeftSemi" in plan
+
+
+def test_q21_quantifiers_stay_semi_anti(spark, sf_dir):
+    """Q21: EXISTS(other supplier) -> LeftSemi, NOT EXISTS(other late
+    supplier) -> LeftAnti; the top-10 is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "join_q21_late_supplier")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q8_dimensions_all_broadcast(spark, sf_dir):
+    """Q8's 8-relation join: every dimension side must broadcast — the
+    only allowed shuffle joins are between the two fact tables."""
+    plan = plan_of(spark, sf_dir, "agg_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: NOT EXISTS -> LeftAnti on the date-pruned orders side; the
+    scalar average arrives via a broadcast, never a shuffle."""
+    plan = plan_of(spark, sf_dir, "agg_q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
