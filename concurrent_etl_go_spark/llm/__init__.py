@@ -14,4 +14,5 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     multimodal,
     similarity,
     text,
+    text2,
 )

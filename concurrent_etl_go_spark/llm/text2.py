@@ -1,0 +1,210 @@
+"""Training-data text transforms, batch 2: context-window chunking,
+PII scrubbing, and repetition scoring (the Gopher-style quality signal).
+
+Like ``llm/text.py``, everything is a JVM-side Catalyst expression —
+split / slice / transform / regexp over the ``documents`` table; no
+Python in the row path. At 100 TB all three are embarrassingly parallel
+scans: zero shuffles (chunking's posexplode expands rows in place on the
+same partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.llm.text import tokens
+from concurrent_etl_go_spark.sources.readers import read_table
+
+#: Context-window chunking parameters: 64-token windows every 48 tokens
+#: (16-token overlap) — the standard sliding-window pretraining layout,
+#: scaled down to the synthetic corpus' ~30-120-token documents.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, CAST(ceil(len(toks) / {CHUNK_STRIDE}.0) AS BIGINT)))
+               AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(
+             toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                  chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '
+           ) AS chunk_text,
+           CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                         chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS BIGINT)
+             AS n_tokens
+    FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into 64-token windows
+    starting every 48 tokens (chunks overlap by 16 tokens; a window opens
+    at every stride multiple below the document length, so the tail
+    window may be short).
+
+    Scale: chunk starts come from an in-row ``sequence`` + ``posexplode``
+    — rows expand in place on their partitions, no shuffle, no Python.
+    The 1.33x token duplication is the layout cost of overlap and is paid
+    in the output, never in an intermediate exchange.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_STRIDE)))
+    exploded = docs.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    window = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", window).alias("chunk_text"),
+        F.size(window).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example or +1-555-'
+                  || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+               AS full_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{EMAIL_RE}')) AS BIGINT)
+             AS email_hits,
+           CAST(len(regexp_extract_all(full_text, '{PHONE_RE}')) AS BIGINT)
+             AS phone_hits,
+           regexp_replace(
+             regexp_replace(full_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'
+           ) AS scrubbed
+    FROM injected
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and phone numbers.
+
+    The synthetic corpus contains no organic PII, so each document first
+    gets a deterministic contact line injected (derived from ``doc_id``) —
+    the operator under test is the count+redact pass, which then provably
+    fires exactly once per pattern per document. Both engines use the
+    same RE2-compatible patterns (no backreferences/lookaround), and
+    Spark's ``regexp_replace`` is global like DuckDB's ``'g'`` flag.
+
+    Scale: pure per-row regexp expressions — no shuffle, no Python; at
+    100 TB this is a scan whose cost is the regex engine itself.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+    )
+    injected = docs.select("doc_id", full.alias("full_text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("full_text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return injected.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("full_text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("email_hits"),
+        F.size(F.regexp_extract_all("full_text", F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("phone_hits"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || chr(31) || toks[i + 1]) AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4)
+             AS dup_token_frac,
+           CASE WHEN len(grams) > 0
+                THEN ROUND(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 4)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher-style quality signal): the fraction of
+    duplicate tokens and duplicate bigrams per document. High values mark
+    boilerplate/spam for the quality funnel.
+
+    Scale: per-row array expressions (split / transform / array_distinct)
+    — no shuffle, no Python. The bigram list is built positionally with a
+    guarded ``sequence`` (Spark's sequence DESCENDS for n < 2, so
+    single-token docs get an explicit empty gram list, matching DuckDB's
+    empty ``range(1, 1)``).
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    gram_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        gram_idx,
+        lambda i: F.concat_ws(
+            "\x1f", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    with_grams = docs.select("doc_id", "toks", grams.alias("grams"))
+    n_grams = F.size("grams")
+    return with_grams.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct("toks")) / n, 4).alias(
+            "dup_token_frac"
+        ),
+        F.when(
+            n_grams > 0,
+            F.round(1.0 - F.size(F.array_distinct("grams")) / n_grams, 4),
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )
