@@ -16,6 +16,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational7,
     relational8,
     relational9,
+    relational10,
     scalars2,
     sketches,
     scalars_queries,

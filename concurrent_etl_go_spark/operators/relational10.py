@@ -1,0 +1,207 @@
+"""Tenth coverage batch: the last three classic TPC-H query shapes (Q9,
+Q16, Q20), adapted to the test-data star schema. The schema has no
+partsupp table, so — as in ``relational9.join_q2_min_supplier`` — the
+part-supplier relation is derived from lineitem shipping history, and
+partsupp-only attributes are re-expressed over the columns that exist
+(``p_retailprice`` stands in for supply cost; "availability" becomes
+shipped-quantity share).
+
+Reference parity: generalizes the scan->filter->aggregate dataflow of
+etl/main.go:188-233 into the profit/rollup/exclusion shapes a reference
+user would expect from a full analytics engine.
+
+Scale themes: every dimension side (part, supplier, nation) broadcasts;
+the fact table is scanned once per query with pushed filters; NOT IN
+becomes a null-safe anti join (never a row-expanding join); correlated
+"share of group total" becomes one grouped aggregate joined back on the
+group key — the decorrelated plan Catalyst itself would pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+@query(
+    "agg_q9_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit), adapted: profit per supplier
+    nation per order year for widget parts, with 60% of ``p_retailprice``
+    standing in for the missing ``ps_supplycost``.
+
+    Scale: part (filtered to ~1/3 of 200 rows), supplier, and nation all
+    broadcast, so the only shuffle is the lineitem->orders equi-join on
+    the order key, followed by a (25 nations x ~7 years) hash-agg with
+    map-side partials. The LIKE filter prunes fact rows at the first
+    broadcast join, before the orders shuffle — join order matters and is
+    stated explicitly here rather than left to cost guesses.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "agg_q16_supplier_cnt",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over the lineitem-derived part-supplier
+    relation, excluding low-balance suppliers via NOT IN.
+
+    Scale: the part-supplier relation is a distinct over two narrow fact
+    columns (one shuffle); the part attribute filter broadcasts in; the
+    NOT IN exclusion is a broadcast LEFT ANTI join against the (tiny)
+    excluded-supplier set — never a per-row subquery. ``s_suppkey`` is
+    non-nullable here so the anti join and SQL NOT IN agree; with nullable
+    keys NOT IN needs the null-safe form (documented trap, SURVEY §7.4).
+    """
+    ps = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#13")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "join_q20_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM shipped sh
+    JOIN tot ON tot.l_partkey = sh.l_partkey
+    JOIN part p ON p.p_partkey = sh.l_partkey AND p.p_name LIKE '%rod%'
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.qty > 0.5 * tot.total_qty
+    """,
+)
+def join_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: suppliers who
+    shipped more than half of a rod part's 1996 volume ("availability
+    exceeds half the demand" re-expressed over shipping history).
+
+    Scale: one pushed-filter scan feeds a (partkey, suppkey) partial agg;
+    the per-part total reuses the same shuffle key (no second fact scan —
+    it aggregates the already-small shipped relation); the correlated
+    threshold is an equi-join on the part key, the part filter broadcasts,
+    and the final DISTINCT is over the tiny supplier survivor set.
+    """
+    shipped = (
+        read_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    part = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%rod%"))
+        .select("p_partkey")
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

@@ -242,9 +242,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 30 * 60 * 1_000_000
-    prev_us = F.unix_micros(F.lag("ts").over(w))
+
+    # The events parquet stores ts as tz-naive timestamp[us], which Spark
+    # reads as TIMESTAMP_NTZ — unix_micros only accepts TIMESTAMP (ltz).
+    # The session timezone is pinned to UTC (read_table), so this cast is
+    # a deterministic reinterpretation, and a no-op if ts is already ltz.
+    def epoch_us(col):
+        return F.unix_micros(col.cast("timestamp"))
+
+    prev_us = epoch_us(F.lag("ts").over(w))
     is_new = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > gap_us),
+        prev_us.isNull() | (epoch_us(F.col("ts")) - prev_us > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     tagged = ev.withColumn(
@@ -256,7 +264,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        (F.unix_micros(F.max("ts").cast("timestamp"))
+         - F.unix_micros(F.min("ts").cast("timestamp")))
         .cast("long")
         .alias("dur_us"),
     )
