@@ -46,6 +46,8 @@ HEADLINE = (
     "sessionize_events",       # 30-min-gap sessionization over events
     "similarity_knn_join",     # k-NN join, two-phase partial top-k
     "dedup_survivor_corpus",   # end-to-end dedup funnel (LSH->CC->keep)
+    "agg_q9_profit",           # TPC-H Q9 shape: 5-table star + 2-key agg
+    "corpus_decontaminate",    # eval-overlap shingle join
 )
 
 

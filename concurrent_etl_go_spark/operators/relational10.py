@@ -171,12 +171,15 @@ def join_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped more than half of a rod part's 1996 volume ("availability
     exceeds half the demand" re-expressed over shipping history).
 
-    Scale: one pushed-filter scan feeds a (partkey, suppkey) partial agg;
-    the per-part total reuses the same shuffle key (no second fact scan —
-    it aggregates the already-small shipped relation); the correlated
-    threshold is an equi-join on the part key, the part filter broadcasts,
-    and the final DISTINCT is over the tiny supplier survivor set.
+    Scale: ONE pushed-filter fact scan feeds a (partkey, suppkey) partial
+    agg; the per-part total is a window-sum over that already-aggregated
+    (part x supplier cardinality) relation rather than a self-join —
+    re-deriving ``tot`` from the DataFrame would duplicate the lineage
+    and scan lineitem twice. The part filter broadcasts and the final
+    DISTINCT is over the tiny supplier survivor set.
     """
+    from pyspark.sql import Window
+
     shipped = (
         read_table(spark, sf_dir, "lineitem")
         .where(
@@ -186,9 +189,7 @@ def join_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    tot = shipped.groupBy("l_partkey").agg(
-        F.sum("qty").alias("total_qty")
-    ).withColumnRenamed("l_partkey", "t_partkey")
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
     part = (
         read_table(spark, sf_dir, "part")
         .where(F.col("p_name").like("%rod%"))
@@ -198,7 +199,7 @@ def join_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name"
     )
     return (
-        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        shipped.withColumn("total_qty", total)
         .where(F.col("qty") > 0.5 * F.col("total_qty"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))

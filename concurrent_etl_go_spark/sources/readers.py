@@ -56,6 +56,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ]
         for c in ns_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+
+    # tz-naive parquet timestamps (timestamp[us/ms] without isAdjustedToUTC)
+    # surface as TIMESTAMP_NTZ. The engine's contract is TIMESTAMP (ltz)
+    # under the UTC-pinned session everywhere — the type the nanos path
+    # above produces, and the one epoch/interval functions (unix_micros,
+    # casts to double) accept. With the session at UTC this cast is a pure
+    # reinterpretation: same wall-clock, same epoch value.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -24,17 +24,32 @@ from pyspark.sql.streaming import StreamingQuery
 
 from concurrent_etl_go_spark.sinks.http_sink import HttpSinkConfig, run_http_sink
 
-# events read schema under nanosAsLong (ts arrives as raw nanos).
-_EVENTS_NS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Streaming read schema for the events parquet + whether ``ts`` is
+    stored as TIMESTAMP(NANOS) (read as raw nanos longs) or as a plain
+    tz-naive timestamp (read as TIMESTAMP_NTZ). Streaming sources need
+    the schema up front, so the footer probe the batch reader does per
+    read happens here once."""
+    import pyarrow.parquet as pq
+
+    ts_is_nanos = any(
+        f.name == "ts" and str(f.type) == "timestamp[ns]"
+        for f in pq.read_schema(f"{sf_dir}/events.parquet")
+    )
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampNTZType()
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), True),
+                T.StructField("ts", ts_type, True),
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+                T.StructField("props", T.StringType(), True),
+            ]
+        ),
+        ts_is_nanos,
+    )
 
 
 def events_file_stream(
@@ -43,21 +58,27 @@ def events_file_stream(
     """File-source stream over the events parquet.
 
     ``maxFilesPerTrigger`` is the engine's rate limit (S12's bounded
-    channels). The TIMESTAMP(NANOS) column is read as raw nanos and
-    converted exactly as the batch reader does.
+    channels). ``ts`` is normalized to TIMESTAMP (ltz, UTC session)
+    exactly as the batch reader does — from raw nanos longs when the file
+    is TIMESTAMP(NANOS), from TIMESTAMP_NTZ when it is tz-naive micros —
+    so streaming twins aggregate the identical event times as batch.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, ts_is_nanos = _events_schema(sf_dir)
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file-stream source needs a directory; pathGlobFilter narrows the
     # listing to the events file(s) within the sf dir
     stream = (
-        spark.readStream.schema(_EVENTS_NS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def kafka_stream(
