@@ -13,6 +13,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     dedup,
     kmeans,
     multimodal,
+    quantize,
     similarity,
     text,
     text2,
