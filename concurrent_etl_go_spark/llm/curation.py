@@ -19,7 +19,7 @@ filtering (etl/main.go:134-138,214-218) into corpus-level set hygiene.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.llm.datasets import _SQL_BUCKET, hash_bucket
@@ -124,4 +124,52 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rate), "source")
         .where(F.col("bucket") < F.col("keep_pct"))
         .select("doc_id", "source", "keep_pct")
+    )
+
+
+@query(
+    "sample_fixed_per_group",
+    oracle="""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 50
+    """,
+)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n balanced subset: the 50 documents per language whose md5
+    hash sorts first — a deterministic, rerun-stable stand-in for
+    per-stratum reservoir sampling (same shape: fixed count per group,
+    uniform over the hash order, no stored seed/state).
+
+    Scale: per-group top-n runs in two phases — a per-input-partition
+    row_number prunes to n rows per (lang, partition) BEFORE the shuffle,
+    so the per-lang window receives at most n x partitions rows, never
+    the corpus (few distinct langs would otherwise make one hot reducer
+    per lang). Both phases share the (md5, doc_id) total order, so the
+    prune can never evict a global top-n row. md5 hex strings compare
+    identically in both engines (lowercase ASCII), keeping the oracle
+    exact.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    order = [F.col("h"), F.col("doc_id")]
+    partial = Window.partitionBy("lang", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        docs.withColumn("prn", F.row_number().over(partial))
+        .where(F.col("prn") <= 50)
+        .drop("prn")
+    )
+    final = Window.partitionBy("lang").orderBy(*order)
+    return (
+        pruned.withColumn("rn", F.row_number().over(final))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
     )
