@@ -19,6 +19,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational10,
     scalars2,
     sketches,
+    warehouse,
     scalars_queries,
     time_windows,
 )

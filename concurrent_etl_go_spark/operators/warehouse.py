@@ -1,0 +1,96 @@
+"""Warehouse-maintenance operators: SCD type-2 dimension merge.
+
+The MERGE/upsert most warehouses run nightly, expressed as pure
+DataFrame operations so it works on plain parquet (the lakehouse MERGE
+connectors are jar-gated in this environment — ``sources/lakehouse.py``).
+
+Reference parity: the reference's DLQ replay (etl/main.go:311-340) is a
+primitive upsert-by-replay; this is its dimensional-modeling
+generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+@query(
+    "dim_scd2_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey,
+             'UPDATED' AS c_mktsegment,
+             ROUND(c_acctbal + 100.0, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND(c.c_acctbal, 2) AS c_acctbal,
+           '2000-01-01' AS valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL THEN '2001-01-01' END AS valid_to,
+           u.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN upd u USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           '2001-01-01' AS valid_from,
+           NULL AS valid_to,
+           TRUE AS is_current
+    FROM upd
+    """,
+)
+def dim_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply an update batch
+    (every 7th customer gets a new segment and a flat balance credit,
+    effective 2001-01-01) against the customer dimension, expiring the
+    matched current rows (``valid_to`` stamped, ``is_current`` false)
+    and appending the new versions — full history preserved, exactly one
+    current row per key.
+
+    Scale: ONE scan of the dimension left-joined against the (small,
+    broadcast) update batch decides expire-vs-passthrough per row — not
+    separate semi/anti branches, which would scan the dimension twice —
+    plus a union with the update rows themselves. On a lakehouse table
+    this is the plan behind MERGE WHEN MATCHED/NOT MATCHED; on plain
+    parquet the result is written back partition-atomically.
+
+    The update's balance arithmetic is ADDITIVE on purpose: a
+    multiplicative bump of a 2dp value lands exactly on .5 at the third
+    decimal, where Spark rounds the decimal rendering HALF_UP while
+    DuckDB rounds the raw double — a real cross-engine rounding trap.
+    """
+    cur = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = cur.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    matched = F.col("m").isNotNull()
+    history = (
+        cur.join(
+            F.broadcast(upd.select("c_custkey", F.lit(1).alias("m"))),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.lit("2000-01-01").alias("valid_from"),
+            F.when(matched, F.lit("2001-01-01")).alias("valid_to"),
+            (~matched).alias("is_current"),
+        )
+    )
+    fresh = upd.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2001-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return history.unionByName(fresh)
