@@ -94,3 +94,58 @@ def dim_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return history.unionByName(fresh)
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    WITH hist AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(SUM(sv), 4) AS sum_value
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+    GROUP BY 1, 2
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: merge a pre-aggregated history
+    (events before 2024-01-21, standing in for yesterday's stored
+    rollup) with the freshly aggregated delta by RE-AGGREGATING PARTIAL
+    STATES (sum of counts, sum of sums) — never rescanning history raw.
+
+    Scale: this is how a 100 TB events rollup stays current — the nightly
+    job aggregates only the new partition and merges partials keyed by
+    (event_type, day). count/sum/min/max merge exactly; the sketch
+    operators (``agg_hll_mergeable``) extend the same pattern to
+    distinct counts. Both sides here derive from one events scan split
+    by a pushed-down date predicate; in production the history side is a
+    parquet read of the prior rollup (thousands of times smaller than
+    the raw history it summarizes).
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    pivot = F.lit("2024-01-21").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+
+    hist = partial(ev.where(F.col("ts") < pivot))
+    delta = partial(ev.where(F.col("ts") >= pivot))
+    return (
+        hist.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+        )
+    )
