@@ -147,6 +147,73 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_bucketed",
+    oracle="""
+    WITH inc AS (
+      SELECT event_id AS inc_id,
+             ts - INTERVAL 30 MINUTE AS ws,
+             ts + INTERVAL 30 MINUTE AS we
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT inc.inc_id, COUNT(e.event_id) AS n_nearby_clicks
+    FROM inc LEFT JOIN events e
+      ON e.event_type = 'click' AND e.ts >= inc.ws AND e.ts < inc.we
+    GROUP BY inc.inc_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join (no equi key): clicks within +-30 minutes of
+    each error event — the shape that degenerates to a nested-loop
+    O(n x m) join if written as a theta join, and the companion to
+    ``join_interval_overlap`` (which stays a hash join only because it
+    HAS an equi key).
+
+    Scale: discretize-to-equi-join — each incident window explodes into
+    the 1-2 hour buckets covering it, each click carries its single
+    bucket, and the join becomes a HASH equi-join on the bucket with the
+    exact range as a residual filter. A (incident, click) pair can meet
+    in at most one bucket (the click's own hour), so no dedup pass is
+    needed. Linear in rows + true matches at any scale — the same
+    discretization idea LSH applies to similarity. The oracle states the
+    plain theta join; results are identical.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("we"),
+    )
+    # covering hour buckets; `we` is end-exclusive, so a window ending
+    # exactly on the hour must not cover that hour — step back 1 microsecond
+    inc_b = inc.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("ws")),
+                F.date_trunc(
+                    "hour", F.col("we") - F.expr("INTERVAL 1 MICROSECOND")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    matched = (
+        inc_b.join(clicks, "bucket")
+        .where((F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we")))
+        .groupBy("inc_id")
+        .agg(F.count("event_id").alias("n_nearby_clicks"))
+    )
+    # left-join back so zero-click incidents keep a row, like the oracle's
+    # LEFT JOIN + COUNT(column)
+    return inc.select("inc_id").join(matched, "inc_id", "left").select(
+        "inc_id", F.coalesce("n_nearby_clicks", F.lit(0)).alias("n_nearby_clicks")
+    )
+
+
+@query(
     "join_q20_dominant_supplier",
     oracle="""
     WITH shipped AS (
