@@ -97,6 +97,53 @@ def dim_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_fuzzy_names",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: customer-name pairs within edit
+    distance 1, blocked on the 16-char name prefix — the block-then-verify
+    record-linkage shape (the string twin of LSH's bucket-then-verify).
+
+    Scale: the self-join is a hash EQUI-join on the blocking key, so cost
+    is sum over blocks of |block|^2 — bounded by the blocking granularity,
+    never corpus^2 — and the levenshtein verify runs only inside blocks.
+    Production tunes the key (prefix length, phonetic code, sorted-token
+    fingerprint) to cap block sizes; skewed blocks split with AQE or a
+    salt. A pair spans exactly one block, so no dedup pass is needed.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        "blk",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+@query(
     "agg_incremental_merge",
     oracle="""
     WITH hist AS (
