@@ -23,6 +23,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Queries not named here (e.g. ones added after this list was frozen)
 #: slot in between: never-proven first keeps new work verifiable next
 #: round while already-proven queries stay at the back.
+#: ROUND-4 TODO: replace this list with the round-3 additions (the
+#: "fresh" branch of _driver_order — everything not yet in a
+#: CORRECTNESS_r{N} snapshot) plus any r03 failures, and fold r03's
+#: passes into _PROVEN_R01_R02.
 _ROUND3_WINDOW = [
     "join_interval_overlap", "agg_histogram", "window_lead", "scalar_trig",
     "filter_between", "dedup_keep_latest", "text_shingles",
