@@ -7,6 +7,7 @@ loads every query module.
 
 from concurrent_etl_go_spark.operators import (  # noqa: F401
     etl_queries,
+    graph,
     relational,
     relational2,
     relational3,

@@ -1,0 +1,90 @@
+"""Iterative graph analytics: PageRank over the document near-dup graph.
+
+Third iterative-algorithm shape in the engine (after Lloyd's k-means,
+``llm/kmeans.py``, and pointer-jumping connected components,
+``llm/dedup.py``): a fixed-iteration damped PageRank whose per-round
+plan is one join + one aggregation, with ``localCheckpoint`` truncating
+lineage each round — the same discipline the other loops use, and the
+reason the driver never holds more than a per-round plan. Only scalar
+convergence telemetry crosses the driver.
+
+Reference parity: generalizes the reference's iterate-until-drained
+worker loop (etl/main.go:240-262) to data-dependent fixpoint iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import (
+    query,
+    release_df,
+    track_cache,
+)
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> DataFrame:
+    """Damped PageRank on an UNDIRECTED edge list ``(src, dst)``.
+
+    Undirected graphs have no dangling nodes (every node's rank flows
+    somewhere), so the rank mass is conserved at exactly ``n`` — the
+    invariant the tests assert. Each round shuffles only (node, rank)
+    pairs keyed by node; degrees are computed once. Scale: identical
+    join/agg shape to connected components — linear per round, O(rounds)
+    total, no driver materialization.
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    track_cache(deg)
+    n_nodes = deg.count()
+
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("rank"))
+    storage = None
+    for _ in range(iterations):
+        contrib = (
+            sym.join(deg, "src")
+            .join(ranks, sym["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = contrib.select(
+            "id",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow")).alias(
+                "rank"
+            ),
+        ).localCheckpoint(eager=True)
+        if storage is not None:
+            release_df(storage)
+        storage = new_ranks
+        ranks = new_ranks
+    if storage is not None:
+        track_cache(storage)
+    # rounded for display; rank mass (pre-round) sums to n_nodes
+    return ranks.select("id", F.round("rank", 4).alias("rank"))
+
+
+@query("graph_pagerank")  # iterative algorithm — rows-only check
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup graph: which
+    documents sit in the middle of large duplicate clusters — a ranking
+    signal a curation pipeline can use to pick cluster survivors by
+    connectivity instead of min-id."""
+    from concurrent_etl_go_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return pagerank(edges)

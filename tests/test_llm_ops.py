@@ -667,3 +667,40 @@ def test_sketches_bounded_error_vs_exact(spark):
     # determinism across runs (sketches are seed-fixed)
     again = {r.event_type: r.approx_users for r in agg_hll_mergeable(spark, SF_SMOKE).collect()}
     assert hll == again
+
+
+def test_pagerank_mass_conservation_and_reference(spark):
+    """PageRank on an undirected graph conserves rank mass (sum == n, no
+    dangling nodes) and must match a driver-side NumPy power iteration on
+    a small fixed graph: a 4-path plus an isolated edge."""
+    from concurrent_etl_go_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(edges, iterations=30).collect()}
+    assert set(got) == {1, 2, 3, 4, 10, 11}
+    # mass conservation (ranks rounded to 4dp -> tolerance)
+    assert abs(sum(got.values()) - 6.0) < 1e-2
+
+    # reference power iteration
+    import numpy as np
+
+    nodes = [1, 2, 3, 4, 10, 11]
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = [[], [], [], [], [], []]
+    for a, b in [(1, 2), (2, 3), (3, 4), (10, 11)]:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    r = np.ones(6)
+    for _ in range(30):
+        new = np.full(6, 0.15)
+        for i, ns in enumerate(adj):
+            for j in ns:
+                new[i] += 0.85 * r[j] / len(adj[j])
+        r = new
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 5e-4, (n, got[n], r[idx[n]])
+
+    # symmetric positions must tie
+    assert got[1] == got[4] and got[2] == got[3] and got[10] == got[11]
