@@ -147,6 +147,55 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_time_window",
+    oracle="""
+    SELECT user_id, event_type, window_start, event_id, ts
+    FROM (
+      SELECT user_id, event_type,
+             date_trunc('hour', ts) AS window_start, event_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed deduplication: the FIRST event per (user, type) within
+    each clock hour — the batch twin of streaming
+    ``dropDuplicatesWithinWatermark`` (``stream_dedup``), anchoring the
+    same keep-first-within-horizon semantics to a SQL oracle.
+
+    Scale: one shuffle on the (user, type, hour) composite key; the
+    window sees only same-key rows and emits row 1. Streaming gets the
+    identical answer with bounded state because the hour bucket ages out
+    with the watermark.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(
+            "user_id", "event_type", F.date_trunc("hour", "ts")
+        ).orderBy("ts", "event_id")
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_id",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
     "join_interval_bucketed",
     oracle="""
     WITH inc AS (
