@@ -48,6 +48,8 @@ HEADLINE = (
     "dedup_survivor_corpus",   # end-to-end dedup funnel (LSH->CC->keep)
     "agg_q9_profit",           # TPC-H Q9 shape: 5-table star + 2-key agg
     "corpus_decontaminate",    # eval-overlap shingle join
+    "join_interval_bucketed",  # pure interval join via hour-bucket equi-join
+    "join_fuzzy_names",        # blocked levenshtein entity resolution
 )
 
 

@@ -147,6 +147,61 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM lineitem
+    )
+    SELECT CAST(len(list_filter(b.qs, q -> q <= l.l_extendedprice))
+               AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l.l_extendedprice), 4) AS lo,
+           ROUND(MAX(l.l_extendedprice), 4) AS hi
+    FROM lineitem l, b
+    GROUP BY 1
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 quantile buckets) of lineitem prices —
+    the column-profile statistic planners and data-quality monitors keep,
+    complementing the equi-width ``agg_histogram``.
+
+    Scale: the naive form is NTILE over a global sort — one reducer owns
+    the whole table. This is the two-pass shape instead: an exact decile
+    aggregate (partial-merge, no sort), then the 9 boundaries broadcast
+    back and bucket assignment is a per-row expression on a second scan.
+    Exact interpolated percentiles are engine-portable (the same pair of
+    functions already hash-matches in ``agg_percentiles``), so boundary
+    comparisons agree bit-for-bit.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+        ).alias("qs")
+    )
+    price = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(bounds))
+        .select(
+            F.size(F.filter("qs", lambda q: q <= price))
+            .cast("long")
+            .alias("bucket"),
+            price,
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(price), 4).alias("lo"),
+            F.round(F.max(price), 4).alias("hi"),
+        )
+    )
+
+
+@query(
     "dedup_time_window",
     oracle="""
     SELECT user_id, event_type, window_start, event_id, ts
