@@ -35,3 +35,30 @@ def register_python_udf(
     udf = F.udf(fn, returnType=return_type)
     spark.udf.register(name, udf)
     return udf
+
+
+def register_pandas_udaf(
+    spark: SparkSession, name: str, fn: Callable, return_type: str
+):
+    """Register an Arrow-vectorized grouped AGGREGATE (UDAF): ``fn`` must
+    carry a ``(pd.Series, ...) -> scalar`` type-hinted signature, which is
+    how pandas_udf infers the grouped-agg evaluation type. Usable in both
+    ``groupBy().agg()`` and SQL aggregate position; executes once per
+    group over Arrow batches — the supported custom-aggregation path
+    (never a row-at-a-time accumulator)."""
+    udaf = F.pandas_udf(fn, returnType=return_type)
+    spark.udf.register(name, udaf)
+    return udaf
+
+
+def register_udtf(spark: SparkSession, name: str, cls, return_type: str):
+    """Register a user-defined TABLE function (UDTF): ``cls`` implements
+    ``eval(...)`` yielding output tuples; each input row may produce any
+    number of output rows. Completes the UDF/UDAF/UDTF extension triple
+    (SURVEY §2.A.1 — the reference has no extension point at all).
+    Callable from SQL as a table source: ``SELECT * FROM name(...)``."""
+    from pyspark.sql.functions import udtf
+
+    tf = udtf(cls, returnType=return_type)
+    spark.udtf.register(name, tf)
+    return tf

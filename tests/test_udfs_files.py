@@ -88,3 +88,43 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert "PushedFilters: [" in plan and "value" in plan.split("PushedFilters")[1][:120]
+
+
+def test_pandas_udaf_in_dataframe_and_sql(spark):
+    """Grouped-agg pandas UDAF works in agg() and SQL GROUP BY."""
+    import pandas as pd
+
+    from concurrent_etl_go_spark.functions.udfs import register_pandas_udaf
+
+    def mean_sq(v: pd.Series) -> float:
+        return float((v**2).mean())
+
+    udaf = register_pandas_udaf(spark, "mean_sq", mean_sq, "double")
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, 4.0), (2, 3.0)], "k int, v double"
+    )
+    got = {r.k: r.m for r in df.groupBy("k").agg(udaf("v").alias("m")).collect()}
+    assert got == {1: 10.0, 2: 9.0}
+    df.createOrReplaceTempView("udaf_t")
+    got_sql = {
+        r.k: r.m
+        for r in spark.sql(
+            "SELECT k, mean_sq(v) AS m FROM udaf_t GROUP BY k"
+        ).collect()
+    }
+    assert got_sql == got
+
+
+def test_udtf_registered_and_callable_from_sql(spark):
+    """A UDTF yields multiple rows per input and is callable as a SQL
+    table source."""
+    from concurrent_etl_go_spark.functions.udfs import register_udtf
+
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield (i, w)
+
+    register_udtf(spark, "split_words", SplitWords, "pos int, word string")
+    rows = spark.sql("SELECT * FROM split_words('a b c')").collect()
+    assert [(r.pos, r.word) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
