@@ -44,7 +44,6 @@ def pagerank(
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     track_cache(deg)
-    n_nodes = deg.count()
 
     ranks = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("rank"))
     storage = None
