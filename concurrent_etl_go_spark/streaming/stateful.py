@@ -49,3 +49,66 @@ def running_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas twin (Spark 4.x successor API) ---------------
+#
+# Same running-totals semantics through the newer StatefulProcessor
+# interface: typed named state (getValueState) instead of one opaque
+# tuple, lifecycle hooks, timers, and TTL support. Requires the RocksDB
+# state store provider (enable_rocksdb_state) AND google.protobuf (the
+# API's state-server wire protocol) — protobuf is not shipped in this
+# image, so the runtime path is probe-gated in tests exactly like the
+# kafka connector; applyInPandasWithState above remains the executable
+# twin here.
+
+try:  # import guard: keeps module import working on older Sparks
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-key running (count, sum) with explicit named value state."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prior = self._state.get()
+            n, total = prior if prior is not None else (0, 0.0)
+            batch_rows = 0
+            for pdf in rows:
+                batch_rows += len(pdf)
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "batch_rows": [batch_rows],
+                    "running_n": [n],
+                    "running_total": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_totals_tws(stream: DataFrame) -> DataFrame:
+        """``running_totals`` through ``transformWithStateInPandas``."""
+        return (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotalsProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover — Spark < 4 lacks the API
+    RunningTotalsProcessor = None  # type: ignore[assignment]
+    running_totals_tws = None  # type: ignore[assignment]

@@ -440,3 +440,51 @@ def test_stream_stream_left_outer_emits_unmatched(spark):
 
     with _pytest.raises(ValueError):
         stream_stream_join(views, clicks, key="user_id", how="cross")
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (the Spark 4 stateful API) must produce
+    the same final per-user running totals as the batch groupBy — state
+    held by the RocksDB provider the API requires.
+
+    PROBE-GATED like the kafka connector: the API's state-server protocol
+    imports google.protobuf, which this image does not ship — the wrapper
+    and this test are the pinned contract for environments that do."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state server needs protobuf "
+        "(not shipped in this image; applyInPandasWithState twin covers "
+        "the semantics here)",
+    )
+    from concurrent_etl_go_spark.session import enable_rocksdb_state
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from concurrent_etl_go_spark.streaming.stateful import running_totals_tws
+
+    assert running_totals_tws is not None, "Spark 4 API expected in this env"
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    enable_rocksdb_state(spark)
+    try:
+        stream = events_file_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            spark, running_totals_tws(stream), "t_tws", mode="update"
+        )
+        pdf = got.toPandas()
+        final = pdf.groupby("user_id").last()
+        batch = (
+            read_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 4).alias("tot"),
+            )
+            .toPandas()
+            .set_index("user_id")
+        )
+        assert len(final) == len(batch)
+        for uid, row in batch.iterrows():
+            assert final.loc[uid, "running_n"] == row["n"]
+            assert abs(final.loc[uid, "running_total"] - row["tot"]) < 1e-6
+    finally:
+        if prior is not None:
+            spark.conf.set(conf_key, prior)
