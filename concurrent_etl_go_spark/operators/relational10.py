@@ -147,6 +147,48 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_trailing_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    )
+    SELECT g.day, COUNT(DISTINCT du.user_id) AS trailing_7d_users
+    FROM (SELECT DISTINCT day FROM du) g
+    JOIN du ON du.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+    GROUP BY g.day
+    """,
+)
+def agg_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling-DAU
+    metric. COUNT(DISTINCT) over a sliding frame is not expressible as a
+    Spark window function (distinct aggregates are unsupported in window
+    frames), so this is the scale shape instead: dedup to the (day, user)
+    grain FIRST (the only pass over raw events), then a bounded 7x
+    day-range join on the tiny daily-actives relation feeds one
+    count-distinct agg.
+
+    Scale: raw events collapse to days x daily-actives before any
+    expansion; the range join multiplies that small relation by at most
+    the window length, never the event count. The approximate variant at
+    extreme cardinality swaps count_distinct for the mergeable HLL
+    (``agg_hll_mergeable``) unioned over the frame.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    grid = du.select("day").distinct().withColumnRenamed("day", "g_day")
+    cond = (F.col("day") <= F.col("g_day")) & (
+        F.col("day") >= F.col("g_day") - F.expr("INTERVAL 6 DAYS")
+    )
+    return (
+        grid.join(du, cond)
+        .groupBy(F.col("g_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("trailing_7d_users"))
+    )
+
+
+@query(
     "agg_equidepth_histogram",
     oracle="""
     WITH b AS (
