@@ -147,6 +147,36 @@ def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'b[a-z]+')) AS BIGINT)
+               AS n_matches,
+           regexp_extract_all(text, 'b[a-z]+')[1] AS first_match
+    FROM documents
+    """,
+)
+def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-match regex extraction (`regexp_extract_all`): all
+    'b'-initial words per document, summarized as match count + first
+    match. The pattern stays in the RE2-compatible subset both engines
+    execute identically (no backrefs/lookaround — the same discipline as
+    ``text_pii_scrub``). ``F.get`` (0-based, null on empty) mirrors
+    DuckDB's out-of-range list index under ANSI mode, where
+    ``element_at`` would throw instead.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    # group 0 = whole match: Spark's default group is 1 (and throws on a
+    # group-free pattern), DuckDB's is 0 — state it explicitly
+    matches = F.regexp_extract_all(F.col("text"), F.lit("b[a-z]+"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(matches).cast("long").alias("n_matches"),
+        F.get(matches, 0).alias("first_match"),
+    )
+
+
+@query(
     "agg_trailing_distinct",
     oracle="""
     WITH du AS (
