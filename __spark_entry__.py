@@ -17,36 +17,49 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: The driver's per-round correctness snapshot covers the FIRST 50 entries
 #: of ``queries()`` (insertion order).  Coverage therefore accumulates as
 #: the union of per-round snapshots, and we rotate which queries occupy
-#: the window each round.  Rounds 1-2 proved the 50 queries listed at the
-#: END of ``_DRIVER_WINDOW_ROTATION``; round 3 front-loads the 50 queries
-#: that have never had a driver row (44 oracle-backed + 6 rows-only).
+#: the window each round.  Rounds 1-3 proved the 100 queries in
+#: ``_PROVEN_R01_R03``; round 4 front-loads the 47 queries that have
+#: never had a driver row (every name absent from CORRECTNESS_r01-r03).
 #: Queries not named here (e.g. ones added after this list was frozen)
 #: slot in between: never-proven first keeps new work verifiable next
-#: round while already-proven queries stay at the back.
-#: ROUND-4 TODO: replace this list with the round-3 additions (the
-#: "fresh" branch of _driver_order — everything not yet in a
-#: CORRECTNESS_r{N} snapshot) plus any r03 failures, and fold r03's
-#: passes into _PROVEN_R01_R02.
-_ROUND3_WINDOW = [
-    "join_interval_overlap", "agg_histogram", "window_lead", "scalar_trig",
-    "filter_between", "dedup_keep_latest", "text_shingles",
-    "agg_retention_cohort", "agg_funnel", "scalar_date_arith",
-    "scalar_string2", "scalar_null_fns", "scalar_map_column",
-    "agg_conditional", "scalar_bitwise", "scalar_array2", "scalar_string",
-    "scalar_date", "scalar_math", "scalar_array", "scalar_json",
-    "scalar_case_when", "window_tumbling", "window_sliding",
-    "window_session", "split_train_val_test", "sample_stratified_hash",
-    "text_quality_filter", "text_sequence_pack", "corpus_clean",
-    "text_stats", "text_quality", "text_token_regex", "text_fingerprint",
-    "text_langid", "text_ngrams", "text_tfidf", "dedup_exact",
-    "dedup_normalized", "dedup_ngram_jaccard", "multimodal_hash_dedup",
-    "similarity_topk", "similarity_pairs", "similarity_centroids",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
-    "similarity_kmeans", "similarity_rp_lsh", "similarity_ivf_topk",
+#: round while already-proven queries stay at the back.  47 window + 3
+#: fresh slots = the driver's 50; round-4 additions beyond the first 3
+#: fresh names rotate in next round.
+#: ROUND-5 TODO: fold r04 passes into _PROVEN_R01_R03, re-front-load
+#: whatever remains unproven (r04 failures + round-4 additions past the
+#: 50-slot cut).
+_ROUND4_WINDOW = [
+    # TPC-H shapes added in round 3
+    "join_q2_min_supplier", "join_q4_priority", "agg_q6_forecast",
+    "join_q7_volume", "agg_q8_market_share", "agg_q9_profit",
+    "join_q10_returns", "agg_q11_balance_share", "agg_q12_priority_class",
+    "agg_q13_custdist", "agg_q14_promo", "join_q15_top_supplier",
+    "agg_q16_supplier_cnt", "agg_q17_small_qty", "join_q18_large_orders",
+    "filter_q19_disjunctive", "join_q20_dominant_supplier",
+    "join_q21_late_supplier", "agg_q22_idle_customers",
+    # relational / window / sampling additions
+    "agg_median_mode", "agg_bool_and_or", "window_percent_rank",
+    "window_nth_value", "sample_fraction", "scalar_regexp_extract_all",
+    "agg_trailing_distinct", "agg_equidepth_histogram",
+    "sessionize_events", "dedup_time_window", "join_interval_bucketed",
+    # warehouse trio
+    "dim_scd2_merge", "agg_incremental_merge", "join_fuzzy_names",
+    # sketches + graph
+    "agg_hll_mergeable", "text_countmin_sketch", "graph_pagerank",
+    # curation
+    "corpus_decontaminate", "corpus_mix_rebalance",
+    "sample_fixed_per_group",
+    # dedup / similarity / embeddings
+    "dedup_survivor_corpus", "similarity_knn_join",
+    "embeddings_normalize", "embeddings_quantize_int8",
+    # text round-3 additions
+    "text_token_histogram", "text_chunk_windows", "text_pii_scrub",
+    "text_repetition",
 ]
 
-#: Proven green in CORRECTNESS_r01/r02 (hash_match or no_oracle rows-only).
-_PROVEN_R01_R02 = frozenset({
+#: Proven green in CORRECTNESS_r01/r02/r03 (hash_match or rows-only).
+_PROVEN_R01_R03 = frozenset({
+    # r01/r02
     "etl_transform_flat", "etl_explode_indicators", "etl_worker_route",
     "etl_micro_batch", "filter_project", "project_rename",
     "agg_pricing_summary", "agg_count_distinct", "agg_stats", "agg_rollup",
@@ -63,18 +76,34 @@ _PROVEN_R01_R02 = frozenset({
     "window_first_last", "filter_rlike", "scalar_date_format",
     "set_union_missing_cols", "join_asof_left", "agg_rollup_grouping",
     "scalar_map_functions",
+    # r03
+    "join_interval_overlap", "agg_histogram", "window_lead", "scalar_trig",
+    "filter_between", "dedup_keep_latest", "text_shingles",
+    "agg_retention_cohort", "agg_funnel", "scalar_date_arith",
+    "scalar_string2", "scalar_null_fns", "scalar_map_column",
+    "agg_conditional", "scalar_bitwise", "scalar_array2", "scalar_string",
+    "scalar_date", "scalar_math", "scalar_array", "scalar_json",
+    "scalar_case_when", "window_tumbling", "window_sliding",
+    "window_session", "split_train_val_test", "sample_stratified_hash",
+    "text_quality_filter", "text_sequence_pack", "corpus_clean",
+    "text_stats", "text_quality", "text_token_regex", "text_fingerprint",
+    "text_langid", "text_ngrams", "text_tfidf", "dedup_exact",
+    "dedup_normalized", "dedup_ngram_jaccard", "multimodal_hash_dedup",
+    "similarity_topk", "similarity_pairs", "similarity_centroids",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
+    "similarity_kmeans", "similarity_rp_lsh", "similarity_ivf_topk",
 })
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND3_WINDOW if n in set(names)]
+    window = [n for n in _ROUND4_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names
-        if n not in in_window and n not in _PROVEN_R01_R02
+        if n not in in_window and n not in _PROVEN_R01_R03
     ]
-    proven = [n for n in names if n in _PROVEN_R01_R02 and n not in in_window]
+    proven = [n for n in names if n in _PROVEN_R01_R03 and n not in in_window]
     return window + fresh + proven
 
 

@@ -22,7 +22,13 @@ if REPO_ROOT not in sys.path:
 
 HEADLINE = (
     "agg_pricing_summary",     # TPC-H Q1 shape: scan + 8 aggs
-    "agg_percentiles",         # exact quantiles
+    # agg_percentiles (exact quantiles) buffers every value per group in
+    # the agg buffer — the correct ORACLE TWIN for verification, but not a
+    # 100 TB plan. The headline slot times the approx_percentile form (one
+    # bounded sketch per group, mergeable map-side); the exact twin stays
+    # timed right below for the per-round delta history.
+    "agg_approx",              # approx quantiles/distinct (scale path)
+    "agg_percentiles",         # exact quantiles (oracle twin)
     "join_inner_broadcast",    # star join, broadcast dims
     "join_q3_top_shipping",    # selective join + agg + top-k
     "join_q5_local_supplier",  # 6-table star join

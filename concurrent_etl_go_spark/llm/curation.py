@@ -58,8 +58,11 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts and the contamination check is one scan over training
     shingles with NO shuffle of the corpus (the per-doc count shuffles
     only the matching (doc_id, shingle) pairs, a contamination-sized
-    relation). For an eval side too large to broadcast, drop the hint
-    and the same plan runs as a shuffled equi-join.
+    relation). The hint is NOT hard-coded: the eval shingle set is left
+    unhinted, so AQE/Catalyst broadcasts it when its runtime size is
+    under ``autoBroadcastJoinThreshold`` and falls back to a shuffled
+    equi-join when the eval suite is genuinely large — a graceful
+    degradation instead of a driver OOM.
     """
     from concurrent_etl_go_spark.llm.dedup import shingles_from_tokens
     from concurrent_etl_go_spark.llm.text import tokenized_docs
@@ -75,7 +78,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = sh.where(F.col("bucket") < 95)
     return (
-        tr.join(F.broadcast(ev), "shingle")
+        tr.join(ev, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -5,9 +5,11 @@ struct alongside. Content-addressing (sha256), hash-dedup, and the Spark
 plumbing for decode/feature-extraction (schemas, batch iteration,
 partitioning) are real and tested. Media decoding is REAL for the formats
 the Python stdlib can parse — binary PNM images (P5/P6), WAV audio — plus
-a real nearest-neighbor resampler; compressed formats (JPEG/PNG/MP4)
-require codecs not present in this environment and stay behind loud
-``NotImplementedError`` stubs with injectable ``decode_fn`` hooks.
+a real nearest-neighbor resampler. JPEG/PNG/WebP decode is probe-gated on
+the optional Pillow dependency (``decode_pil``): real decode when PIL
+imports, the same loud ``NotImplementedError`` otherwise. Remaining
+compressed formats (MP4/WebM video) stay behind loud stubs with
+injectable ``decode_fn`` hooks.
 """
 
 from __future__ import annotations
@@ -183,6 +185,49 @@ def probe_frames_auto(payload: bytes) -> int:
     )
 
 
+def _pil_image():
+    """Probe for the optional Pillow dependency (same pattern as the
+    kafka/lakehouse connector probes). Returns the ``PIL.Image`` module
+    or ``None`` when Pillow is not installed in this image."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — probe import by design
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_pil(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decoder for compressed image formats (JPEG/PNG/WebP/...) via
+    the optional Pillow dependency. Probe-gated: when Pillow imports, the
+    payload is decoded for real (converted to 8-bit grayscale, same
+    (width, height, pixels) contract as ``decode_pnm``/``decode_bmp``);
+    when it does not, this raises the same loud ``NotImplementedError``
+    the stdlib dispatcher raises, so callers degrade identically."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError(
+            "decoding compressed image formats requires Pillow, which is "
+            "not installed in this environment — inject a decode_fn or "
+            "install Pillow"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        gray = im.convert("L")
+        w, h = gray.size
+        px = [float(v) for v in gray.getdata()]
+    return w, h, px
+
+
+def _pil_decodable(payload: bytes) -> bool:
+    """Magic-byte check for formats ``decode_pil`` handles (JPEG/PNG/WebP)."""
+    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return True
+    # WebP: RIFF container with WEBP fourcc (WAV is RIFF....WAVE)
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+
+
 def resize_nearest(
     px: list[float], w: int, h: int, tw: int, th: int
 ) -> list[float]:
@@ -217,14 +262,35 @@ def decode_wav_features(payload: bytes) -> list[float]:
     return [round(nf / fr, 6), float(fr), float(nch), round(rms, 4)]
 
 
+def decode_image_auto(payload: bytes) -> tuple[int, int, list[float]]:
+    """Dispatch an image payload to the right REAL decoder: stdlib for
+    PNM/BMP, Pillow (when installed) for JPEG/PNG/WebP; loud
+    ``NotImplementedError`` otherwise."""
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if _pil_decodable(payload):
+        return decode_pil(payload)
+    raise NotImplementedError(
+        "no decoder for this image payload (PNM/BMP decode natively; "
+        "JPEG/PNG/WebP decode when Pillow is installed) — inject a decoder"
+    )
+
+
 def decode_auto_features(payload: bytes) -> list[float]:
     """Default feature extractor: dispatch on magic bytes to the REAL
-    stdlib decoders (PNM/BMP image -> [w, h, mean, std]; WAV audio ->
-    [duration, rate, channels, rms]); anything else raises loudly —
-    compressed formats need codecs this environment doesn't ship."""
-    if payload[:2] in (b"P5", b"P6") or payload[:2] == b"BM":
-        decode = decode_pnm if payload[:1] == b"P" else decode_bmp
-        w, h, px = decode(payload)
+    decoders (PNM/BMP — and JPEG/PNG/WebP when Pillow is installed —
+    image -> [w, h, mean, std]; WAV audio -> [duration, rate, channels,
+    rms]); anything else raises loudly — remaining compressed formats
+    need codecs this environment doesn't ship."""
+    is_image = (
+        payload[:2] in (b"P5", b"P6")
+        or payload[:2] == b"BM"
+        or _pil_decodable(payload)
+    )
+    if is_image:
+        w, h, px = decode_image_auto(payload)
         n = max(len(px), 1)
         mean = sum(px) / n
         var = sum((p - mean) ** 2 for p in px) / n
@@ -232,9 +298,10 @@ def decode_auto_features(payload: bytes) -> list[float]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_features(payload)
     raise NotImplementedError(
-        "no stdlib decoder for this payload (PNM images and WAV audio are "
-        "decoded natively; compressed formats require image/audio codecs "
-        "not present in this environment) — inject a decode_fn"
+        "no stdlib decoder for this payload (PNM/BMP images and WAV audio "
+        "are decoded natively; JPEG/PNG/WebP need Pillow, other compressed "
+        "formats need codecs not present in this environment) — inject a "
+        "decode_fn"
     )
 
 
@@ -340,11 +407,13 @@ def decode_image(
     df: DataFrame,
     binary_col: str = "payload",
     id_col: str = "doc_id",
-    decoder: Callable[[bytes], tuple[int, int, list[float]]] = decode_pnm,
+    decoder: Callable[[bytes], tuple[int, int, list[float]]] = (
+        decode_image_auto
+    ),
 ) -> DataFrame:
     """binary -> (width, height, pixel array) via Arrow-batched mapInPandas.
-    The default decoder really parses binary PNM (P5/P6); inject one for
-    compressed formats."""
+    The default decoder really parses binary PNM (P5/P6) and BMP, plus
+    JPEG/PNG/WebP when Pillow is installed; inject one for anything else."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

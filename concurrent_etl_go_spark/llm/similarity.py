@@ -261,6 +261,17 @@ def rp_lsh_pairs(
                 )
             ).alias("band_val"),
         )
+        # Multi-probe pruning: most flipped band values hit EMPTY buckets,
+        # yet without pruning every one of the (band_size+1) probe rows per
+        # band entry is shuffled into the candidate join. The occupied-key
+        # set is at most n_bands * 2^band_size rows (128 here; still tiny
+        # for 16-bit bands) — broadcast it and semi-join, so dead probes
+        # are dropped map-side BEFORE the exchange. Recall is unchanged:
+        # a probe into an empty bucket can never produce a candidate.
+        occupied = bands.select("band_id", "band_val").distinct()
+        probes = probes.join(
+            F.broadcast(occupied), ["band_id", "band_val"], "left_semi"
+        )
     else:
         probes = bands
 
@@ -450,4 +461,55 @@ def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("dim_pos").cast("long").alias("dim_pos"),
         F.round(F.col("val") / F.col("norm"), 4).alias("unit_val"),
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    scale_class="oracle_twin",  # label-blocked pairs; rp_lsh is the scale path
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    )
+    SELECT e.vec_id, e.label FROM e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dup)
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP (the survivor set): a vector
+    is removed when any lower-id vector in its label block is >= 0.3
+    cosine-similar; survivors are everything else. Min-id-wins is the
+    same deterministic survivor rule the exact/normalized dedups use, so
+    results are reproducible run to run.
+
+    This completes the dedup family: exact (hash), MinHash-LSH / SimHash /
+    n-gram Jaccard (lexical near-dup), and embedding-cosine (semantic
+    near-dup — catches paraphrases lexical methods miss).
+
+    Scale: label-blocked all-pairs is the ORACLE TWIN (DuckDB-checkable);
+    the production path at 100 TB swaps the candidate generator for
+    ``rp_lsh_pairs`` (bucket-then-verify, never O(n^2)) and keeps the
+    identical min-id survivor rule — the same twin relationship
+    similarity_pairs has to similarity_rp_lsh.
+    """
+    vectors = scoped_persist(_vectors(spark, sf_dir))
+    a, b = vectors.alias("a"), vectors.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+            >= 0.3
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return vectors.join(dup_ids, "vec_id", "left_anti").select(
+        "vec_id", "label"
     )

@@ -208,3 +208,58 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("dup_bigram_frac"),
     )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, greatest(len(w) - 2, 0) + 1)])) AS shingle
+      FROM d
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(*) FILTER (WHERE freq.doc_freq >= 10) AS n_boilerplate,
+           ROUND(COUNT(*) FILTER (WHERE freq.doc_freq >= 10)
+                 / COUNT(*), 4) AS boilerplate_ratio
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY 1
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) detection: for every
+    document, the count and share of its distinct 3-token shingles that
+    occur in >= 10 documents corpus-wide. High ratios mark navigation
+    chrome / license headers / template spam — the spans pretraining
+    curation removes before (or instead of) whole-document dedup.
+
+    Scale: one shingle explode -> (shingle -> doc_freq) hash-agg ->
+    equi-join back on shingle -> per-doc agg. All shuffle keys are narrow
+    (the shingle string and doc_id); no all-pairs stage, no Python in the
+    row path. At 100 TB the doc-freq relation is the big intermediate —
+    prune it with a HAVING doc_freq >= K semi-join before the join-back
+    if only flagged spans are needed; the per-doc denominator here needs
+    every shingle's frequency, so the join stays full.
+    """
+    from concurrent_etl_go_spark.llm.dedup import shingles_from_tokens
+    from concurrent_etl_go_spark.llm.text import tokenized_docs
+
+    docs = tokenized_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    flagged = F.count(F.when(F.col("doc_freq") >= 10, 1))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            flagged.alias("n_boilerplate"),
+            F.round(flagged / F.count(F.lit(1)), 4).alias("boilerplate_ratio"),
+        )
+    )

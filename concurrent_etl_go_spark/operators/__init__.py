@@ -20,6 +20,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational10,
     scalars2,
     sketches,
+    skew,
     warehouse,
     scalars_queries,
     time_windows,

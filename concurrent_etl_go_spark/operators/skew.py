@@ -1,0 +1,78 @@
+"""Skew-mitigation operators: salted two-phase aggregation.
+
+At 100 TB real event streams are Zipfian — a handful of event types carry
+most rows, so a plain ``groupBy(event_type)`` funnels the hot keys through
+single reducers while the rest of the cluster idles. The standard fix is
+salting: append a random-ish salt to the hot key, aggregate
+(key, salt) partials in a first shuffle where every hot key fans out over
+``SALT_BUCKETS`` reducers, then combine the partials in a second shuffle
+whose input is only ``|keys| x SALT_BUCKETS`` rows — negligible.
+
+AQE's skew handling (``spark.sql.adaptive.skewJoin``) only covers JOINS;
+salting is the groupBy-side analogue and must be expressed in the plan.
+The final result is bitwise the same aggregation a direct groupBy
+computes (counts/sums are associative-commutative), which is exactly what
+the DuckDB oracle checks.
+
+Reference parity: generalizes the per-worker-lane partial counting of
+reference etl/main.go:244-262 (each lane tallies its own slice, the run
+report sums the lanes) into a shuffle-level technique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+#: Fan-out factor for hot keys. Sized to the executor count at scale
+#: (spreading a hot key over more reducers than there are cores buys
+#: nothing); 16 is plenty for local[32] while keeping the combine tiny.
+SALT_BUCKETS = 16
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type totals via SALTED two-phase aggregation.
+
+    Phase 1 groups by (event_type, salt) — the salt is derived from the
+    row's unique id, so each hot event_type spreads evenly over
+    ``SALT_BUCKETS`` partial groups. Phase 2 re-groups the tiny partial
+    relation by event_type alone. count/sum/max re-aggregate losslessly
+    (count -> sum of partial counts, max -> max of partial maxes), so the
+    result is identical to the direct groupBy the oracle runs.
+
+    Spark's own map-side partial aggregation attacks the same problem
+    per-partition; explicit salting additionally splits the REDUCER-side
+    hot key, which partial aggregation alone cannot (every partial for a
+    key still lands on one reducer). That distinction only matters when
+    per-partition group cardinality is high enough that map-side combine
+    degrades — precisely the skewed-fact-table regime this operator is
+    for.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    partials = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum("value").alias("p_sum"),
+        F.max("value").alias("p_max"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("p_cnt").alias("n_events"),
+        F.round(F.sum("p_sum"), 4).alias("sum_value"),
+        F.round(F.max("p_max"), 4).alias("max_value"),
+    )

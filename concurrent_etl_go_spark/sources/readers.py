@@ -14,6 +14,26 @@ from pyspark.errors.exceptions.captured import AnalysisException
 
 from concurrent_etl_go_spark import schemas
 
+#: Per-path cache of parquet-footer timestamp[ns] column names.  Almost
+#: every table has bigint columns, so without this every query build pays
+#: a driver-side pyarrow footer read per table.  Keyed by path only: the
+#: testdata is immutable within a process lifetime (the driver regenerates
+#: it only between rounds, i.e. between processes).
+_NS_COLS_CACHE: dict[str, frozenset[str]] = {}
+
+
+def _footer_ns_cols(path: str) -> frozenset[str]:
+    """timestamp[ns] columns per the parquet footer, memoized by path."""
+    cols = _NS_COLS_CACHE.get(path)
+    if cols is None:
+        import pyarrow.parquet as pq
+
+        cols = frozenset(
+            f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+        )
+        _NS_COLS_CACHE[path] = cols
+    return cols
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one shared analytics parquet table (TESTDATA.md).
@@ -47,14 +67,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # always reconcile against the footer, not just on the retry path.
     long_cols = {n for n, t in df.dtypes if t == "bigint"}
     if long_cols:
-        import pyarrow.parquet as pq
-
-        ns_cols = [
-            f.name
-            for f in pq.read_schema(path)
-            if str(f.type) == "timestamp[ns]" and f.name in long_cols
-        ]
-        for c in ns_cols:
+        for c in _footer_ns_cols(path) & long_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
 
     # tz-naive parquet timestamps (timestamp[us/ms] without isAdjustedToUTC)

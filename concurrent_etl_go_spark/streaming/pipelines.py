@@ -29,12 +29,22 @@ def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     stored as TIMESTAMP(NANOS) (read as raw nanos longs) or as a plain
     tz-naive timestamp (read as TIMESTAMP_NTZ). Streaming sources need
     the schema up front, so the footer probe the batch reader does per
-    read happens here once."""
+    read happens here once.  The probe globs exactly as the stream source
+    does (``pathGlobFilter`` below) so a multi-file events table can't
+    silently diverge from the single footer read."""
+    import glob
+
     import pyarrow.parquet as pq
 
+    matches = sorted(glob.glob(f"{sf_dir}/events.parquet"))
+    if not matches:
+        raise FileNotFoundError(f"no events.parquet under {sf_dir}")
     ts_is_nanos = any(
-        f.name == "ts" and str(f.type) == "timestamp[ns]"
-        for f in pq.read_schema(f"{sf_dir}/events.parquet")
+        any(
+            f.name == "ts" and str(f.type) == "timestamp[ns]"
+            for f in pq.read_schema(m)
+        )
+        for m in matches
     )
     ts_type = T.LongType() if ts_is_nanos else T.TimestampNTZType()
     return (

@@ -61,6 +61,13 @@ def running_totals(stream: DataFrame) -> DataFrame:
 # image, so the runtime path is probe-gated in tests exactly like the
 # kafka connector; applyInPandasWithState above remains the executable
 # twin here.
+#
+# EXPERIMENTAL: this wrapper has never executed in an image that ships
+# protobuf (the gated test skips here), so the ValueState.get()/
+# getValueState usage is API-documented but unexercised.  Treat it as
+# unverified until the probe-gated test has run green once in a CI image
+# with protobuf installed; the applyInPandasWithState twin above is the
+# verified production path.
 
 try:  # import guard: keeps module import working on older Sparks
     from pyspark.sql.streaming.stateful_processor import (

@@ -152,6 +152,44 @@ def test_media_ops_plumbing_with_fakes(spark):
         decode_image(payloads).collect()
 
 
+def test_decode_pil_probe_gated():
+    """JPEG/PNG decode is probe-gated on Pillow: real decode when PIL
+    imports, the same loud NotImplementedError otherwise (no Spark
+    needed — the decoder is a plain function run inside mapInPandas)."""
+    from concurrent_etl_go_spark.llm.multimodal import (
+        _pil_decodable,
+        _pil_image,
+        decode_image_auto,
+        decode_pil,
+    )
+
+    png_payload = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    assert _pil_decodable(png_payload)
+    assert _pil_decodable(b"\xff\xd8\xff\xe0jpeg-rest")
+    assert not _pil_decodable(b"RIFF0000WAVEfmt ")  # WAV is RIFF, not WebP
+
+    # stdlib formats keep dispatching to the stdlib decoders
+    w, h, px = decode_image_auto(b"P5 2 2 255 " + bytes([0, 64, 128, 255]))
+    assert (w, h) == (2, 2) and px == [0.0, 64.0, 128.0, 255.0]
+
+    if _pil_image() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_pil(png_payload)
+        with pytest.raises(NotImplementedError):
+            decode_image_auto(png_payload)
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (4, 2), color=7).save(buf, format="PNG")
+        w, h, px = decode_pil(buf.getvalue())
+        assert (w, h) == (4, 2) and px == [7.0] * 8
+        # auto dispatch reaches the PIL path on PNG magic
+        assert decode_image_auto(buf.getvalue()) == (4, 2, [7.0] * 8)
+
+
 def test_kmeans_deterministic_and_converging(spark):
     from concurrent_etl_go_spark.llm.kmeans import similarity_kmeans
 

@@ -47,22 +47,23 @@ def test_query_runs_with_sane_schema(spark, sf_dir, name):
 
 
 def test_driver_window_rotation():
-    """Round-3 rotation: the driver snapshots the FIRST 50 entries of
-    ``queries()``; those slots must hold exactly the 50 queries that have
-    no CORRECTNESS_r01/r02 row, with the proven 50 at the back."""
+    """Round-4 rotation: the driver snapshots the FIRST 50 entries of
+    ``queries()``; those slots must hold the 47 queries with no
+    CORRECTNESS_r01-r03 row followed by round-4 additions, with every
+    proven query behind slot 50."""
     names = list(entry_mod.queries())
-    window = names[:50]
-    assert window == entry_mod._ROUND3_WINDOW
-    assert set(window).isdisjoint(entry_mod._PROVEN_R01_R02)
+    first50 = names[:50]
+    assert first50[: len(entry_mod._ROUND4_WINDOW)] == entry_mod._ROUND4_WINDOW
+    assert set(first50).isdisjoint(entry_mod._PROVEN_R01_R03)
     # every rotation/proven name still exists in the registry
-    assert set(entry_mod._ROUND3_WINDOW) <= set(names)
-    assert entry_mod._PROVEN_R01_R02 <= set(names)
+    assert set(entry_mod._ROUND4_WINDOW) <= set(names)
+    assert entry_mod._PROVEN_R01_R03 <= set(names)
     # never-proven queries (e.g. newly added ones) sort before proven ones
     tail = names[50:]
     first_proven = next(
-        i for i, n in enumerate(tail) if n in entry_mod._PROVEN_R01_R02
+        i for i, n in enumerate(tail) if n in entry_mod._PROVEN_R01_R03
     )
-    assert all(n in entry_mod._PROVEN_R01_R02 for n in tail[first_proven:])
+    assert all(n in entry_mod._PROVEN_R01_R03 for n in tail[first_proven:])
 
 
 def test_scale_class_metadata_marks_oracle_twins():
@@ -73,7 +74,11 @@ def test_scale_class_metadata_marks_oracle_twins():
     import concurrent_etl_go_spark.operators  # noqa: F401
 
     twins = {n for n, c in registry.SCALE_CLASS.items() if c == "oracle_twin"}
-    assert twins == {"dedup_ngram_jaccard", "similarity_pairs"}
+    assert twins == {
+        "dedup_ngram_jaccard",
+        "similarity_pairs",
+        "dedup_embedding_cosine",
+    }
     assert set(registry.SCALE_CLASS) == set(registry.QUERIES)
 
 
