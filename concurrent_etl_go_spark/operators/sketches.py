@@ -129,3 +129,40 @@ def text_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = countmin_build(docs, "lang")
     langs = docs.select("lang").distinct()
     return countmin_estimate(sketch, langs, "lang").orderBy("item")
+
+
+@query("agg_trailing_distinct_hll")  # sketch internals — rows-only
+def agg_trailing_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct actives via MERGEABLE per-day HLL sketches
+    — the 100 TB shape of ``agg_trailing_distinct`` (relational10.py),
+    which is its exact oracle-checked twin.
+
+    The exact form re-counts distinct users over every 7-day frame, so
+    each day of raw (day, user) pairs is shuffled into seven frames. Here
+    raw events collapse ONCE into one kilobyte-sized sketch per day; the
+    bounded day-range join then replicates only sketches (days x 7 rows
+    total), and each frame's count is a union of seven sketches — no
+    (day, user) pair is ever re-shuffled. This is the only rolling-
+    distinct shape that stays flat as user cardinality grows: frame cost
+    is O(days) regardless of whether a day has 1e3 or 1e9 actives.
+
+    Accuracy: lgConfigK=12 bounds the standard error near 1.6%; the
+    pytest pins every day's estimate within 5% of the exact twin.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    grid = daily.select(F.col("day").alias("g_day"))
+    cond = (F.col("day") <= F.col("g_day")) & (
+        F.col("day") >= F.col("g_day") - F.expr("INTERVAL 6 DAYS")
+    )
+    return (
+        grid.join(daily, cond)
+        .groupBy(F.col("g_day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_trailing_7d_users"
+            )
+        )
+    )

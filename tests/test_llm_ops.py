@@ -707,6 +707,30 @@ def test_sketches_bounded_error_vs_exact(spark):
     assert hll == again
 
 
+def test_trailing_distinct_hll_tracks_exact_twin(spark):
+    """The sketch-based rolling DAU matches the exact oracle-checked twin
+    within the lgK=12 error envelope on every day, over the same day
+    grid."""
+    from concurrent_etl_go_spark.operators.relational10 import (
+        agg_trailing_distinct,
+    )
+    from concurrent_etl_go_spark.operators.sketches import (
+        agg_trailing_distinct_hll,
+    )
+
+    exact = {
+        r.day: r.trailing_7d_users
+        for r in agg_trailing_distinct(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r.day: r.approx_trailing_7d_users
+        for r in agg_trailing_distinct_hll(spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, approx[day], n)
+
+
 def test_pagerank_mass_conservation_and_reference(spark):
     """PageRank on an undirected graph conserves rank mass (sum == n, no
     dangling nodes) and must match a driver-side NumPy power iteration on

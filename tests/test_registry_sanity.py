@@ -28,6 +28,7 @@ def test_oracles_are_subset_of_queries():
         "dedup_survivor_corpus",
         "sample_fraction",
         "agg_hll_mergeable",
+        "agg_trailing_distinct_hll",
         "text_countmin_sketch",
         "graph_pagerank",
     }
