@@ -55,6 +55,11 @@ _ROUND4_WINDOW = [
     # text round-3 additions
     "text_token_histogram", "text_chunk_windows", "text_pii_scrub",
     "text_repetition",
+    # round-4 additions, pinned so the ORACLE-backed ones take the three
+    # free slots (fresh ordering would seat rows-only
+    # agg_trailing_distinct_hll first by module import order; it rotates
+    # in next round instead)
+    "agg_salted_skew", "dedup_embedding_cosine", "text_boilerplate_ngrams",
 ]
 
 #: Proven green in CORRECTNESS_r01/r02/r03 (hash_match or rows-only).
