@@ -101,3 +101,70 @@ def similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return kmeans_assign(vectors, k=8, iterations=5)
+
+
+PQ_SUBSPACES = 4
+PQ_CODEBOOK_K = 16
+
+
+@query("embeddings_pq_codes")  # iterative per-subspace k-means — rows-only
+def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: learn a ``PQ_CODEBOOK_K``-entry codebook per
+    vector SUBSPACE (the embedding split into ``PQ_SUBSPACES`` contiguous
+    slices) and encode every vector as one small code per subspace, plus
+    its total squared reconstruction error.
+
+    PQ is the storage/recall workhorse of billion-vector ANN (the "PQ" in
+    IVF-PQ): 64 floats (256 bytes) compress to 4 one-byte codes, and
+    asymmetric distances against a query need only M table lookups per
+    vector. The coarse IVF quantizer (``similarity_ivf_topk``) prunes
+    which vectors to scan; PQ shrinks what each scanned vector costs.
+
+    Scale: each subspace's fit is the same Lloyd's loop as
+    ``similarity_kmeans`` — per iteration one distributed assign pass and
+    one partial-aggregated centroid update, with only the k x (dim/M)
+    centroid matrix crossing the driver. Encoding is a final assign pass
+    per subspace; the M per-subspace code frames equi-join back on
+    vec_id (narrow rows). Deterministic init (k lowest vec_ids per
+    subspace) keeps the codes bit-stable for the driver's rows-only
+    check.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    parallelism = spark.sparkContext.defaultParallelism
+    first = emb.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], "vec_id long, codes array<int>, recon_sq_err double"
+        )
+    dim = first.d
+    sub_dim = dim // PQ_SUBSPACES
+    base = scoped_persist(
+        emb.repartition(parallelism, "vec_id").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("full_v")
+        )
+    )
+
+    out = None
+    for m in range(PQ_SUBSPACES):
+        start = m * sub_dim + 1  # slice() is 1-based
+        length = sub_dim if m < PQ_SUBSPACES - 1 else dim - m * sub_dim
+        sub = base.select(
+            "vec_id", F.slice("full_v", start, length).alias("v")
+        )
+        assigned, _ = kmeans_fit(sub, k=PQ_CODEBOOK_K, iterations=3)
+        codes_m = assigned.select(
+            "vec_id",
+            F.col("cluster").alias(f"code_{m}"),
+            F.col("sq_dist").alias(f"err_{m}"),
+        )
+        out = codes_m if out is None else out.join(codes_m, "vec_id")
+
+    return out.select(
+        "vec_id",
+        F.array(*[F.col(f"code_{m}") for m in range(PQ_SUBSPACES)]).alias(
+            "codes"
+        ),
+        F.round(
+            sum(F.col(f"err_{m}") for m in range(PQ_SUBSPACES)), 4
+        ).alias("recon_sq_err"),
+    )

@@ -76,3 +76,47 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("p_sum"), 4).alias("sum_value"),
         F.round(F.max("p_max"), 4).alias("max_value"),
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through the SALTED fact-to-dimension
+    join (``lib.salted_join``): the big side picks a per-row salt, the
+    small side replicates once per salt, and the equi-join runs on
+    (key, salt) so a pathological hot key spreads over ``n_salts``
+    reducers. Row-identical to the plain join — which is exactly what
+    the oracle runs.
+
+    When to reach for it at 100 TB: AQE's skew-join splitter handles
+    moderate skew by splitting oversized partitions, but it cannot split
+    ONE key's rows across reducers mid-join when a single key exceeds an
+    executor (the celebrity-user / null-key case). Explicit salting is
+    the plan-level fix; its price — replicating the small side n_salts
+    times — is why it is an opt-in operator, not the default join.
+    """
+    from concurrent_etl_go_spark.operators.lib import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey")
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

@@ -707,6 +707,60 @@ def test_sketches_bounded_error_vs_exact(spark):
     assert hll == again
 
 
+def test_pq_codes_deterministic_and_compressive(spark):
+    """PQ encoding is bit-stable across runs (deterministic init), codes
+    stay inside the codebook range, each subspace uses multiple codebook
+    entries (the quantizer actually learned a partition), and the total
+    reconstruction error is no worse than quantizing every subspace to
+    the single global mean (the k=1 lower bar)."""
+    from concurrent_etl_go_spark.llm.kmeans import (
+        PQ_CODEBOOK_K,
+        PQ_SUBSPACES,
+        embeddings_pq_codes,
+    )
+    from concurrent_etl_go_spark.operators.registry import release_caches
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = {r.vec_id: r for r in embeddings_pq_codes(spark, SF_SMOKE).collect()}
+    release_caches()
+    n = read_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n
+    for r in rows.values():
+        assert len(r.codes) == PQ_SUBSPACES
+        assert all(0 <= c < PQ_CODEBOOK_K for c in r.codes)
+        assert r.recon_sq_err >= 0.0
+    for m in range(PQ_SUBSPACES):
+        assert len({r.codes[m] for r in rows.values()}) > 1, f"subspace {m}"
+
+    again = {r.vec_id: r for r in embeddings_pq_codes(spark, SF_SMOKE).collect()}
+    release_caches()
+    assert all(
+        rows[i].codes == again[i].codes
+        and rows[i].recon_sq_err == again[i].recon_sq_err
+        for i in rows
+    )
+
+    # k=1 bar: total squared error vs the per-subspace global mean
+    emb = read_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    per_pos = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("mean"))
+    )
+    global_err = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .join(per_pos, "pos")
+        .select(((F.col("val") - F.col("mean")) ** 2).alias("e"))
+        .agg(F.sum("e").alias("total"))
+        .first()
+        .total
+    )
+    pq_err = sum(r.recon_sq_err for r in rows.values())
+    assert pq_err <= global_err + 1e-6
+
+
 def test_trailing_distinct_hll_tracks_exact_twin(spark):
     """The sketch-based rolling DAU matches the exact oracle-checked twin
     within the lgK=12 error envelope on every day, over the same day

@@ -29,6 +29,7 @@ def test_oracles_are_subset_of_queries():
         "sample_fraction",
         "agg_hll_mergeable",
         "agg_trailing_distinct_hll",
+        "embeddings_pq_codes",
         "text_countmin_sketch",
         "graph_pagerank",
     }
