@@ -8,6 +8,7 @@ loads every query module.
 from concurrent_etl_go_spark.operators import (  # noqa: F401
     etl_queries,
     graph,
+    profiling,
     relational,
     relational2,
     relational3,

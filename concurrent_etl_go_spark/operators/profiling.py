@@ -1,0 +1,146 @@
+"""Data-quality profiling and monitoring operators.
+
+A 100 TB ingest pipeline is fronted by exactly these two shapes: a
+single-pass column profiler (null rates, cardinalities, ranges — the
+stats that gate schema drift and garbage batches) and a time-series
+anomaly score over arrival volumes (the pager for upstream breakage).
+Both are pure declarative aggregations — the profiler is ONE scan
+producing a handful of scalars regardless of table width x height, the
+anomaly score is one narrow daily rollup plus a bounded window.
+
+Reference parity: generalizes the run-report counters of reference
+etl/main.go:244-262 (records seen / dropped / enriched per run) into
+per-column and per-day observability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+#: Numeric lineitem measures profiled by ``profile_table_stats``.
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "profile_table_stats",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           ROUND(MIN(l_quantity), 4) AS min_val,
+           ROUND(MAX(l_quantity), 4) AS max_val,
+           ROUND(AVG(l_quantity), 4) AS mean_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice), ROUND(MIN(l_extendedprice), 4),
+           ROUND(MAX(l_extendedprice), 4), ROUND(AVG(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount), ROUND(MIN(l_discount), 4),
+           ROUND(MAX(l_discount), 4), ROUND(AVG(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax), ROUND(MIN(l_tax), 4),
+           ROUND(MAX(l_tax), 4), ROUND(AVG(l_tax), 4)
+    FROM lineitem
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the lineitem measures: row count,
+    null count, exact distinct count, min / max / mean per column, one
+    output row per column.
+
+    Scale: ONE scan computes every per-column aggregate simultaneously
+    (a single agg node with 4 x 6 buffers — Spark evaluates them in the
+    same partial/final aggregation pass); the wide 1-row result then
+    pivots to long form with an in-row explode, so profiling cost is a
+    scan plus a constant, never columns x scans. The oracle's UNION ALL
+    of per-column SELECTs is the same relation computed the readable
+    way. Exact COUNT(DISTINCT) keeps the oracle comparable; at extreme
+    cardinalities swap in approx_count_distinct / the HLL sketch
+    (``agg_hll_mergeable``) — same shape, bounded buffers.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__mean").alias("mean_val"),
+        )
+        for c in PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
+
+
+@query(
+    "agg_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           ROUND((n - AVG(n) OVER w) /
+                 NULLIF(STDDEV_SAMP(n) OVER w, 0), 4) AS zscore
+    FROM daily
+    WINDOW w AS (
+      PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+    )
+    """,
+)
+def agg_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly score: each (event_type, day)'s arrival count as a
+    z-score against the trailing 7 days (frame excludes the current day,
+    so a spike cannot mask itself). NULL for the warm-up days where the
+    trailing sample has no variance defined — surfacing "not enough
+    history" explicitly beats a fake 0.
+
+    Scale: raw events collapse to the (type, day) grain in one combine-
+    heavy pass; the window runs over that tiny rollup partitioned by
+    event_type — never over raw events. This is the monitoring twin of
+    ``agg_trailing_distinct``'s grain-first discipline.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    std = F.stddev_samp("n").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            (F.col("n") - F.avg("n").over(w))
+            / F.when(std != 0, std),
+            4,
+        ).alias("zscore"),
+    )
