@@ -190,3 +190,54 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_q22_idle_customers")
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """agg_salted_skew: two aggregation phases, each with map-side
+    partial + final HashAggregate, and the salt visible in the first
+    phase's grouping — the reducer-side hot-key fan-out must not be
+    collapsed away by the optimizer."""
+    plan = plan_of(spark, sf_dir, "agg_salted_skew")
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
+
+
+def test_salted_join_runs_on_key_and_salt(spark, sf_dir):
+    """join_salted_skew: the join condition must include the salt column
+    (spreading a hot key over n_salts reducers); no cartesian fallback."""
+    plan = plan_of(spark, sf_dir, "join_salted_skew")
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """profile_table_stats: one scan computes all 4x6 column aggregates —
+    profiling cost must not be columns x scans."""
+    plan = plan_of(spark, sf_dir, "profile_table_stats")
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_zscore_windows_over_rollup_not_raw_events(spark, sf_dir):
+    """agg_daily_zscore: the window must run over the (type, day) rollup
+    (HashAggregate below the Window), reading events exactly once."""
+    plan = plan_of(spark, sf_dir, "agg_daily_zscore")
+    assert plan.count("FileScan") == 1
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    # executedPlan prints top-down: the Window node appears before (above)
+    # the aggregate that feeds it
+    assert -1 < win_pos < plan.rfind("HashAggregate")
+    assert agg_pos != -1
+
+
+def test_embedding_dedup_survivors_via_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "LeftAnti" in plan
+
+
+def test_boilerplate_ngrams_no_python_in_row_path(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_boilerplate_ngrams")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
