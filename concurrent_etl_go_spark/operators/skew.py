@@ -120,3 +120,52 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+@query(
+    "join_null_skew_outer",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS cust_key
+      FROM events
+    )
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events
+    FROM ev LEFT JOIN customer c ON ev.cust_key = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_null_skew_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per customer segment through a NULL-ROUTED outer join: rows
+    whose join key is NULL (here every fifth user, mimicking anonymous /
+    unattributed traffic) bypass the join entirely and re-enter via a
+    union, instead of shuffling.
+
+    The third classic skew shape after hot-key agg and hot-key join:
+    NULL equi-join keys can never match, yet a plain outer join still
+    hashes every NULL row into ONE reducer partition — at 100 TB an
+    unattributed-traffic share of 20% means one task receives 20 TB. AQE
+    cannot help (it splits matching work, not never-matching work).
+    Routing NULLs around the join costs a predicate and a union of
+    identically-shaped halves; the joined half carries only matchable
+    keys, so its shuffle is skew-free. Result is row-identical to the
+    plain LEFT JOIN the oracle runs.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 != 0, F.col("user_id")).alias("cust_key")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    matched = (
+        ev.where(F.col("cust_key").isNotNull())
+        .join(cust, F.col("cust_key") == F.col("c_custkey"), "left")
+        .select(F.col("c_mktsegment").alias("segment"))
+    )
+    null_half = ev.where(F.col("cust_key").isNull()).select(
+        F.lit(None).cast("string").alias("segment")
+    )
+    return (
+        matched.unionByName(null_half)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
