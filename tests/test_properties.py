@@ -196,3 +196,93 @@ def test_sample_fraction_bounds_and_determinism(spark, sf_dir):
 
     sigma = math.sqrt(total * 0.1 * 0.9)
     assert abs(n - 0.1 * total) <= 6 * sigma, (n, total)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # group key (heavy collisions)
+            st.floats(-1e6, 1e6, width=32),         # value
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+)
+def test_salted_agg_identical_to_plain_agg(spark, rows):
+    """Salting is a pure execution-strategy change: on ANY input —
+    including all rows on one key — the two-phase salted aggregation
+    must produce exactly the plain groupBy result."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k int, v double"
+    )
+    salted = (
+        df.withColumn("_s", F.pmod(F.xxhash64("v"), F.lit(4)))
+        .groupBy("k", "_s")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("v").alias("s"),
+            F.max("v").alias("m"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("c").alias("n"),
+            F.round(F.sum("s"), 2).alias("total"),
+            F.max("m").alias("mx"),
+        )
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.max("v").alias("mx"),
+    )
+    got = {r.k: (r.n, r.total, r.mx) for r in salted.collect()}
+    want = {r.k: (r.n, r.total, r.mx) for r in plain.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        gn, gt, gm = got[k]
+        wn, wt, wm = want[k]
+        assert gn == wn and gm == wm, (k, got[k], want[k])
+        # sums may differ in the last ulp from association order
+        assert gt == wt or abs(gt - wt) <= 1e-6 * max(1.0, abs(wt)), (
+            k, gt, wt,
+        )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    big=st.lists(st.integers(0, 4), min_size=0, max_size=40),
+    small=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 9)),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_null_routed_left_join_identical_to_plain(spark, big, small):
+    """Routing NULL keys around the join (predicate + union) must be
+    row-identical to the plain left join, for every mix of NULL share
+    and duplicate small-side keys."""
+    from pyspark.sql import functions as F
+
+    b = spark.createDataFrame(
+        [(k if k != 0 else None,) for k in big], "k int"
+    )
+    s = spark.createDataFrame(small, "k int, val int")
+    plain = b.join(s, "k", "left").select("k", "val")
+    matched = b.where(F.col("k").isNotNull()).join(s, "k", "left")
+    nulls = b.where(F.col("k").isNull()).withColumn(
+        "val", F.lit(None).cast("int")
+    )
+    routed = matched.unionByName(nulls).select("k", "val")
+    key = lambda r: (r.k if r.k is not None else -1, r.val if r.val is not None else -1)
+    assert sorted(map(key, routed.collect())) == sorted(map(key, plain.collect()))
