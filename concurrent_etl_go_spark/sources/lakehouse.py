@@ -4,6 +4,11 @@ The v1 image ships none of the lakehouse jars (SURVEY §"Sources & sinks"),
 so these connectors probe for their packages and fail loudly with the
 exact dependency needed rather than at some later executor stack trace.
 The read/write signatures are final; only the jar is missing.
+
+For the table-management semantics themselves — versioned snapshots,
+atomic commits, time travel, vacuum — see ``sources/versioned.py``: a
+dependency-free implementation of the same manifest-over-immutable-files
+design that runs and tests end-to-end in this image.
 """
 
 from __future__ import annotations

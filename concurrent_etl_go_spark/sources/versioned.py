@@ -1,0 +1,186 @@
+"""Versioned parquet tables: snapshot isolation + time travel, no jars.
+
+The real lakehouse connectors (``lakehouse.py``) are import-gated on jars
+this image does not ship. This module implements the EXECUTABLE core of
+what those formats provide — an atomically-committed, versioned manifest
+over immutable parquet data files — in pure PySpark + the filesystem, so
+the engine has working table management that tests end-to-end here and
+the same call sites can swap to Delta/Iceberg when the jars exist.
+
+Layout (all under the table root):
+
+    _manifests/v00000001.json   one JSON manifest per committed version:
+                                {"version", "op", "files", "n_files"}
+    data/<commit-uuid>/part-*.parquet   immutable data files per commit
+
+Concurrency model (the Delta/Iceberg one, scaled down): writers prepare
+data files in an unreferenced directory, then commit by creating the
+next ``v{N}`` manifest with an atomic create-if-absent. Two concurrent
+writers racing to the same N: exactly one wins, the loser gets
+``CommitConflictError`` and retries on the new latest — data files are
+never mutated, so a failed commit leaves only unreferenced files (see
+``vacuum``). Readers resolve a manifest ONCE and then read immutable
+files: a snapshot can never observe a half-committed write.
+
+Scale notes: the manifest holds file PATHS, not data — commit cost is
+O(files touched), independent of table size. Reads hand Spark the
+explicit file list, so partition pruning and predicate pushdown work
+exactly as for any parquet scan. At real scale the manifest itself
+would shard (Iceberg's manifest lists); the single-JSON form keeps the
+semantics identical and this image dependency-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    op: str
+    files: tuple[str, ...]
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifests")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_manifest_dir(root), f"v{version:08d}.json")
+
+
+def _versions(root: str) -> list[int]:
+    mdir = _manifest_dir(root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def snapshot(root: str, version: int | None = None) -> Snapshot:
+    """Resolve a committed snapshot (latest by default). Reading through
+    the returned file list is immune to concurrent commits — files are
+    immutable once referenced."""
+    versions = _versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not in {versions} under {root}"
+        )
+    with open(_manifest_path(root, version)) as f:
+        m = json.load(f)
+    return Snapshot(m["version"], m["op"], tuple(m["files"]))
+
+
+def history(root: str) -> list[Snapshot]:
+    return [snapshot(root, v) for v in _versions(root)]
+
+
+def _commit(root: str, op: str, files: list[str], base_version: int) -> Snapshot:
+    """Atomically publish version ``base_version + 1`` referencing
+    ``files``.
+
+    The writer must pass the version its write was BASED ON (0 for a new
+    table): claiming exactly base+1 with an atomic create-if-absent
+    (O_CREAT|O_EXCL — the POSIX primitive object stores emulate with
+    if-none-match puts) makes stale writes fail instead of silently
+    winning. This matters for append: its file list includes the base
+    snapshot's files, so claiming "whatever the next free version is"
+    after a concurrent commit would publish a manifest that DROPS the
+    other writer's rows. Losing the race raises ``CommitConflictError``
+    with nothing to clean up except unreferenced data files.
+    """
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    next_v = base_version + 1
+    payload = json.dumps(
+        {"version": next_v, "op": op, "files": files, "n_files": len(files)}
+    )
+    path = _manifest_path(root, next_v)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise CommitConflictError(
+            f"version {next_v} already committed under {root}"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    return Snapshot(next_v, op, tuple(files))
+
+
+def _write_data_files(df: DataFrame, root: str) -> list[str]:
+    commit_dir = os.path.join(root, "data", uuid.uuid4().hex)
+    df.write.parquet(commit_dir)
+    return sorted(
+        os.path.join(commit_dir, name)
+        for name in os.listdir(commit_dir)
+        if name.endswith(".parquet")
+    )
+
+
+def write_table(df: DataFrame, root: str, mode: str = "append") -> Snapshot:
+    """Commit ``df`` as a new table version.
+
+    ``append`` references previous files + new; ``overwrite`` references
+    only the new files (the old version stays readable — that's time
+    travel, not deletion).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    new_files = _write_data_files(df, root)
+    versions = _versions(root)
+    base = versions[-1] if versions else 0
+    if mode == "append" and base:
+        prior = snapshot(root, base).files
+        files = list(prior) + new_files
+    else:
+        files = new_files
+    return _commit(root, mode, files, base_version=base)
+
+
+def read_table_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest by default, or time-travel to ``version``)."""
+    snap = snapshot(root, version)
+    return spark.read.parquet(*snap.files)
+
+
+def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreferenced by the ``keep_versions`` newest
+    manifests (and drop the older manifests). Returns deleted paths.
+    The immutable-files + manifest design makes this safe: a reader that
+    resolved a retained snapshot never holds a deleted path."""
+    versions = _versions(root)
+    keep = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(snapshot(root, v).files)
+    deleted = []
+    data_root = os.path.join(root, "data")
+    if os.path.isdir(data_root):
+        for commit_dir in os.listdir(data_root):
+            full = os.path.join(data_root, commit_dir)
+            for name in os.listdir(full):
+                p = os.path.join(full, name)
+                if name.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    deleted.append(p)
+    for v in versions[:-keep_versions] if keep_versions else versions:
+        os.remove(_manifest_path(root, v))
+    return deleted

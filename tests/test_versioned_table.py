@@ -1,0 +1,87 @@
+"""Versioned parquet tables: snapshot isolation, time travel, conflict
+detection, vacuum safety."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.sources import versioned as vt
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("double_id")
+    )
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    s1 = vt.write_table(_df(spark, 0, 10), root, mode="append")
+    assert s1.version == 1
+    s2 = vt.write_table(_df(spark, 10, 15), root, mode="append")
+    assert s2.version == 2 and set(s1.files) < set(s2.files)
+
+    latest = vt.read_table_version(spark, root)
+    assert latest.count() == 15
+    # time travel: v1 still reads exactly the first commit
+    v1 = vt.read_table_version(spark, root, version=1)
+    assert sorted(r.id for r in v1.collect()) == list(range(10))
+
+    s3 = vt.write_table(_df(spark, 100, 103), root, mode="overwrite")
+    assert s3.version == 3 and len(s3.files) < len(s2.files)
+    assert vt.read_table_version(spark, root).count() == 3
+    # the overwritten snapshot remains readable
+    assert vt.read_table_version(spark, root, version=2).count() == 15
+    assert [s.version for s in vt.history(root)] == [1, 2, 3]
+
+
+def test_commit_conflict_loses_cleanly(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 5), root)
+    # writer A bases its commit on v1 ... but a racing writer B claims
+    # version 2 first
+    os.makedirs(vt._manifest_dir(root), exist_ok=True)
+    with open(vt._manifest_path(root, 2), "w") as f:
+        f.write('{"version": 2, "op": "append", "files": [], "n_files": 0}')
+    with pytest.raises(vt.CommitConflictError):
+        vt._commit(root, "append", ["x"], base_version=1)
+    # losing the race corrupted nothing: v1 still reads
+    assert vt.read_table_version(spark, root, version=1).count() == 5
+    # a stale append through the public API also loses (its file list was
+    # built on v1 and would drop B's rows if it silently claimed v3)
+    with pytest.raises(vt.CommitConflictError):
+        vt._commit(root, "append", ["y"], base_version=1)
+
+
+def test_reader_snapshot_is_isolated_from_later_commits(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 8), root)
+    snap = vt.snapshot(root)  # reader resolves BEFORE the next write
+    vt.write_table(_df(spark, 8, 20), root, mode="overwrite")
+    df = spark.read.parquet(*snap.files)
+    assert sorted(r.id for r in df.collect()) == list(range(8))
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 6), root)
+    vt.write_table(_df(spark, 6, 9), root, mode="overwrite")
+    deleted = vt.vacuum(root, keep_versions=1)
+    assert deleted, "the overwritten commit's files should be deleted"
+    # latest still fully readable after vacuum
+    assert vt.read_table_version(spark, root).count() == 3
+    assert [s.version for s in vt.history(root)] == [2]
+
+
+def test_bad_inputs_fail_loudly(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        vt.snapshot(root)
+    vt.write_table(_df(spark, 0, 3), root)
+    with pytest.raises(FileNotFoundError):
+        vt.snapshot(root, version=99)
+    with pytest.raises(ValueError):
+        vt.write_table(_df(spark, 0, 1), root, mode="merge")
