@@ -49,6 +49,9 @@ class Snapshot:
     version: int
     op: str
     files: tuple[str, ...]
+    #: Streaming epoch that produced this version (None for batch
+    #: commits) — the idempotence key for exactly-once streaming appends.
+    batch_id: int | None = None
 
 
 def _manifest_dir(root: str) -> str:
@@ -85,14 +88,27 @@ def snapshot(root: str, version: int | None = None) -> Snapshot:
         )
     with open(_manifest_path(root, version)) as f:
         m = json.load(f)
-    return Snapshot(m["version"], m["op"], tuple(m["files"]))
+    return Snapshot(m["version"], m["op"], tuple(m["files"]), m.get("batch_id"))
 
 
 def history(root: str) -> list[Snapshot]:
     return [snapshot(root, v) for v in _versions(root)]
 
 
-def _commit(root: str, op: str, files: list[str], base_version: int) -> Snapshot:
+def committed_batch_ids(root: str) -> set[int]:
+    """Streaming epochs already durably committed to this table."""
+    return {
+        s.batch_id for s in history(root) if s.batch_id is not None
+    }
+
+
+def _commit(
+    root: str,
+    op: str,
+    files: list[str],
+    base_version: int,
+    batch_id: int | None = None,
+) -> Snapshot:
     """Atomically publish version ``base_version + 1`` referencing
     ``files``.
 
@@ -109,7 +125,13 @@ def _commit(root: str, op: str, files: list[str], base_version: int) -> Snapshot
     os.makedirs(_manifest_dir(root), exist_ok=True)
     next_v = base_version + 1
     payload = json.dumps(
-        {"version": next_v, "op": op, "files": files, "n_files": len(files)}
+        {
+            "version": next_v,
+            "op": op,
+            "files": files,
+            "n_files": len(files),
+            "batch_id": batch_id,
+        }
     )
     path = _manifest_path(root, next_v)
     try:
@@ -120,7 +142,7 @@ def _commit(root: str, op: str, files: list[str], base_version: int) -> Snapshot
         ) from exc
     with os.fdopen(fd, "w") as f:
         f.write(payload)
-    return Snapshot(next_v, op, tuple(files))
+    return Snapshot(next_v, op, tuple(files), batch_id)
 
 
 def _write_data_files(df: DataFrame, root: str) -> list[str]:
@@ -151,6 +173,38 @@ def write_table(df: DataFrame, root: str, mode: str = "append") -> Snapshot:
     else:
         files = new_files
     return _commit(root, mode, files, base_version=base)
+
+
+def append_prepared(
+    root: str,
+    new_files: list[str],
+    batch_id: int | None = None,
+    retries: int = 5,
+) -> Snapshot:
+    """Append already-written data files, retrying commit races.
+
+    Retry is safe and cheap here (unlike re-running ``write_table``): the
+    data files exist once; each attempt only re-resolves the latest
+    snapshot and re-attempts the atomic manifest create. ``batch_id``
+    rides along as the streaming idempotence key.
+    """
+    for _ in range(retries):
+        versions = _versions(root)
+        base = versions[-1] if versions else 0
+        prior = snapshot(root, base).files if base else ()
+        try:
+            return _commit(
+                root,
+                "append",
+                list(prior) + list(new_files),
+                base_version=base,
+                batch_id=batch_id,
+            )
+        except CommitConflictError:
+            continue
+    raise CommitConflictError(
+        f"append lost {retries} consecutive commit races under {root}"
+    )
 
 
 def read_table_version(

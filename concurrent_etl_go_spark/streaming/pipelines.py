@@ -320,3 +320,37 @@ def stream_stream_join(
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {time_bound}")),
         how,
     )
+
+
+def stream_to_versioned(
+    stream: DataFrame, root: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """EXACTLY-ONCE streaming append into a versioned parquet table
+    (``sources/versioned.py``) — the jar-free equivalent of a Delta
+    streaming sink.
+
+    foreachBatch alone is at-least-once: after a crash between sink
+    write and checkpoint commit, the restarted query REPLAYS the last
+    epoch. Idempotence comes from recording the epoch id in the table
+    manifest at commit time: a replayed epoch is detected
+    (``committed_batch_ids``) and skipped before any data is written,
+    so the table converges to exactly-once contents under any
+    crash/restart schedule the checkpoint allows. Commit races with
+    concurrent writers retry against the fresh snapshot
+    (``append_prepared``) — data files are written once per epoch,
+    never per attempt.
+    """
+    from concurrent_etl_go_spark.sources import versioned as vt
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in vt.committed_batch_ids(root):
+            return  # replayed epoch: already durable, skip
+        files = vt._write_data_files(batch_df, root)  # noqa: SLF001
+        vt.append_prepared(root, files, batch_id=epoch_id)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(commit)
+        .start()
+    )
