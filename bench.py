@@ -56,6 +56,12 @@ HEADLINE = (
     "corpus_decontaminate",    # eval-overlap shingle join
     "join_interval_bucketed",  # pure interval join via hour-bucket equi-join
     "join_fuzzy_names",        # blocked levenshtein entity resolution
+    "agg_salted_skew",         # salted two-phase aggregation (round 4)
+    "join_null_skew_outer",    # null-key routing around the outer join
+    "text_boilerplate_ngrams", # cross-doc repeated-span detection
+    "agg_daily_zscore",        # volume-anomaly score over daily rollup
+    "agg_trailing_distinct_hll",  # rolling DAU via mergeable sketches
+    "profile_table_stats",     # single-scan column profile
 )
 
 
