@@ -238,3 +238,31 @@ def vacuum(root: str, keep_versions: int = 1) -> list[str]:
     for v in versions[:-keep_versions] if keep_versions else versions:
         os.remove(_manifest_path(root, v))
     return deleted
+
+
+def merge_upsert(
+    spark: SparkSession, root: str, updates: DataFrame, key: str
+) -> Snapshot:
+    """MERGE (upsert) into the latest snapshot: update rows whose ``key``
+    matches, insert the rest — committed as one new version.
+
+    Copy-on-write read-modify-write: resolve the base snapshot ONCE, anti-
+    join its rows against the update keys, union the updates, commit the
+    rewrite claiming ``base + 1``. Pinning the base at read time makes a
+    concurrent commit fail THIS merge with ``CommitConflictError``
+    (retry re-reads) instead of silently overwriting rows the merge never
+    saw — the lost-update anomaly plain overwrite would produce.
+
+    At real scale the rewrite narrows to only the files whose key ranges
+    intersect the updates (file-level min/max stats — the Delta/Iceberg
+    refinement); semantics here are identical with the whole snapshot as
+    one "touched file set". The anti-join itself is Spark-side: with
+    updates small it broadcasts, never shuffling the big current side.
+    """
+    base = snapshot(root)
+    current = spark.read.parquet(*base.files)
+    merged = current.join(
+        updates.select(key).distinct(), key, "left_anti"
+    ).unionByName(updates)
+    files = _write_data_files(merged, root)
+    return _commit(root, "merge", files, base_version=base.version)

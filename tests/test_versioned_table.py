@@ -152,3 +152,34 @@ def test_streaming_sink_skips_replayed_epoch(spark, tmp_path):
         versioned.append_prepared(root, files, batch_id=7)
     assert vt.snapshot(root) == before
     assert versioned.committed_batch_ids(root) == {7}
+
+
+def test_merge_upsert_updates_inserts_and_detects_conflicts(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 10), root)  # double_id = 2*id
+
+    updates = spark.createDataFrame(
+        [(3, 999), (4, 888), (100, 777)], "id long, double_id long"
+    )
+    s = vt.merge_upsert(spark, root, updates, key="id")
+    assert s.version == 2 and s.op == "merge"
+
+    rows = {r.id: r.double_id for r in vt.read_table_version(spark, root).collect()}
+    assert len(rows) == 11  # 10 originals, 2 updated in place, 1 inserted
+    assert rows[3] == 999 and rows[4] == 888 and rows[100] == 777
+    assert rows[5] == 10  # untouched rows survive the rewrite
+    # history: pre-merge snapshot still readable
+    v1 = {r.id: r.double_id for r in vt.read_table_version(spark, root, 1).collect()}
+    assert v1[3] == 6 and 100 not in v1
+
+    # conflict: a commit lands between this merge's read and its commit
+    base = vt.snapshot(root)
+    current = spark.read.parquet(*base.files)
+    racing = vt.write_table(_df(spark, 50, 52), root, mode="append")
+    assert racing.version == 3
+    merged = current.join(
+        updates.select("id").distinct(), "id", "left_anti"
+    ).unionByName(updates)
+    files = vt._write_data_files(merged, root)
+    with pytest.raises(vt.CommitConflictError):
+        vt._commit(root, "merge", files, base_version=base.version)
