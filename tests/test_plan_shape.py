@@ -241,3 +241,9 @@ def test_boilerplate_ngrams_no_python_in_row_path(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_boilerplate_ngrams")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+    # the shingle explode recomputes per consumer BY DESIGN (measured
+    # cheaper than caching the corpus-scale exploded relation — see the
+    # query docstring); the plan must show the two map-side scan
+    # pipelines and no cache
+    assert plan.count("FileScan") == 2
+    assert "InMemoryTableScan" not in plan
