@@ -485,3 +485,76 @@ def sample_frames(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, FRAMES_SCHEMA)
+
+
+#: Synthetic image geometry for ``multimodal_image_features``: a P5
+#: (grayscale binary PNM) payload of 8 x 4 = 32 pixels.
+_IMG_W, _IMG_H = 8, 4
+
+
+def _pnm_sum_features(payload: bytes) -> list[float]:
+    """Decode a PNM payload (REAL ``decode_pnm``) and return
+    [width, height, sum(px), sum(px^2)] — integer-valued statistics that
+    are exactly representable, so the cross-engine compare cannot hit a
+    round-half tie (Python rounds half-even, DuckDB half-away)."""
+    w, h, px = decode_pnm(payload)
+    return [
+        float(w),
+        float(h),
+        float(sum(int(p) for p in px)),
+        float(sum(int(p) * int(p) for p in px)),
+    ]
+
+
+@query(
+    "multimodal_image_features",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, unicode(substr(text, i, 1)) AS p
+      FROM documents, generate_series(1, {_IMG_W * _IMG_H}) t(i)
+      WHERE length(text) >= {_IMG_W * _IMG_H}
+    )
+    SELECT doc_id, {_IMG_W} AS width, {_IMG_H} AS height,
+           CAST(SUM(p) AS BIGINT) AS px_sum,
+           CAST(SUM(p * p) AS BIGINT) AS px_sq_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image decode through the REAL stdlib PNM decoder,
+    oracle-checked: build a deterministic P5 payload per document inside
+    the plan (header + the doc's first 32 text bytes as pixels), decode
+    it with ``decode_pnm`` in Arrow-batched ``mapInPandas``, and emit
+    per-image pixel statistics (sum and sum-of-squares — mean/variance
+    follow by two divisions, kept integer here so the driver's exact
+    hash compare certifies the binary plumbing AND the decoder output
+    byte-for-byte). The DuckDB oracle recomputes the identical stats
+    from the same bytes via character codes.
+
+    ASCII text means byte == codepoint, which is what makes the oracle
+    expressible; real image corpora swap the payload construction for a
+    binary column and keep everything downstream unchanged.
+
+    Scale: payload construction is map-side concat; decode is one Arrow
+    batch pass per partition with no shuffle at all — the per-image agg
+    happens inside the decoder, not in a groupBy.
+    """
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _IMG_W * _IMG_H
+    )
+    header = F.encode(F.lit(f"P5 {_IMG_W} {_IMG_H} 255 "), "utf-8")
+    pixels = F.substring(F.encode("text", "utf-8"), 1, _IMG_W * _IMG_H)
+    payloads = docs.select(
+        "doc_id", F.concat(header, pixels).alias("payload")
+    )
+    feats = extract_features(
+        with_media_meta(payloads, "payload", media_type="image/x-portable-graymap"),
+        decode_fn=_pnm_sum_features,
+    )
+    return feats.select(
+        "doc_id",
+        F.element_at("feature", 1).cast("int").alias("width"),
+        F.element_at("feature", 2).cast("int").alias("height"),
+        F.element_at("feature", 3).cast("long").alias("px_sum"),
+        F.element_at("feature", 4).cast("long").alias("px_sq_sum"),
+    )

@@ -90,7 +90,13 @@ def test_retention_single_scan_two_logical_shuffles(spark, sf_dir):
 #: bounded as-of merge runs one pd.merge_asof per partition (MapInPandas).
 #: Nothing is allowed to use scalar pandas UDFs in projections
 #: (ArrowEvalPython): every scalar expression must stay in codegen.
-ARROW_ALLOWLIST = {"join_asof", "join_asof_left"}
+ARROW_ALLOWLIST = {
+    "join_asof",
+    "join_asof_left",
+    # binary media decode has no JVM expression form — Arrow-batched by
+    # design (llm/multimodal.py)
+    "multimodal_image_features",
+}
 
 
 def test_no_query_uses_cartesian_or_row_python(spark, sf_dir):
