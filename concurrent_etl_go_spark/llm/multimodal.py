@@ -558,3 +558,86 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 3).cast("long").alias("px_sum"),
         F.element_at("feature", 4).cast("long").alias("px_sq_sum"),
     )
+
+
+#: Fixed 44-byte RIFF/WAVE header for ``multimodal_audio_features``:
+#: 8-bit PCM, mono, 8 kHz, exactly 32 samples (see tests for the layout
+#: derivation via ``struct``); the sample bytes follow directly.
+_WAV_N_SAMPLES = 32
+_WAV_HEADER = bytes.fromhex(
+    "524946464400000057415645666d7420"
+    "1000000001000100401f0000401f0000"
+    "010008006461746120000000"
+)
+
+
+def _wav_sum_features(payload: bytes) -> list[float]:
+    """Decode a WAV payload with the REAL stdlib ``wave`` module and
+    return [framerate, n_channels, sum(samples), sum(samples^2)] over
+    the centered 8-bit PCM samples (byte - 128) — integer-valued, so the
+    cross-engine compare is exact (same reasoning as
+    ``_pnm_sum_features``)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 1:
+            raise ValueError("expected 8-bit PCM")
+        rate, nch = wf.getframerate(), wf.getnchannels()
+        frames = wf.readframes(wf.getnframes())
+    samples = [b - 128 for b in frames]
+    return [
+        float(rate),
+        float(nch),
+        float(sum(samples)),
+        float(sum(s * s for s in samples)),
+    ]
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unicode(substr(text, i, 1)) - 128 AS v
+      FROM documents, generate_series(1, {_WAV_N_SAMPLES}) t(i)
+      WHERE length(text) >= {_WAV_N_SAMPLES}
+    )
+    SELECT doc_id, 8000 AS framerate, 1 AS n_channels,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM(v * v) AS BIGINT) AS sample_sq_sum
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio decode through the REAL stdlib WAV parser,
+    oracle-checked — the audio twin of ``multimodal_image_features``:
+    build a valid RIFF/WAVE payload per document inside the plan (fixed
+    44-byte header literal + the doc's first 32 text bytes as 8-bit PCM
+    samples), decode it with the ``wave`` module in Arrow-batched
+    ``mapInPandas``, and emit exact integer sample statistics the DuckDB
+    oracle recomputes from the same bytes.
+
+    Scale: identical profile to the image twin — map-side payload
+    concat, one Arrow pass, no shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _WAV_N_SAMPLES
+    )
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_WAV_HEADER),
+            F.substring(F.encode("text", "utf-8"), 1, _WAV_N_SAMPLES),
+        ).alias("payload"),
+    )
+    feats = extract_features(
+        with_media_meta(payloads, "payload", media_type="audio/wav"),
+        decode_fn=_wav_sum_features,
+    )
+    return feats.select(
+        "doc_id",
+        F.element_at("feature", 1).cast("int").alias("framerate"),
+        F.element_at("feature", 2).cast("int").alias("n_channels"),
+        F.element_at("feature", 3).cast("long").alias("sample_sum"),
+        F.element_at("feature", 4).cast("long").alias("sample_sq_sum"),
+    )

@@ -96,6 +96,7 @@ ARROW_ALLOWLIST = {
     # binary media decode has no JVM expression form — Arrow-batched by
     # design (llm/multimodal.py)
     "multimodal_image_features",
+    "multimodal_audio_features",
 }
 
 
