@@ -192,3 +192,47 @@ def scalar_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("words", "BRASS").alias("has_brass"),
         F.array_join(F.sort_array("words"), "-").alias("joined"),
     )
+
+
+@query(
+    "scalar_uri_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+                 || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+    FROM u
+    """,
+)
+def scalar_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/URI component extraction — host, path, query parameter — via
+    RE2-compatible regexps that DuckDB evaluates identically (Spark's
+    ``parse_url`` has no DuckDB twin, so the oracle-facing form uses
+    portable regexps; both engines see the same synthesized URL column).
+
+    Scale: pure map-side string expressions, no shuffle; the pattern is
+    the log-parsing front door of every clickstream/crawl pipeline.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("lang_param"),
+    )
