@@ -144,3 +144,69 @@ def agg_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zscore"),
     )
+
+
+@query(
+    "window_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 4) AS revenue
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT DISTINCT date_trunc('day', ts) AS day
+                  FROM events) d
+    )
+    SELECT s.event_type, s.day,
+           daily.revenue IS NOT NULL AS observed,
+           last_value(daily.revenue IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_filled
+    FROM spine s LEFT JOIN daily
+      ON s.event_type = daily.event_type AND s.day = daily.day
+    """,
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine forward fill: build the complete (event_type, day)
+    grid, left-join the observed daily revenue, and carry the last
+    observation forward across the gaps — the standard shape for turning
+    sparse event rollups into dense time series (dashboards, feature
+    windows, as-of training labels). Days before a type's first
+    observation stay NULL rather than inventing a value.
+
+    Scale: the spine is a cross join of two TINY distinct relations
+    (types x days), broadcast against nothing bigger than itself; raw
+    events collapse to the daily grain first (grain-first discipline,
+    as in agg_daily_zscore), and the fill is one window over the dense
+    grid partitioned by type — days x types rows, never event rows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("revenue"))
+    )
+    types = daily.select("event_type").distinct()
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    # broadcast keeps the spine build a BroadcastNestedLoopJoin (tiny x
+    # tiny), never a CartesianProduct shuffle
+    spine = types.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("revenue").isNotNull().alias("observed"),
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
+        )
+    )
