@@ -266,3 +266,119 @@ def merge_upsert(
     ).unionByName(updates)
     files = _write_data_files(merged, root)
     return _commit(root, "merge", files, base_version=base.version)
+
+
+# --- File skipping via manifest statistics (Delta-style data skipping) ----
+
+
+def collect_file_stats(paths: list[str], cols: tuple[str, ...]) -> dict:
+    """Per-file [min, max] for ``cols`` from the parquet FOOTERS — no data
+    read. Cost is O(files), driver-side, paid once at commit; every
+    pruned read amortizes it. Columns missing from a footer get no entry
+    (readers must treat absent stats as "cannot skip")."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict[str, list]] = {}
+    for path in paths:
+        meta = pq.ParquetFile(path).metadata
+        col_idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        per_col: dict[str, list] = {}
+        for col in cols:
+            if col not in col_idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                s = meta.row_group(rg).column(col_idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if ok and lo is not None:
+                per_col[col] = [lo, hi]
+        if per_col:
+            stats[path] = per_col
+    return stats
+
+
+def write_table_with_stats(
+    df: DataFrame,
+    root: str,
+    stats_cols: tuple[str, ...],
+    mode: str = "append",
+) -> Snapshot:
+    """``write_table`` + footer min/max stats recorded in the manifest so
+    reads can skip files (``read_table_pruned``). Layout the data for
+    skippability first — e.g. ``df.repartitionByRange(n, col)`` gives
+    files disjoint ranges on ``col``; random layout yields stats that
+    never exclude anything (correct, just not faster)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    new_files = _write_data_files(df, root)
+    new_stats = collect_file_stats(new_files, stats_cols)
+    versions = _versions(root)
+    base = versions[-1] if versions else 0
+    files, stats = list(new_files), dict(new_stats)
+    if mode == "append" and base:
+        prior = snapshot(root, base)
+        files = list(prior.files) + files
+        stats = {**_manifest_stats(root, base), **stats}
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    next_v = base + 1
+    payload = json.dumps(
+        {
+            "version": next_v,
+            "op": mode,
+            "files": files,
+            "n_files": len(files),
+            "batch_id": None,
+            "stats": stats,
+        }
+    )
+    path = _manifest_path(root, next_v)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise CommitConflictError(
+            f"version {next_v} already committed under {root}"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    return Snapshot(next_v, mode, tuple(files), None)
+
+
+def _manifest_stats(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f).get("stats", {})
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Read ``col BETWEEN lo AND hi`` skipping files whose manifest stats
+    prove they cannot match. Files without stats for ``col`` are always
+    read (skipping is an optimization, never a correctness filter), and
+    the residual BETWEEN predicate still applies inside kept files — so
+    results are identical to an unpruned filtered read, just with fewer
+    files opened. This is manifest-level skipping ON TOP of parquet's
+    own row-group pruning: at 100 TB it saves the file OPEN + footer
+    round-trips, which dominate small-range point lookups."""
+    snap = snapshot(root, version)
+    stats = _manifest_stats(root, snap.version)
+    keep = []
+    for path in snap.files:
+        s = stats.get(path, {}).get(col)
+        if s is None or not (s[1] < lo or s[0] > hi):
+            keep.append(path)
+    from pyspark.sql import functions as F
+
+    if not keep:
+        empty = spark.read.parquet(*snap.files).limit(0)
+        return empty
+    return spark.read.parquet(*keep).where(F.col(col).between(lo, hi))

@@ -183,3 +183,38 @@ def test_merge_upsert_updates_inserts_and_detects_conflicts(spark, tmp_path):
     files = vt._write_data_files(merged, root)
     with pytest.raises(vt.CommitConflictError):
         vt._commit(root, "merge", files, base_version=base.version)
+
+
+def test_file_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    """Manifest min/max stats skip files a range predicate cannot touch;
+    results stay identical to the unpruned filtered read."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 13).alias("payload")
+    )
+    # range layout -> files hold disjoint id ranges -> skippable stats
+    vt.write_table_with_stats(
+        df.repartitionByRange(8, "id"), root, stats_cols=("id",)
+    )
+    snap = vt.snapshot(root)
+    assert len(snap.files) == 8
+
+    pruned = vt.read_table_pruned(spark, root, "id", 100, 150)
+    got = sorted(r.id for r in pruned.collect())
+    assert got == list(range(100, 151))
+    # the pruned scan opened strictly fewer files than the table holds
+    assert 0 < len(pruned.inputFiles()) < len(snap.files)
+
+    # a range outside every file's stats reads nothing but stays correct
+    assert vt.read_table_pruned(spark, root, "id", 5000, 6000).count() == 0
+
+    # stats survive appends; files without stats are always kept
+    vt.write_table_with_stats(
+        spark.range(2000, 2100).select(
+            F.col("id"), (F.col("id") % 13).alias("payload")
+        ),
+        root,
+        stats_cols=(),  # no stats for the appended files
+    )
+    pruned2 = vt.read_table_pruned(spark, root, "id", 2000, 2050)
+    assert pruned2.count() == 51  # unstatted files still scanned
