@@ -210,3 +210,55 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("revenue", ignorenulls=True).over(w).alias("revenue_filled"),
         )
     )
+
+
+@query(
+    "agg_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           ROUND(list_reduce(list(n ORDER BY day),
+                 (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+    FROM daily GROUP BY 1
+    """,
+)
+def agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.3) of each event
+    type's daily volume — the smoothing baseline behind the z-score
+    monitor's "expected" line.
+
+    EWMA is inherently SEQUENTIAL (each step depends on the previous),
+    which windows can't express and recursion would driver-loop. The
+    declarative escape hatch: collect the per-type daily series into an
+    ORDERED array (bounded — days per type, not events) and fold it with
+    ``F.aggregate``, seeding with the first element exactly as DuckDB's
+    ``list_reduce`` does. Both engines then execute the identical
+    left-to-right IEEE sequence, so the compare is exact.
+
+    Scale: the fold runs over day-count-sized arrays inside a hash agg —
+    one grain-collapsing shuffle of (type, day) rows, then O(days) work
+    per type. The array never exceeds the series length; for unbounded
+    series, chunk by month and fold the chunk results (EWMA composes:
+    carry the last smoothed value as the next chunk's seed).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("vals")
+    )
+    vals = F.col("vals")
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: 0.3 * x + 0.7 * acc,
+    )
+    return series.select("event_type", F.round(ewma, 4).alias("ewma"))
