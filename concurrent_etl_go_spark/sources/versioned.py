@@ -382,3 +382,51 @@ def read_table_pruned(
         empty = spark.read.parquet(*snap.files).limit(0)
         return empty
     return spark.read.parquet(*keep).where(F.col(col).between(lo, hi))
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_files: int,
+    stats_cols: tuple[str, ...] = (),
+) -> Snapshot:
+    """Rewrite the latest snapshot's many small files into
+    ``target_files`` larger ones and commit the result as a new version
+    (op="compact") with identical logical contents.
+
+    The small-files problem is the dominant operational failure of
+    streaming-append tables: a 1-minute trigger produces 1,440 commits/
+    day, and scans pay per-file open + footer + scheduling overhead that
+    eventually swamps the data read. Compaction is the fix, and the
+    manifest design makes it SAFE under concurrency: the rewrite claims
+    base+1 like any commit, so appends landing mid-compaction win or
+    lose atomically (loser retries) and readers of older versions are
+    untouched — their files are immutable until ``vacuum``. Pass
+    ``stats_cols`` to re-derive skipping stats for the compacted layout
+    (repartition by range on the stats column first for max effect).
+    """
+    base = snapshot(root)
+    current = spark.read.parquet(*base.files)
+    files = _write_data_files(current.repartition(target_files), root)
+    stats = collect_file_stats(files, stats_cols) if stats_cols else {}
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    payload = json.dumps(
+        {
+            "version": base.version + 1,
+            "op": "compact",
+            "files": files,
+            "n_files": len(files),
+            "batch_id": None,
+            "stats": stats,
+        }
+    )
+    path = _manifest_path(root, base.version + 1)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise CommitConflictError(
+            f"version {base.version + 1} already committed under {root}"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    return Snapshot(base.version + 1, "compact", tuple(files), None)

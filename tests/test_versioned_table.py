@@ -218,3 +218,23 @@ def test_file_skipping_prunes_files_and_preserves_results(spark, tmp_path):
     )
     pruned2 = vt.read_table_pruned(spark, root, "id", 2000, 2050)
     assert pruned2.count() == 51  # unstatted files still scanned
+
+
+def test_compaction_reduces_files_preserves_rows_and_history(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    # simulate a streaming-append table: 6 tiny commits
+    for i in range(6):
+        vt.write_table(_df(spark, i * 10, i * 10 + 10), root, mode="append")
+    before = vt.snapshot(root)
+    assert len(before.files) >= 6  # many small files (one+ per commit)
+
+    s = vt.compact(spark, root, target_files=2)
+    assert s.op == "compact" and len(s.files) <= 2
+    after = vt.read_table_version(spark, root)
+    assert sorted(r.id for r in after.collect()) == list(range(60))
+    # pre-compaction version still time-travels
+    assert vt.read_table_version(spark, root, before.version).count() == 60
+    # vacuum now reclaims the small files
+    deleted = vt.vacuum(root, keep_versions=1)
+    assert len(deleted) >= 6
+    assert vt.read_table_version(spark, root).count() == 60
