@@ -104,3 +104,131 @@ def agg_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_purchase"),
     )
+
+
+@query(
+    "agg_user_lifetime",
+    oracle="""
+    SELECT user_id,
+           MIN(ts) AS first_seen,
+           MAX(ts) AS last_seen,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS n_active_days,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END), 4) AS purchase_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime summary — first/last activity, distinct active
+    days, event count, cumulative purchase value. The profile table every
+    product-analytics and LTV pipeline starts from.
+
+    Scale: one hash aggregation keyed by user_id; the distinct-day count
+    is per-group bounded (days, not events). At extreme user counts this
+    is the canonical salting candidate — see ``agg_salted_skew`` — and
+    the distinct-day term swaps to an HLL sketch if days-per-user grows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count_distinct(F.date_trunc("day", "ts")).alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            4,
+        ).alias("purchase_value"),
+    )
+
+
+@query(
+    "agg_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY 1),
+    wau AS (
+      SELECT g.day, COUNT(DISTINCT d.user_id) AS wau
+      FROM (SELECT DISTINCT day FROM d) g
+      JOIN d ON d.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+      GROUP BY 1
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(dau.dau / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def agg_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — daily actives over trailing-7-day
+    actives, the engagement ratio product teams track.
+
+    Scale: both terms reuse the grain-first discipline of
+    ``agg_trailing_distinct`` — raw events collapse once to (day, user),
+    the trailing-window count expands only that tiny relation by at most
+    7x, and the final join aligns two day-keyed aggregates. The sketch
+    path (``agg_trailing_distinct_hll``) substitutes directly when user
+    cardinality outgrows exact counting.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    grid = d.select("day").distinct().withColumnRenamed("day", "g_day")
+    cond = (F.col("day") <= F.col("g_day")) & (
+        F.col("day") >= F.col("g_day") - F.expr("INTERVAL 6 DAYS")
+    )
+    wau = (
+        grid.join(d, cond)
+        .groupBy(F.col("g_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+    )
+
+
+@query(
+    "window_power_users",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS total_value
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events, total_value
+    FROM (
+      SELECT *, ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+      FROM u
+    ) WHERE decile = 1
+    """,
+)
+def window_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-decile users by activity (deterministic ntile with user_id
+    tie-break) with their totals — the power-user segment cut.
+
+    Scale: the ntile runs over the per-user AGGREGATE (users, not
+    events) — but a global ORDER BY is still a single-partition sort at
+    extreme user counts; the production variant replaces ntile with an
+    approx-quantile threshold (compute the p90 of n_events, filter) at
+    the cost of boundary exactness. Kept exact here for the oracle.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        u.withColumn("decile", F.ntile(10).over(w))
+        .where(F.col("decile") == 1)
+        .drop("decile")
+    )
