@@ -196,3 +196,73 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sv"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "join_pit_scd2",
+    oracle="""
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1998-01-01' END
+                 AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPDATED', TIMESTAMP '1998-01-01', NULL
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT h.c_mktsegment AS segment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join: facts joined to the SCD2 dimension version
+    that was valid AT THE FACT'S TIMESTAMP — every 7th customer's segment
+    changes on 1998-01-01, and each order must see the segment as of its
+    own order date, never the current one. This is the correctness rule
+    feature stores call PIT (training labels must not leak future
+    attribute values) and warehouses call a temporal join.
+
+    Scale: equi-join on the surrogate key carries the weight (hash join,
+    dimension side broadcast-eligible); the validity-interval check rides
+    along as a residual predicate, never a range-join blowup — each fact
+    matches exactly one version by construction (intervals partition
+    time per key). Exactly the ``join_asof`` discipline with explicit
+    interval bounds instead of nearest-backward semantics.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    changed = F.col("c_custkey") % 7 == 0
+    cutover = F.lit("1998-01-01").cast("timestamp")
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.when(changed, cutover).alias("valid_to"),
+    )
+    v2 = cust.where(changed).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        cutover.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = v1.unionByName(v2)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    pit = orders.join(
+        F.broadcast(hist),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return pit.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
