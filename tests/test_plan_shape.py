@@ -254,3 +254,30 @@ def test_boilerplate_ngrams_no_python_in_row_path(spark, sf_dir):
     # pipelines and no cache
     assert plan.count("FileScan") == 2
     assert "InMemoryTableScan" not in plan
+
+
+def test_pit_join_broadcasts_dimension_history(spark, sf_dir):
+    """join_pit_scd2: the SCD2 history side broadcasts (equi-join on the
+    key with the validity interval as residual) — never a nested-loop
+    range join."""
+    plan = plan_of(spark, sf_dir, "join_pit_scd2")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_is_broadcast_nested_loop(spark, sf_dir):
+    """window_gap_fill: the tiny types x days spine builds via broadcast
+    nested loop, never a shuffled cartesian."""
+    plan = plan_of(spark, sf_dir, "window_gap_fill")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stickiness_dedups_to_day_grain_before_expansion(spark, sf_dir):
+    """agg_stickiness: the 7x day-range expansion must run over the
+    deduped (day, user) relation — aggregates below the range join."""
+    plan = plan_of(spark, sf_dir, "agg_stickiness")
+    assert "CartesianProduct" not in plan
+    # the day-range join is a broadcast nested loop over the tiny grid
+    assert "BroadcastNestedLoopJoin" in plan
