@@ -513,3 +513,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectors.join(dup_ids, "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+@query("dedup_embedding_cosine_lsh")  # hyperplane candidates — rows-only
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION path of ``dedup_embedding_cosine``: survivors after
+    removing near-duplicates whose candidate pairs come from
+    signed-random-projection LSH (``rp_lsh_pairs``) instead of the
+    label-blocked all-pairs oracle twin — the same min-id-wins survivor
+    rule applied to bucket-then-verify candidates.
+
+    Candidate spaces differ deliberately: the oracle twin blocks on the
+    label column (SQL-expressible), while LSH needs no blocking column
+    and therefore also catches CROSS-label duplicates the twin cannot
+    see. The correct invariant is against the UNBLOCKED exact pair set:
+    every LSH pair is cosine-verified, so found dups are a subset of
+    true (unblocked) dups and the survivor set is a superset of the
+    unblocked-exact survivors, with excess bounded by recall misses —
+    which is exactly what the pytest pins.
+
+    Scale: inherits rp_lsh_pairs' shape — signature build is one scan,
+    banding is an equi-join on int keys, multi-probe prunes dead buckets
+    map-side; no O(n^2) stage anywhere, no label/blocking column needed.
+    """
+    vectors = _vectors(spark, sf_dir)
+    pairs = rp_lsh_pairs(vectors, threshold=0.3)
+    dup_ids = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return vectors.join(dup_ids, "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )

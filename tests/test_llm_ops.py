@@ -820,3 +820,46 @@ def test_pagerank_mass_conservation_and_reference(spark):
 
     # symmetric positions must tie
     assert got[1] == got[4] and got[2] == got[3] and got[10] == got[11]
+
+
+def test_embedding_dedup_lsh_superset_of_unblocked_exact(spark):
+    """The LSH survivor set must CONTAIN the UNBLOCKED exact survivors
+    (LSH pairs are cosine-verified => found dups are a subset of true
+    dups => min-id removal can only remove fewer), with excess bounded
+    by recall misses. The label-blocked oracle twin is NOT the right
+    baseline here: LSH needs no blocking column, so it also removes
+    cross-label dups the twin cannot see."""
+    from concurrent_etl_go_spark.llm.similarity import (
+        _vectors,
+        dedup_embedding_cosine_lsh,
+        dot,
+    )
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    v = _vectors(spark, SF_SMOKE)
+    a, b = v.alias("a"), v.alias("b")
+    # test-only brute force (250k pairs at sf0.001): the full unblocked
+    # ground truth LSH approximates
+    true_dups = {
+        r.vec_id
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+            >= 0.3
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .collect()
+    }
+    all_ids = {r.vec_id for r in v.select("vec_id").collect()}
+    exact_survivors = all_ids - true_dups
+    release_caches()
+
+    lsh = {r.vec_id for r in dedup_embedding_cosine_lsh(spark, SF_SMOKE).collect()}
+    release_caches()
+    assert exact_survivors <= lsh, "LSH dedup dropped a true survivor"
+    missed = len(lsh) - len(exact_survivors)
+    assert missed <= max(3, 0.2 * max(len(true_dups), 1)), (
+        len(exact_survivors),
+        len(lsh),
+    )

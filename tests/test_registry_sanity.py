@@ -30,6 +30,7 @@ def test_oracles_are_subset_of_queries():
         "agg_hll_mergeable",
         "agg_trailing_distinct_hll",
         "embeddings_pq_codes",
+        "dedup_embedding_cosine_lsh",
         "text_countmin_sketch",
         "graph_pagerank",
     }
