@@ -118,3 +118,29 @@ def test_lakehouse_stubs_fail_loudly_without_jars(spark):
             fn(spark, arg)
         assert hint in str(exc.value)
         assert "spark.jars.packages" in str(exc.value)
+
+
+def test_engine_repins_utc_under_hostile_session_timezone(spark, sf_dir):
+    """The /verify probe as a permanent regression: a driver session
+    running in a non-UTC timezone must not change any time-keyed result —
+    read_table re-pins UTC, so window boundaries and date_trunc grains
+    stay identical."""
+    baseline = {
+        (r.event_type, r.day): r.n
+        for r in entry_mod.queries()["agg_daily_zscore"](spark, sf_dir)
+        .select("event_type", "day", "n")
+        .collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        hostile = {
+            (r.event_type, r.day): r.n
+            for r in entry_mod.queries()["agg_daily_zscore"](spark, sf_dir)
+            .select("event_type", "day", "n")
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert hostile == baseline
+    # and the engine actually re-pinned (the query path calls read_table)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
