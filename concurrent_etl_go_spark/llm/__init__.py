@@ -11,8 +11,10 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     curation,
     datasets,
     dedup,
+    ivfpq,
     kmeans,
     multimodal,
+    negatives,
     quantize,
     similarity,
     text,

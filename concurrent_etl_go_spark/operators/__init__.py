@@ -8,6 +8,7 @@ loads every query module.
 from concurrent_etl_go_spark.operators import (  # noqa: F401
     etl_queries,
     graph,
+    layout,
     profiling,
     relational,
     relational2,
@@ -20,6 +21,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational9,
     relational10,
     scalars2,
+    search,
     sketches,
     skew,
     warehouse,

@@ -1,0 +1,188 @@
+"""Full-text retrieval over ``documents``: BM25 ranking and corpus
+heavy-hitters.
+
+BM25 is the retrieval half of a training-data pipeline (quality-biased
+sampling, near-duplicate triage, eval-set decontamination all start from
+"which documents match these terms"). The plan is inverted-index shaped:
+explode tokens, FILTER TO THE QUERY TERMS BEFORE ANY SHUFFLE (the filter
+prunes ~99% of postings at the scan), aggregate tiny per-term statistics,
+broadcast them back. Nothing here is a UDF; everything is Catalyst
+expressions.
+
+Scale: at 100 TB the posting-list explode never materializes — the
+``term IN (...)`` predicate sits directly on the exploded generator
+output, so only matching postings reach the tf aggregation; df/avgdl/N
+are scalar-sized aggregates broadcast back onto the tf frame. The final
+top-k is a sort of |matching docs| rows, not the corpus.
+
+Cross-engine determinism: the per-term BM25 contributions are summed in a
+FIXED literal order (one conditional-sum column per query term, added
+left-to-right) instead of a SUM over term rows, so Spark and DuckDB
+perform bit-identical IEEE double additions; ordering uses the rounded
+score with a doc_id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.llm.text import tokens
+from concurrent_etl_go_spark.sources.readers import read_table
+
+#: Fixed retrieval query for the registry entry (real vocabulary terms of
+#: the synthetic corpus). Order matters: contributions add left-to-right.
+BM25_TERMS = ("hash", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _contrib(term: str) -> Column:
+    """BM25 contribution of one query term (0 when the doc lacks it)."""
+    tf = F.coalesce(
+        F.sum(F.when(F.col("term") == term, F.col("tf"))), F.lit(0).cast("long")
+    )
+    idf = F.coalesce(
+        F.max(F.when(F.col("term") == term, F.col("idf"))), F.lit(0.0)
+    )
+    # dl/avgdl are constant per doc_id group — MAX picks the value while
+    # keeping the expression legal under groupBy (mirrors the oracle SQL).
+    denom = tf + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.max("dl") / F.max("avgdl")
+    )
+    return idf * tf * (BM25_K1 + 1.0) / denom
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE term IN ({_TERMS_SQL})
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT term,
+             ln(1 + (s.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                    / (COUNT(DISTINCT doc_id) + 0.5)) AS idf
+      FROM tf CROSS JOIN stats s
+      GROUP BY term, s.n_docs
+    ),
+    joined AS (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.idf, dl.dl, s.avgdl
+      FROM tf JOIN idf USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id,
+             {" + ".join(
+                 f'''coalesce(MAX(CASE WHEN term = '{t}' THEN idf END), 0)
+                 * coalesce(SUM(CASE WHEN term = '{t}' THEN tf END), 0)
+                 * {BM25_K1 + 1.0}
+                 / (coalesce(SUM(CASE WHEN term = '{t}' THEN tf END), 0)
+                    + {BM25_K1} * (1.0 - {BM25_B}
+                                   + {BM25_B} * MAX(dl) / MAX(avgdl)))'''
+                 for t in BM25_TERMS
+             )} AS score
+      FROM joined
+      GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 4) DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k}: rank documents for a fixed multi-term query.
+
+    Plan shape (the inverted-index pattern): tokenize -> explode ->
+    ``term IN (query_terms)`` (prunes postings at the generator — the
+    explode of non-matching terms never reaches an exchange) -> per
+    (doc, term) tf agg -> tiny per-term df/idf agg (|terms| rows,
+    broadcast) -> join document lengths -> fixed-order score sum ->
+    rounded-score top-k with doc_id tie-break.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("term")).where(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.crossJoin(F.broadcast(stats.select("n_docs")))
+        .groupBy("term", "n_docs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    joined = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+    )
+    contribs = [_contrib(t) for t in BM25_TERMS]
+    score = contribs[0]
+    for c in contribs[1:]:  # fixed left-to-right addition order
+        score = score + c
+    scored = joined.groupBy("doc_id").agg(F.round(score, 4).alias("bm25"))
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOP_K)
+
+
+HEAVY_HITTERS_K = 50
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=f"""
+    SELECT term, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY cnt DESC, term
+    LIMIT {HEAVY_HITTERS_K}
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy-hitters: the top-{k} most frequent tokens.
+
+    The vocabulary-statistics primitive behind tokenizer training and
+    stop-word lists. Scale: explode -> groupBy(term) gets Spark's
+    map-side partial aggregation automatically (each task emits one
+    partial count per distinct term it saw, so the exchange carries
+    |vocab| x partitions rows, not |tokens|); the final top-k is a
+    TakeOrdered over |vocab| rows. The approximate counterpart for
+    heavy-tailed vocabularies is ``text_countmin_sketch``.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(HEAVY_HITTERS_K)
+    )

@@ -33,6 +33,7 @@ def test_oracles_are_subset_of_queries():
         "dedup_embedding_cosine_lsh",
         "text_countmin_sketch",
         "graph_pagerank",
+        "similarity_ivfpq_topk",
     }
 
 
