@@ -10,7 +10,8 @@ the same call sites can swap to Delta/Iceberg when the jars exist.
 Layout (all under the table root):
 
     _manifests/v00000001.json   one JSON manifest per committed version:
-                                {"version", "op", "files", "n_files"}
+                                {"version", "op", "files", "n_files",
+                                 "batch_id", "schema"}
     data/<commit-uuid>/part-*.parquet   immutable data files per commit
 
 Concurrency model (the Delta/Iceberg one, scaled down): writers prepare
@@ -42,6 +43,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Append schema conflicts with the table's committed schema.
+
+    ADDING columns is legal evolution (old files surface NULL for them);
+    CHANGING a column's type is not — parquet readers cannot reconcile
+    int64 and string footers for the same name, so the conflict must fail
+    at COMMIT time, not as a read error discovered much later."""
 
 
 @dataclass(frozen=True)
@@ -102,12 +112,49 @@ def committed_batch_ids(root: str) -> set[int]:
     }
 
 
+def _manifest_schema(root: str, version: int) -> list[list[str]] | None:
+    """[[name, spark-simpleString-type], ...] recorded at commit, or None
+    for manifests written before schema tracking."""
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f).get("schema")
+
+
+def _check_append_schema(root: str, base: int, dtypes: list) -> list[list[str]]:
+    """Validate ``dtypes`` against the base version's committed schema and
+    return the UNION schema (evolution = prior columns + newly added ones,
+    in first-seen order). Raises ``SchemaEvolutionError`` on type
+    conflicts."""
+    new = [[n, t] for n, t in dtypes]
+    prior = _manifest_schema(root, base) if base else None
+    if prior is None:
+        return new
+    prior_types = {n: t for n, t in prior}
+    conflicts = [
+        (n, prior_types[n], t)
+        for n, t in new
+        if n in prior_types and prior_types[n] != t
+    ]
+    if conflicts:
+        detail = ", ".join(f"{n}: {a} -> {b}" for n, a, b in conflicts)
+        raise SchemaEvolutionError(
+            f"append would change column types ({detail}); adding columns "
+            "is supported, retyping them is not"
+        )
+    merged = [list(p) for p in prior]
+    seen = set(prior_types)
+    for n, t in new:
+        if n not in seen:
+            merged.append([n, t])
+    return merged
+
+
 def _commit(
     root: str,
     op: str,
     files: list[str],
     base_version: int,
     batch_id: int | None = None,
+    schema: list[list[str]] | None = None,
 ) -> Snapshot:
     """Atomically publish version ``base_version + 1`` referencing
     ``files``.
@@ -131,6 +178,7 @@ def _commit(
             "files": files,
             "n_files": len(files),
             "batch_id": batch_id,
+            "schema": schema,
         }
     )
     path = _manifest_path(root, next_v)
@@ -164,15 +212,21 @@ def write_table(df: DataFrame, root: str, mode: str = "append") -> Snapshot:
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    new_files = _write_data_files(df, root)
     versions = _versions(root)
     base = versions[-1] if versions else 0
+    if mode == "append":
+        # validate BEFORE writing data files: a conflicting append should
+        # fail clean, not leave unreferenced files for vacuum
+        schema = _check_append_schema(root, base, df.dtypes)
+    else:
+        schema = [[n, t] for n, t in df.dtypes]
+    new_files = _write_data_files(df, root)
     if mode == "append" and base:
         prior = snapshot(root, base).files
         files = list(prior) + new_files
     else:
         files = new_files
-    return _commit(root, mode, files, base_version=base)
+    return _commit(root, mode, files, base_version=base, schema=schema)
 
 
 def append_prepared(
@@ -210,9 +264,16 @@ def append_prepared(
 def read_table_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Read a snapshot (latest by default, or time-travel to ``version``)."""
+    """Read a snapshot (latest by default, or time-travel to ``version``).
+
+    ``mergeSchema`` unions footer schemas across the referenced files, so
+    a snapshot whose history includes schema evolution surfaces every
+    committed column (files written before a column existed yield NULL
+    for it). Homogeneous histories read identically with or without the
+    option; the cost is one footer read per file at planning time, which
+    the manifest already bounds to the snapshot's file list."""
     snap = snapshot(root, version)
-    return spark.read.parquet(*snap.files)
+    return spark.read.option("mergeSchema", "true").parquet(*snap.files)
 
 
 def vacuum(root: str, keep_versions: int = 1) -> list[str]:

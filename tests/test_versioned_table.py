@@ -238,3 +238,39 @@ def test_compaction_reduces_files_preserves_rows_and_history(spark, tmp_path):
     deleted = vt.vacuum(root, keep_versions=1)
     assert len(deleted) >= 6
     assert vt.read_table_version(spark, root).count() == 60
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appending with an added column is legal evolution: old files
+    surface NULL for it, new files carry it, and time travel still sees
+    the pre-evolution schema."""
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 5), root, mode="append")
+    evolved = _df(spark, 5, 8).withColumn("source", F.lit("crawl-2"))
+    s2 = vt.write_table(evolved, root, mode="append")
+    assert s2.version == 2
+
+    latest = vt.read_table_version(spark, root)
+    assert "source" in latest.columns
+    rows = {r.id: r.source for r in latest.collect()}
+    assert len(rows) == 8
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == "crawl-2" for i in range(5, 8))
+    # time travel predates the column
+    assert "source" not in vt.read_table_version(spark, root, version=1).columns
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    """Retyping an existing column must fail AT COMMIT, before any data
+    file is written (nothing new for vacuum to collect)."""
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 5), root, mode="append")
+    bad = _df(spark, 5, 8).withColumn("id", F.col("id").cast("string"))
+    data_dirs_before = sorted(os.listdir(os.path.join(root, "data")))
+    with pytest.raises(vt.SchemaEvolutionError, match="id"):
+        vt.write_table(bad, root, mode="append")
+    assert sorted(os.listdir(os.path.join(root, "data"))) == data_dirs_before
+    assert [s.version for s in vt.history(root)] == [1]
+    # overwrite with the new type is the sanctioned escape hatch
+    s2 = vt.write_table(bad, root, mode="overwrite")
+    assert s2.version == 2
