@@ -10,6 +10,7 @@ decode stubs (the image/audio libraries are not in this environment).
 from concurrent_etl_go_spark.llm import (  # noqa: F401
     curation,
     datasets,
+    datasets2,
     dedup,
     ivfpq,
     kmeans,

@@ -1,0 +1,225 @@
+"""Corpus maintenance, batch 2: epoch shuffling, incremental dedup, and
+unigram-LM quality scoring.
+
+Three operations a recurring pretraining-data pipeline runs every cycle:
+
+- ``dataset_epoch_shuffle``: the per-epoch deterministic global shuffle.
+  Training wants a different document order every epoch, reproducible
+  across restarts and engines — so the order IS a hash: sorting by
+  ``md5(epoch # doc_id)`` is a seeded permutation, and taking the hash
+  modulo the shard count places each document in its epoch-specific
+  shard. Changing the epoch literal re-permutes everything with zero
+  state.
+- ``corpus_dedup_incremental``: dedup the NEW batch against the already-
+  ingested corpus without re-deduplicating the corpus itself — the
+  incremental shape that keeps daily ingestion O(|batch|) instead of
+  O(|corpus|).
+- ``text_unigram_nll``: per-document negative log-likelihood under the
+  corpus' own unigram language model — the cheap perplexity proxy used
+  for quality filtering (CCNet-style: unusually high NLL = gibberish,
+  unusually low = boilerplate; both tails get reviewed).
+
+Everything is Catalyst expressions over the portable md5 hash (same
+trick as ``llm/datasets.py``), so all three are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.llm.dedup import normalize_text
+from concurrent_etl_go_spark.llm.text import tokens
+from concurrent_etl_go_spark.sources.readers import read_table
+
+#: Epoch seed + shard fan-out for the registry entry.
+SHUFFLE_EPOCH = 7
+SHUFFLE_SHARDS = 8
+
+#: Batch split for the incremental-dedup entry: documents hash-bucketed
+#: >= this value play the "incoming batch", the rest the settled corpus
+#: (same 100-bucket md5 split as llm/datasets.py).
+INCOMING_BUCKET = 90
+
+_SQL_BUCKET = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100)"
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', "
+    "'g'), ' +', ' ', 'g'))"
+)
+
+
+def _bucket(col):
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+
+
+@query(
+    "dataset_epoch_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{SHUFFLE_EPOCH}#' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({SHUFFLE_EPOCH} AS BIGINT) AS epoch,
+           (hkey % {SHUFFLE_SHARDS}) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY hkey % {SHUFFLE_SHARDS}
+               ORDER BY hkey, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def dataset_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document a shard and a
+    position within the shard for epoch ``SHUFFLE_EPOCH``.
+
+    Scale: exactly the shape a real epoch shuffle needs — one hash
+    expression per row, one exchange on the shard key, one per-shard
+    sort (Spark turns the row_number window into sort-within-partitions
+    after the hash-partition on shard). Nothing global: no total order,
+    no driver participation, shards stream out independently. The
+    doc_id tie-break makes the permutation total even on the
+    astronomically-rare 32-bit hash collision.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    hkey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.lit(str(SHUFFLE_EPOCH)), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = docs.select("doc_id", hkey.alias("hkey")).withColumn(
+        "shard", F.col("hkey") % SHUFFLE_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        F.lit(SHUFFLE_EPOCH).cast("long").alias("epoch"),
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@query(
+    "corpus_dedup_incremental",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_NORM} AS norm_text,
+             {_SQL_BUCKET} AS bucket
+      FROM documents
+    ),
+    corpus_fp AS (
+      SELECT DISTINCT md5(norm_text) AS fp FROM b
+      WHERE bucket < {INCOMING_BUCKET}
+    ),
+    incoming AS (
+      SELECT md5(norm_text) AS fp, MIN(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_in_batch
+      FROM b WHERE bucket >= {INCOMING_BUCKET}
+      GROUP BY 1
+    )
+    SELECT i.keep_doc_id, i.fp, i.n_in_batch
+    FROM incoming i ANTI JOIN corpus_fp c ON i.fp = c.fp
+    """,
+)
+def corpus_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against the settled corpus: survivors are
+    batch documents (lowest doc_id per normalized fingerprint) whose
+    fingerprint does not already exist in the corpus.
+
+    Scale: the whole point is what this does NOT do — re-scan or re-group
+    the settled corpus. At 100 TB ``corpus_fp`` is a maintained
+    fingerprint index (itself the output of prior runs, appended each
+    cycle via the versioned table); each run is one groupBy over the
+    BATCH plus one anti-join of |batch| fingerprints against the index,
+    shuffle-partitioned on the fingerprint with no skew (md5 keys).
+    Here the index side is derived in-plan from the corpus partition so
+    the oracle can check the whole contract end to end.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        normalize_text("text").alias("norm_text"),
+        _bucket(F.col("doc_id")).alias("bucket"),
+    ).withColumn("fp", F.md5("norm_text"))
+    corpus_fp = (
+        b.where(F.col("bucket") < INCOMING_BUCKET).select("fp").distinct()
+    )
+    incoming = (
+        b.where(F.col("bucket") >= INCOMING_BUCKET)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+    return incoming.join(corpus_fp, "fp", "left_anti").select(
+        "keep_doc_id", "fp", "n_in_batch"
+    )
+
+
+@query(
+    "text_unigram_nll",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    per AS (
+      SELECT t.doc_id, SUM(ln(cnt.c / tot.n)) AS ll, COUNT(*) AS dl
+      FROM tok t JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+           ROUND(-ll / dl, 4) AS nll
+    FROM per
+    """,
+)
+def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus unigram
+    LM — the cheap perplexity proxy for quality filtering. High NLL =
+    tokens the corpus finds surprising (noise, gibberish, wrong
+    language); low NLL = wall-to-wall stopwords/boilerplate.
+
+    Scale: the unigram "model" is the term-count dictionary — Zipf-
+    bounded, so it broadcasts (same shape as ``text_tfidf``'s df side);
+    scoring is one explode + dictionary join + per-doc agg. The summation
+    follows the registry's ROUND(x, 4)-both-sides convention for
+    cross-engine float stability.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        tok.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.log(F.col("c") / F.col("n"))).alias("ll"),
+            F.count(F.lit(1)).alias("dl"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("n_tokens"),
+        F.round(-F.col("ll") / F.col("dl"), 4).alias("nll"),
+    )
