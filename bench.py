@@ -62,6 +62,11 @@ HEADLINE = (
     "agg_daily_zscore",        # volume-anomaly score over daily rollup
     "agg_trailing_distinct_hll",  # rolling DAU via mergeable sketches
     "profile_table_stats",     # single-scan column profile
+    "text_bm25_search",        # BM25 retrieval (inverted-index plan)
+    "text_unigram_nll",        # unigram-LM perplexity proxy
+    "dataset_epoch_shuffle",   # seeded epoch shard permutation
+    "layout_zorder",           # Morton-key layout profile
+    "similarity_ivfpq_topk",   # IVF-PQ ANN (build + probe + re-rank)
 )
 
 

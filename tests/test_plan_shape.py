@@ -281,3 +281,49 @@ def test_stickiness_dedups_to_day_grain_before_expansion(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the day-range join is a broadcast nested loop over the tiny grid
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_bm25_prunes_postings_and_broadcasts_stats(spark, sf_dir):
+    """The term IN (...) filter must sit under the tf aggregation (postings
+    pruned before any exchange) and the tiny df/avgdl stats must broadcast."""
+    plan = plan_of(spark, sf_dir, "text_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("term#") > 0 and "hash" in plan  # the IN-list filter
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan
+
+
+def test_heavy_hitters_partial_aggregates_and_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_heavy_hitters")
+    # map-side combine: a partial_count before the exchange, and the
+    # global top-k must be TakeOrdered, not a full sort
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_profile_is_pure_expression_single_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "layout_zorder")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "CartesianProduct"):
+        assert marker not in plan
+    assert "partial_count" in plan  # map-side combined profile
+
+
+def test_epoch_shuffle_is_one_exchange_plus_partition_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dataset_epoch_shuffle")
+    # one hash exchange on the shard key; the row_number sort stays inside
+    # the partition (no global Sort/Exchange pair beyond it)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_incremental_dedup_anti_joins_the_batch(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_dedup_incremental")
+    assert "LeftAnti" in plan
+
+
+def test_unigram_nll_broadcasts_the_dictionary(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_unigram_nll")
+    assert "BroadcastHashJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        assert marker not in plan
