@@ -12,6 +12,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     datasets,
     datasets2,
     dedup,
+    dedup2,
     ivfpq,
     kmeans,
     multimodal,

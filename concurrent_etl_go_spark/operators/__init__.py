@@ -24,6 +24,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     search,
     sketches,
     skew,
+    timeseries,
     warehouse,
     scalars_queries,
     time_windows,

@@ -1,0 +1,152 @@
+"""Time-series resampling and robust outlier scoring over ``events``.
+
+Two more shapes the monitoring half of a 100 TB pipeline runs daily:
+
+- ``agg_resample_ohlc``: downsample an event stream to fixed bars with
+  FIRST/LAST semantics (open/close) plus min/max/sum — the generic
+  "resample with edge values" operator (finance calls it OHLC; ops
+  dashboards call it first/last-seen rollup). First/last are made
+  deterministic with explicit (ts, event_id) row numbering — never
+  ``first()``'s partition-order roulette.
+- ``agg_mad_outliers``: per-group robust outlier counts via median
+  absolute deviation. Mean/stddev z-scores (``agg_daily_zscore``) break
+  down under the very outliers they hunt; median/MAD is the standard
+  robust alternative. Exact medians buffer per group (oracle-comparable
+  — the same caveat as ``agg_percentiles``); the production swap is
+  ``approx_percentile(0.5)``, same plan shape with bounded buffers.
+
+Scale: OHLC is one exchange on (type, hour) with the row-number sort
+inside the partitions; MAD is two grouped aggregations over the same
+partitioning plus tiny broadcast join-backs (|groups| rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+MAD_K = 3.0  # outlier threshold: |x - median| > MAD_K * MAD
+
+
+@query(
+    "agg_resample_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar, value, ts, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bar,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           ROUND(SUM(value), 4) AS volume,
+           COUNT(*) AS n_events
+    FROM r
+    GROUP BY 1, 2
+    """,
+)
+def agg_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are the values at the
+    earliest/latest (ts, event_id) in the bar — an explicit total order,
+    because Spark's ``first()``/``last()`` aggregate functions depend on
+    partition arrival order and would be non-deterministic.
+
+    Scale: one hash exchange on (type, bar); both row_number windows
+    share that partitioning (one sort ascending serves rn_a, the
+    descending twin is computed in the same window stage); the final
+    groupBy re-uses the exchange. No driver traffic.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_asc = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = ev.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return r.groupBy("event_type", "bar").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias(
+            "open"
+        ),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias(
+            "close"
+        ),
+        F.round(F.sum("value"), 4).alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN d.adev > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts: median + MAD, flag rows whose
+    absolute deviation exceeds ``MAD_K`` * MAD.
+
+    Scale: two grouped medians over the same (event_type) partitioning
+    with tiny (|types| rows) broadcast join-backs between them. Exact
+    ``median`` buffers each group's values (the oracle-comparable form,
+    same caveat as ``agg_percentiles``); swap ``F.median`` for
+    ``F.percentile_approx(..., 0.5)`` at extreme group sizes — identical
+    plan, bounded buffers.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
