@@ -262,3 +262,105 @@ def agg_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: 0.3 * x + 0.7 * acc,
     )
     return series.select("event_type", F.round(ewma, 4).alias("ewma"))
+
+
+@query(
+    "profile_constraint_check",
+    oracle="""
+    SELECT 'l_orderkey_not_null' AS constraint_name,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS violations,
+           (COUNT(*) - COUNT(l_orderkey)) = 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount_in_0_1',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+               THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity_le_40',
+           CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+    FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def profile_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (the Deequ/Great-Expectations
+    shape): one row per declared constraint with its violation count —
+    non-null, value-range, primary-key uniqueness, and referential
+    integrity, over lineitem/orders. ``l_quantity_le_40`` is a
+    deliberately tight bound so the report demonstrably COUNTS failures
+    rather than rubber-stamping.
+
+    Scale: all three lineitem row-level checks share ONE scan (one agg
+    node, conditional-sum buffers); the PK check is one orders agg; the
+    FK check is an anti join partial-counted per partition. Violation
+    COUNTS (not violating rows) cross the network — the report is
+    O(constraints) rows regardless of table size. Quarantining the
+    violating rows themselves is the same predicates applied as filters
+    (the ``text_quality_filter`` keep/drop pattern).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+
+    li_checks = li.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias(
+            "v_null"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("v_range"),
+        F.sum(F.when(F.col("l_quantity") > 40, 1).otherwise(0)).alias(
+            "v_qty"
+        ),
+    )
+    pk = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "v_pk"
+        )
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    # one 1-row frame holding every count (re-using a branch in a union
+    # would re-execute its aggregation once per reference), exploded
+    # in-row to the long report form
+    wide = li_checks.crossJoin(pk).crossJoin(fk)
+    checks = (
+        ("l_orderkey_not_null", "v_null"),
+        ("l_discount_in_0_1", "v_range"),
+        ("l_quantity_le_40", "v_qty"),
+        ("o_orderkey_unique", "v_pk"),
+        ("lineitem_orderkey_fk", "v_fk"),
+    )
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint_name"),
+                F.col(v).cast("long").alias("violations"),
+            )
+            for name, v in checks
+        ]
+    )
+    return (
+        wide.select(F.explode(report).alias("r"))
+        .select("r.constraint_name", "r.violations")
+        .withColumn("passed", F.col("violations") == 0)
+    )

@@ -327,3 +327,22 @@ def test_unigram_nll_broadcasts_the_dictionary(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
         assert marker not in plan
+
+
+def test_ohlc_windows_and_agg_share_one_exchange(spark, sf_dir):
+    """Both row-number windows and the final groupBy run on the same
+    (event_type, bar) partitioning — exactly one hash exchange."""
+    plan = plan_of(spark, sf_dir, "agg_resample_ohlc")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_constraint_check_scans_each_table_at_most_twice(spark, sf_dir):
+    """Row-level checks share one lineitem scan; the FK anti join is the
+    only other lineitem read (a union re-using agg branches would scan
+    once per constraint)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "profile_constraint_check")
+    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 2
+    assert len(re.findall(r"FileScan parquet.*orders", plan)) == 2
