@@ -9,6 +9,7 @@ decode stubs (the image/audio libraries are not in this environment).
 
 from concurrent_etl_go_spark.llm import (  # noqa: F401
     curation,
+    curation2,
     datasets,
     datasets2,
     dedup,

@@ -863,3 +863,30 @@ def test_embedding_dedup_lsh_superset_of_unblocked_exact(spark):
         len(exact_survivors),
         len(lsh),
     )
+
+
+def test_pretrain_funnel_counts_agree_with_component_queries(spark):
+    """The funnel must report exactly what its component stages produce:
+    stage 1 == text_quality_filter keeps, stage 2 == corpus_clean rows."""
+    from concurrent_etl_go_spark.llm.curation2 import corpus_pretrain_funnel
+    from concurrent_etl_go_spark.llm.datasets import (
+        corpus_clean,
+        text_quality_filter,
+    )
+    from concurrent_etl_go_spark.operators.registry import release_caches
+    from tests.conftest import SF_CORRECTNESS
+
+    sf = SF_CORRECTNESS
+    funnel = {r.stage_name: r.n_docs for r in corpus_pretrain_funnel(spark, sf).collect()}
+    release_caches()
+    keeps = text_quality_filter(spark, sf).where("keep").count()
+    cleaned = corpus_clean(spark, sf).count()
+    release_caches()
+    assert funnel["quality_pass"] == keeps
+    assert funnel["dedup_survivor"] == cleaned
+    assert (
+        funnel["raw"]
+        >= funnel["quality_pass"]
+        >= funnel["dedup_survivor"]
+        >= funnel["train_decontaminated"]
+    )
