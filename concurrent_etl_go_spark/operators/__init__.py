@@ -6,6 +6,7 @@ loads every query module.
 """
 
 from concurrent_etl_go_spark.operators import (  # noqa: F401
+    attribution,
     etl_queries,
     graph,
     layout,

@@ -1,0 +1,101 @@
+"""Marketing-style event attribution over the events stream.
+
+Last-touch attribution: each purchase is credited to the user's most
+recent click within a 7-day lookback. The join is the PIT shape
+(``join_pit_scd2``'s rule applied stream-to-stream): an EQUI join on
+user_id carrying the time-window predicate as a residual filter — never
+a pure range join, so at 100 TB it is one hash exchange per side on
+user_id, and the per-purchase argmax is a window over each purchase's
+candidate clicks (bounded by the lookback), not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+LOOKBACK_DAYS = 7
+
+
+@query(
+    "join_attribution_last_touch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL {LOOKBACK_DAYS} DAY
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY purchase_id
+               ORDER BY click_ts DESC NULLS LAST, click_id DESC NULLS LAST
+             ) AS rn
+      FROM j
+    )
+    SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+           click_id IS NOT NULL AS attributed
+    FROM r WHERE rn = 1
+    """,
+)
+def join_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit each purchase to the user's latest click within the
+    ``LOOKBACK_DAYS`` window (ties on ts break to the higher click_id);
+    unattributed purchases survive with NULL click columns.
+
+    Scale: hash equi-join on user_id with the lookback as a residual
+    predicate; the argmax is a per-purchase row_number window whose
+    partitions are lookback-bounded candidate sets. First-touch
+    attribution is the same plan with the window order ascending.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {LOOKBACK_DAYS} DAYS")
+        ),
+        "left",
+    ).select(
+        "purchase_id", p.user_id.alias("user_id"), "purchase_ts",
+        "click_id", "click_ts",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc_nulls_last(), F.col("click_id").desc_nulls_last()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            F.col("click_id").isNotNull().alias("attributed"),
+        )
+    )

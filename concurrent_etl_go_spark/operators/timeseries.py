@@ -133,6 +133,13 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, bounded buffers.
     """
     ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    return mad_outlier_report(ev)
+
+
+def mad_outlier_report(ev: DataFrame) -> DataFrame:
+    """Per-group median/MAD/outlier-count report over (event_type, value)
+    rows — the reusable core of ``agg_mad_outliers`` (property-tested for
+    translation/scale invariance of the outlier count)."""
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))

@@ -58,6 +58,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    try:
+        # NaT == NaT is False (like NaN); both-missing counts as equal
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):  # array-likes: fall through
+        pass
     if isinstance(a, float) or isinstance(b, float):
         if a is None or b is None:
             return False

@@ -286,3 +286,46 @@ def test_null_routed_left_join_identical_to_plain(spark, big, small):
     routed = matched.unionByName(nulls).select("k", "val")
     key = lambda r: (r.k if r.k is not None else -1, r.val if r.val is not None else -1)
     assert sorted(map(key, routed.collect())) == sorted(map(key, plain.collect()))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-1_000_000, max_value=1_000_000).map(float),
+        ),
+        min_size=4,
+        max_size=24,
+    ),
+    st.integers(min_value=-100, max_value=100).map(float),
+    # powers of two keep every multiplication exact in binary floats, so
+    # the invariance is bitwise, not just mathematical — arbitrary scales
+    # can flip rows sitting exactly on the 3*MAD boundary by one ulp
+    st.sampled_from([0.5, 1.0, 2.0, 4.0]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mad_outlier_count_invariant_under_affine_transform(
+    spark, rows, shift, scale
+):
+    """Median/MAD outlier detection is affine-equivariant: translating or
+    positively scaling every value must not change which rows are
+    outliers (the property that makes it robust where z-scores aren't).
+    Inputs are integer-valued with power-of-two scales so every float op
+    is exact; see the strategy comment."""
+    from concurrent_etl_go_spark.operators.timeseries import mad_outlier_report
+
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    base = {
+        r.event_type: r.n_outliers for r in mad_outlier_report(df).collect()
+    }
+    import pyspark.sql.functions as F
+
+    moved = df.withColumn("value", F.col("value") * scale + shift)
+    after = {
+        r.event_type: r.n_outliers for r in mad_outlier_report(moved).collect()
+    }
+    assert base == after
