@@ -67,6 +67,8 @@ HEADLINE = (
     "dataset_epoch_shuffle",   # seeded epoch shard permutation
     "layout_zorder",           # Morton-key layout profile
     "similarity_ivfpq_topk",   # IVF-PQ ANN (build + probe + re-rank)
+    "corpus_pretrain_funnel",  # composed corpus build, one wide pass
+    "join_attribution_last_touch",  # lookback-window event credit
 )
 
 
