@@ -4,6 +4,7 @@ from concurrent_etl_go_spark.streaming.pipelines import (
     kafka_wire_stream,
     parse_kafka_events,
     session_agg,
+    ohlc_agg,
     sliding_agg,
     stream_dedup,
     stream_enrich,
@@ -20,6 +21,7 @@ __all__ = [
     "parse_kafka_events",
     "running_totals",
     "session_agg",
+    "ohlc_agg",
     "sliding_agg",
     "stream_dedup",
     "stream_enrich",

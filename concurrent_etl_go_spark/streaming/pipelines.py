@@ -211,6 +211,41 @@ def tumbling_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def ohlc_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked hourly OHLC bars — streaming twin of the oracle-checked
+    ``agg_resample_ohlc`` batch query.
+
+    Open/close use ``min_by``/``max_by`` over the (ts, event_id) ordering
+    struct: the same total order the batch twin expresses with
+    row_number, but as a DECLARATIVE aggregate the streaming state store
+    can maintain incrementally (a row_number window is not available in a
+    streaming agg). State per (bar, type) is one struct per edge — O(1),
+    bounded by the watermark."""
+    order_key = F.struct("ts", "event_id")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.min_by("value", order_key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", order_key), 4).alias("close"),
+            F.round(F.sum("value"), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("bar"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )
+
+
 def sliding_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked 1-hour/30-min sliding counts (twin of ``window_sliding``)."""
     return (

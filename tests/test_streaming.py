@@ -488,3 +488,21 @@ def test_transform_with_state_matches_batch(spark):
     finally:
         if prior is not None:
             spark.conf.set(conf_key, prior)
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """Deterministic open/close: the streaming min_by/max_by over the
+    (ts, event_id) struct must equal the batch row_number form exactly
+    (both are the same total order)."""
+    from concurrent_etl_go_spark.operators.timeseries import agg_resample_ohlc
+    from concurrent_etl_go_spark.streaming import ohlc_agg
+
+    stream = events_file_stream(spark, SF_SMOKE)
+    got = run_to_memory(spark, ohlc_agg(stream), "t_ohlc", mode="complete")
+    batch = agg_resample_ohlc(spark, SF_SMOKE).select(
+        F.col("bar"), "event_type", "open", "high", "low", "close",
+        "volume", "n_events",
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b
