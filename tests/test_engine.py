@@ -75,3 +75,23 @@ def test_engine_facade_sql_and_named_queries(spark):
     assert df.count() == 5
     assert "agg_pricing_summary" in engine.queries()
     assert engine.query("agg_pricing_summary").count() > 0
+
+
+def test_cli_list_run_sql_explain(capsys, spark):
+    """The CLI front door: list needs no session; run/sql/explain reuse
+    the active one (get_spark returns the existing session)."""
+    from concurrent_etl_go_spark.cli import main
+
+    assert main(["list", "--prefix", "agg_pricing"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_pricing_summary\tproduction\toracle" in out
+
+    assert main(["run", "agg_pricing_summary", "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out
+
+    assert main(["sql", "SELECT COUNT(*) AS n FROM region"]) == 0
+    assert "n" in capsys.readouterr().out
+
+    assert main(["explain", "sort_limit_topk"]) == 0
+    assert "TakeOrderedAndProject" in capsys.readouterr().out
