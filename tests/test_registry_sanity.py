@@ -82,6 +82,7 @@ def test_scale_class_metadata_marks_oracle_twins():
         "dedup_ngram_jaccard",
         "similarity_pairs",
         "dedup_embedding_cosine",
+        "dedup_containment",
     }
     assert set(registry.SCALE_CLASS) == set(registry.QUERIES)
 
