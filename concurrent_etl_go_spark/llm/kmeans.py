@@ -22,12 +22,23 @@ from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 
-def _sq_dist(v, centroid: list[float]):
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _sq_dist_sql(v_sql: str, centroid: list[float]) -> str:
+    """Squared distance of column expression ``v_sql`` to a literal
+    centroid, as a SQL string. String-built (one F.expr py4j call for the
+    whole k-centroid array) because composing the same tree from
+    F.lit/F.zip_with costs one py4j round-trip PER LITERAL — hundreds of
+    milliseconds per iteration of pure driver latency for k x dim
+    literals. repr + D-suffix literals parse to bit-identical doubles."""
+    lits = ",".join(f"{x!r}D" for x in centroid)
+    return (
+        f"aggregate(zip_with({v_sql}, array({lits}), "
+        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dists_expr(v_sql: str, centroids: list[list[float]]):
+    return F.expr(
+        "array(" + ",".join(_sq_dist_sql(v_sql, c) for c in centroids) + ")"
     )
 
 
@@ -55,7 +66,7 @@ def kmeans_fit(
 
     assigned = None
     for _ in range(iterations):
-        dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+        dists = _dists_expr("v", centroids)
         assigned = vectors.withColumn(
             "cluster",
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
@@ -120,15 +131,21 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector. The coarse IVF quantizer (``similarity_ivf_topk``) prunes
     which vectors to scan; PQ shrinks what each scanned vector costs.
 
-    Scale: each subspace's fit is the same Lloyd's loop as
-    ``similarity_kmeans`` — per iteration one distributed assign pass and
-    one partial-aggregated centroid update, with only the k x (dim/M)
-    centroid matrix crossing the driver. Encoding is a final assign pass
-    per subspace; the M per-subspace code frames equi-join back on
-    vec_id (narrow rows). Deterministic init (k lowest vec_ids per
-    subspace) keeps the codes bit-stable for the driver's rows-only
-    check.
+    Scale: all subspace codebooks train JOINTLY — one distributed assign
+    pass and one partial-aggregated update per Lloyd iteration covers
+    every subspace (``llm/ivfpq.py::pq_fit_joint``; sequential per-
+    subspace fits cost PQ_SUBSPACES x the scans for identical
+    mathematics). Encoding is one final per-row assign select — no
+    joins. Deterministic init (slices of the k lowest vec_ids) keeps
+    the codes bit-stable for the driver's rows-only check.
     """
+    from concurrent_etl_go_spark.llm.ivfpq import (
+        _argmin_sql,
+        _dists_sql,
+        _subspace_bounds,
+        pq_fit_joint,
+    )
+
     emb = read_table(spark, sf_dir, "embeddings")
     parallelism = spark.sparkContext.defaultParallelism
     first = emb.select(F.size("embedding").alias("d")).first()
@@ -137,29 +154,35 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_id long, codes array<int>, recon_sq_err double"
         )
     dim = first.d
-    sub_dim = dim // PQ_SUBSPACES
     base = scoped_persist(
         emb.repartition(parallelism, "vec_id").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("full_v")
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
+    codebooks = pq_fit_joint(base, dim, k=PQ_CODEBOOK_K, iterations=3)
 
-    out = None
-    for m in range(PQ_SUBSPACES):
-        start = m * sub_dim + 1  # slice() is 1-based
-        length = sub_dim if m < PQ_SUBSPACES - 1 else dim - m * sub_dim
-        sub = base.select(
-            "vec_id", F.slice("full_v", start, length).alias("v")
-        )
-        assigned, _ = kmeans_fit(sub, k=PQ_CODEBOOK_K, iterations=3)
-        codes_m = assigned.select(
-            "vec_id",
-            F.col("cluster").alias(f"code_{m}"),
-            F.col("sq_dist").alias(f"err_{m}"),
-        )
-        out = codes_m if out is None else out.join(codes_m, "vec_id")
-
-    return out.select(
+    bounds = _subspace_bounds(dim)
+    with_dists = base.select(
+        "vec_id",
+        *[
+            F.expr(
+                _dists_sql(f"slice(v, {start}, {length})", codebooks[m])
+            ).alias(f"dists_{m}")
+            for m, (start, length) in enumerate(bounds)
+        ],
+    )
+    encoded = with_dists.select(
+        "vec_id",
+        *[
+            F.expr(_argmin_sql(f"dists_{m}")).alias(f"code_{m}")
+            for m in range(PQ_SUBSPACES)
+        ],
+        *[
+            F.expr(f"array_min(dists_{m})").alias(f"err_{m}")
+            for m in range(PQ_SUBSPACES)
+        ],
+    )
+    return encoded.select(
         "vec_id",
         F.array(*[F.col(f"code_{m}") for m in range(PQ_SUBSPACES)]).alias(
             "codes"
