@@ -180,3 +180,41 @@ def test_asof_merge_null_time_keys_and_how_validation(spark):
 
     with pytest.raises(ValueError, match="how"):
         asof_join_merge(events, orders, how="outer", **kwargs)
+
+
+def test_partitioned_fact_join_gets_dynamic_partition_pruning(spark, tmp_path):
+    """Writing the fact partitioned by its join-relevant dimension key
+    lets Catalyst inject a dynamic-partition-pruning filter: the fact
+    scan waits for the (filtered) dim side and reads only matching
+    partitions — at 100 TB the difference between scanning one month
+    and scanning the table. Asserts the plan carries the DPP expression
+    and that results equal the unpartitioned join."""
+    import pyspark.sql.functions as F
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    li = read_table(spark, sf, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    fact_path = str(tmp_path / "fact_by_month")
+    li.write.partitionBy("ship_month").parquet(fact_path)
+
+    # the dim filter is on a NON-join column, so the matching partitions
+    # are only known at runtime — the DPP case (a filter directly on the
+    # join key would constant-fold into static pruning instead)
+    dim = (
+        spark.range(1, 13)
+        .select(
+            F.col("id").cast("int").alias("ship_month"),
+            F.when(F.col("id") == 3, "peak").otherwise("off").alias("season"),
+        )
+        .where(F.col("season") == "peak")
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = fact.join(dim, "ship_month").select("ship_month", "l_orderkey")
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    expected = li.where(F.col("ship_month") == 3).count()
+    assert joined.count() == expected > 0
