@@ -24,6 +24,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     scalars2,
     search,
     sketches,
+    sketches2,
     skew,
     timeseries,
     warehouse,

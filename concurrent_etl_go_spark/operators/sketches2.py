@@ -1,0 +1,94 @@
+"""Sketch family, batch 2: Theta-sketch set algebra and approximate
+heavy hitters (Apache DataSketches integration shipped in Spark 4).
+
+``agg_hll_mergeable`` already covers mergeable distinct COUNTS; what HLL
+cannot do is set INTERSECTION — "how many users active in week N were
+also active in week N+1" (retention) normally needs a self-join of the
+raw event history. Theta sketches support union/intersection/difference
+on the sketches themselves, so week-over-week retention across a 100 TB
+history becomes algebra over |weeks| kilobyte-sized sketches: build each
+week's sketch once (incrementally, as the week lands), never rescan.
+
+``agg_approx_topk`` is the one-pass mergeable twin of the exact
+``agg_heavy_hitters`` — the form that works when the vocabulary doesn't
+fit a hash aggregation.
+
+Both rows-only (sketch estimates aren't SQL-portable to DuckDB);
+pytest pins estimates against exact recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.llm.text import tokens
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+@query("agg_theta_retention")  # sketch estimates — rows-only check
+def agg_theta_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user retention via Theta-sketch intersection: for
+    each consecutive week pair, estimate |active(w) ∩ active(w+1)| and
+    the retention share, from per-week sketches alone.
+
+    Scale: one pass builds a kilobyte sketch per week (map-side
+    combined); the retention table is a self-join over |weeks| tiny
+    rows. The exact twin (``agg_retention_cohort``) re-joins raw events
+    — correct, but O(history) per question; sketches answer from state
+    the size of a calendar.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    nxt = weekly.select(
+        F.col("week").alias("next_week"), F.col("sk").alias("sk_next")
+    )
+    pairs = weekly.join(
+        nxt,
+        F.col("next_week") == F.col("week") + F.expr("INTERVAL 7 DAYS"),
+    )
+    return pairs.select(
+        "week",
+        F.expr("cast(theta_sketch_estimate(sk) as long)").alias("active"),
+        F.expr("cast(theta_sketch_estimate(sk_next) as long)").alias(
+            "active_next"
+        ),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_intersection(sk, sk_next)) "
+            "as long)"
+        ).alias("retained"),
+        F.round(
+            F.expr("theta_sketch_estimate(theta_intersection(sk, sk_next))")
+            / F.greatest(F.expr("theta_sketch_estimate(sk)"), F.lit(1.0)),
+            4,
+        ).alias("retention_rate"),
+    ).orderBy("week")
+
+
+APPROX_TOPK_K = 20
+
+
+@query("agg_approx_topk")  # sketch estimates — rows-only check
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k corpus tokens via ``approx_top_k`` — the
+    one-pass mergeable twin of the exact ``agg_heavy_hitters``. The
+    sketch buffers a bounded number of candidates per partition and
+    merges, so it survives vocabularies that would blow an exact hash
+    aggregation's memory; estimates for true heavy hitters are exact or
+    near-exact (pytest pins the head against the exact query).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    topk = docs.select(F.explode(tokens("text")).alias("term")).agg(
+        F.expr(f"approx_top_k(term, {APPROX_TOPK_K})").alias("tk")
+    )
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("term"), F.col("e.count").alias("cnt")
+        )
+        .orderBy(F.desc("cnt"), "term")
+    )

@@ -890,3 +890,40 @@ def test_pretrain_funnel_counts_agree_with_component_queries(spark):
         >= funnel["dedup_survivor"]
         >= funnel["train_decontaminated"]
     )
+
+
+def test_theta_retention_matches_exact_intersection(spark):
+    """Theta-sketch retention estimates must track the exact week-over-week
+    intersection (sketches are exact below their nominal entries ~4096,
+    far above this corpus' user count)."""
+    from concurrent_etl_go_spark.operators.sketches2 import agg_theta_retention
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    sf = SF_SMOKE
+    rows = agg_theta_retention(spark, sf).collect()
+    assert rows
+    ev = read_table(spark, sf, "events").select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    )
+    per_week = {}
+    for r in ev.distinct().collect():
+        per_week.setdefault(r.week, set()).add(r.user_id)
+    import datetime
+    for r in rows:
+        exact_now = per_week[r.week]
+        exact_next = per_week[r.week + datetime.timedelta(days=7)]
+        assert r.active == len(exact_now)
+        assert r.active_next == len(exact_next)
+        assert r.retained == len(exact_now & exact_next)
+
+
+def test_approx_topk_head_matches_exact(spark):
+    from concurrent_etl_go_spark.operators.search import agg_heavy_hitters
+    from concurrent_etl_go_spark.operators.sketches2 import agg_approx_topk
+
+    approx = [(r.term, r.cnt) for r in agg_approx_topk(spark, SF_SMOKE).collect()]
+    exact = [
+        (r.term, r.cnt) for r in agg_heavy_hitters(spark, SF_SMOKE).collect()
+    ]
+    # the top-10 of the approx sketch must be exactly the exact top-10
+    assert approx[:10] == exact[:10]

@@ -34,6 +34,8 @@ def test_oracles_are_subset_of_queries():
         "text_countmin_sketch",
         "graph_pagerank",
         "similarity_ivfpq_topk",
+        "agg_theta_retention",
+        "agg_approx_topk",
     }
 
 
