@@ -99,3 +99,89 @@ def join_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_id").isNotNull().alias("attributed"),
         )
     )
+
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+@query(
+    "agg_window_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_v FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_c
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_v
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_p
+      FROM events e JOIN v USING (user_id) JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_c
+        AND e.ts <= v.t_v + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_in_window
+    """,
+)
+def agg_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained, time-bounded conversion funnel (the windowFunnel shape):
+    first view -> first click AFTER that view -> first purchase after
+    that click AND within ``FUNNEL_WINDOW_HOURS`` of the view.
+
+    Stronger than ``agg_funnel`` (which orders GLOBAL first occurrences):
+    each stage's timestamp is conditioned on the previous stage's, so a
+    click that predates the user's first view never counts, and the
+    whole chain must fit the window. Semantics: earliest-chain greedy
+    (the first qualifying event per stage).
+
+    Scale: three conditional-min aggregations over the same user_id
+    partitioning with user-count-sized join-backs between them — no
+    self-join of raw events against raw events, no per-user sorting;
+    the stage frames shrink monotonically.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t_c"))
+            & (
+                F.col("ts")
+                <= F.col("t_v")
+                + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        )
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_in_window")))
+        )
+    )
+    return counts
