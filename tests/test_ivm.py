@@ -1,0 +1,89 @@
+"""Incremental materialized-view maintenance (sources/ivm.py): rollup
+equals a full recompute, refresh reads only the delta files, and a
+crash between rollup-commit and state-write never double-counts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.sources import ivm, versioned as vt
+from concurrent_etl_go_spark.sources.readers import read_table
+from tests.conftest import SF_SMOKE
+
+
+def _events_slice(spark, lo, hi):
+    ev = read_table(spark, SF_SMOKE, "events")
+    return ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+
+
+def _rollup_dict(spark, root):
+    return {
+        (r.event_type, r.day): (r.n_events, round(r.total_value, 6))
+        for r in vt.read_table_version(spark, root).collect()
+    }
+
+
+def _expected_dict(df):
+    rows = (
+        df.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+        .collect()
+    )
+    return {(r.event_type, r.day): (r.n, round(r.v, 6)) for r in rows}
+
+
+def test_incremental_refresh_matches_full_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "rollup")
+
+    vt.write_table(_events_slice(spark, 0, 400), src)
+    v, n = ivm.refresh_rollup(spark, src, dst)
+    assert v == 1 and n > 0
+    assert _rollup_dict(spark, dst) == _expected_dict(
+        _events_slice(spark, 0, 400)
+    )
+
+    # second batch appends; refresh must read ONLY the new files
+    s2 = vt.write_table(_events_slice(spark, 400, 1000), src)
+    prior_files = set(vt.snapshot(src, 1).files)
+    v, n = ivm.refresh_rollup(spark, src, dst)
+    assert v == s2.version
+    assert n == len(set(s2.files) - prior_files)
+    assert _rollup_dict(spark, dst) == _expected_dict(
+        _events_slice(spark, 0, 1000)
+    )
+
+    # source unchanged -> no-op
+    v, n = ivm.refresh_rollup(spark, src, dst)
+    assert n == 0
+
+
+def test_crashed_refresh_retry_never_double_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "rollup")
+    vt.write_table(_events_slice(spark, 0, 300), src)
+    ivm.refresh_rollup(spark, src, dst)
+
+    vt.write_table(_events_slice(spark, 300, 600), src)
+    ivm.refresh_rollup(spark, src, dst)
+
+    # simulate the crash window: the rollup committed (version advanced)
+    # but the state write was lost -> roll state back one refresh
+    state = ivm.refresh_state(dst)
+    with open(os.path.join(dst, "_refresh_state.json"), "w") as f:
+        json.dump({"src_version": 1, "rollup_version": 1}, f)
+
+    # retry redoes the same delta against the RECORDED rollup version —
+    # the orphan newer version must not be read, so counts stay exact
+    v, n = ivm.refresh_rollup(spark, src, dst)
+    assert v == 2 and n > 0
+    assert _rollup_dict(spark, dst) == _expected_dict(
+        _events_slice(spark, 0, 600)
+    )
+    assert ivm.refresh_state(dst)["rollup_version"] > state["rollup_version"]
