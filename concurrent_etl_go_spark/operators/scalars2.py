@@ -236,3 +236,96 @@ def scalar_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
         F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("lang_param"),
     )
+
+
+@query(
+    "scalar_url_normalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://Docs.Example.COM:443/' || source || '/' || doc_id
+                 || '?utm_source=feed&lang=' || lang || '&b=2&a=1#frag'
+                 AS url
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS no_frag
+      FROM u
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_replace(
+                 regexp_extract(no_frag, '^[A-Za-z]+://[^/]+'),
+                 ':443$', '')) AS origin,
+             regexp_extract(no_frag, '^[A-Za-z]+://[^/]+(/[^?]*)', 1)
+                 AS path,
+             regexp_extract(no_frag, '\\?(.*)$', 1) AS qs
+      FROM s
+    ),
+    q AS (
+      SELECT doc_id, url, origin, path,
+             list_sort(list_filter(string_split(qs, '&'),
+                 p -> NOT starts_with(p, 'utm_') AND p <> '')) AS params
+      FROM parts
+    )
+    SELECT doc_id, url,
+           origin || path ||
+           CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END
+               AS canonical_url
+    FROM q
+    """,
+)
+def scalar_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the crawl-dedup primitive: lowercase the
+    scheme+host, strip the default :443 port and the fragment, drop
+    ``utm_*`` tracking parameters, and SORT the surviving query
+    parameters so parameter order can't split one logical page into many
+    "distinct" URLs. The same messy URL is synthesized in both engines
+    (documents carry no URL column), then normalized identically.
+
+    Scale: pure map-side string/array expressions — regexp split, array
+    filter/sort/join — no shuffle, no UDF; canonical_url then feeds the
+    exact-dedup hash key (``dedup_exact`` on URLs instead of text).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://Docs.Example.COM:443/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&lang="),
+        F.col("lang"),
+        F.lit("&b=2&a=1#frag"),
+    )
+    s = docs.select("doc_id", url.alias("url")).withColumn(
+        "no_frag", F.regexp_replace("url", r"#.*$", "")
+    )
+    origin = F.lower(
+        F.regexp_replace(
+            F.regexp_extract("no_frag", r"^[A-Za-z]+://[^/]+", 0),
+            r":443$",
+            "",
+        )
+    )
+    path = F.regexp_extract("no_frag", r"^[A-Za-z]+://[^/]+(/[^?]*)", 1)
+    qs = F.regexp_extract("no_frag", r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != ""),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "url",
+        F.concat(
+            origin,
+            path,
+            F.when(
+                F.size(params) > 0,
+                F.concat(F.lit("?"), F.array_join(params, "&")),
+            ).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
