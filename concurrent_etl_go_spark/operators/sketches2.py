@@ -92,3 +92,39 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "term")
     )
+
+
+@query("agg_theta_churn")  # sketch estimates — rows-only check
+def agg_theta_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churned and new users via Theta-sketch DIFFERENCE:
+    churned = active(w) \\ active(w+1), new = active(w+1) \\ active(w) —
+    the other two cells of the retention square ``agg_theta_retention``
+    fills with the intersection. Same scale story: answered entirely
+    from per-week kilobyte sketches; the raw history is never re-joined.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    nxt = weekly.select(
+        F.col("week").alias("next_week"), F.col("sk").alias("sk_next")
+    )
+    pairs = weekly.join(
+        nxt,
+        F.col("next_week") == F.col("week") + F.expr("INTERVAL 7 DAYS"),
+    )
+    return pairs.select(
+        "week",
+        F.expr(
+            "cast(theta_sketch_estimate(theta_difference(sk, sk_next)) "
+            "as long)"
+        ).alias("churned"),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_difference(sk_next, sk)) "
+            "as long)"
+        ).alias("new_users"),
+        F.expr(
+            "cast(theta_sketch_estimate(theta_union(sk, sk_next)) as long)"
+        ).alias("either_week"),
+    ).orderBy("week")

@@ -927,3 +927,24 @@ def test_approx_topk_head_matches_exact(spark):
     ]
     # the top-10 of the approx sketch must be exactly the exact top-10
     assert approx[:10] == exact[:10]
+
+
+def test_theta_churn_matches_exact_set_algebra(spark):
+    from concurrent_etl_go_spark.operators.sketches2 import agg_theta_churn
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = agg_theta_churn(spark, SF_SMOKE).collect()
+    assert rows
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    )
+    per_week = {}
+    for r in ev.distinct().collect():
+        per_week.setdefault(r.week, set()).add(r.user_id)
+    import datetime
+    for r in rows:
+        now = per_week[r.week]
+        nxt = per_week[r.week + datetime.timedelta(days=7)]
+        assert r.churned == len(now - nxt)
+        assert r.new_users == len(nxt - now)
+        assert r.either_week == len(now | nxt)

@@ -35,6 +35,7 @@ def test_oracles_are_subset_of_queries():
         "graph_pagerank",
         "similarity_ivfpq_topk",
         "agg_theta_retention",
+        "agg_theta_churn",
         "agg_approx_topk",
     }
 
