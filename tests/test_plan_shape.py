@@ -346,3 +346,40 @@ def test_constraint_check_scans_each_table_at_most_twice(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "profile_constraint_check")
     assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 2
     assert len(re.findall(r"FileScan parquet.*orders", plan)) == 2
+
+
+def test_attribution_is_equi_join_not_range_join(spark, sf_dir):
+    """The lookback window must ride as a residual predicate on the
+    user_id hash join — a BroadcastNestedLoopJoin here would be the
+    range-join blowup the design avoids."""
+    plan = plan_of(spark, sf_dir, "join_attribution_last_touch")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_window_funnel_stage_joins_are_hash_joins(spark, sf_dir):
+    """Every events-to-stage join must be a user_id hash join with the
+    time conditions as residual predicates; the only nested-loop joins
+    allowed are the two single-row count crossJoins at the very top."""
+    plan = plan_of(spark, sf_dir, "agg_window_funnel")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # 1-row count combines
+    assert plan.count("BroadcastHashJoin") >= 3  # the chained stage joins
+
+
+def test_url_normalize_is_pure_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scalar_url_normalize")
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_theta_retention_joins_week_sketches_not_raw_events(spark, sf_dir):
+    """The retention join must be over the tiny weekly-sketch frames —
+    exactly two aggregations of raw events feed it (one per join side of
+    the same weekly rollup), never an events-to-events join."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "agg_theta_retention")
+    assert len(re.findall(r"FileScan parquet.*events", plan)) <= 2
