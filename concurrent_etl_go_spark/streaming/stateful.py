@@ -104,7 +104,14 @@ try:  # import guard: keeps module import working on older Sparks
             pass
 
     def running_totals_tws(stream: DataFrame) -> DataFrame:
-        """``running_totals`` through ``transformWithStateInPandas``."""
+        """``running_totals`` through ``transformWithStateInPandas``.
+
+        EXPERIMENTAL until executed once: the wrapper's pytest is
+        probe-gated on google.protobuf (absent in this image), so this
+        exact path has never run here — the applyInPandasWithState twin
+        (``running_totals``) is the tested equivalent. Run
+        ``tests/test_streaming.py -k transform_with_state`` in any image
+        that ships protobuf before relying on it."""
         return (
             stream.select("user_id", "value")
             .groupBy("user_id")
