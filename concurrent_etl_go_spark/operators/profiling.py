@@ -364,3 +364,69 @@ def profile_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.constraint_name", "r.violations")
         .withColumn("passed", F.col("violations") == 0)
     )
+
+
+SKEW_TOP_KEYS = 5
+
+
+@query(
+    "profile_key_skew",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_orderkey AS key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             AVG(cnt) AS avg_cnt
+      FROM k
+    )
+    SELECT k.key, k.cnt,
+           ROUND(CAST(k.cnt AS DOUBLE) / s.n_rows, 6) AS row_share,
+           s.n_keys, s.n_rows,
+           ROUND(s.max_cnt / s.avg_cnt, 4) AS max_over_avg
+    FROM k CROSS JOIN s
+    ORDER BY k.cnt DESC, k.key
+    LIMIT {SKEW_TOP_KEYS}
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the ``SKEW_TOP_KEYS`` heaviest
+    l_orderkey values with their row share, plus the key-space summary
+    (distinct keys, rows, max/avg heaviness ratio) on every row — the
+    report a table owner reads BEFORE choosing a mitigation from the
+    skew suite (``agg_salted_skew`` / ``join_salted_skew`` /
+    ``join_null_skew_outer``; AQE's skew-join split handles the runtime
+    side).
+
+    Scale: one map-side-combined count per key, a scalar summary agg
+    broadcast back, and a TakeOrdered(top-n) — the profile never
+    materializes more than |keys| narrow rows.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.avg("cnt").alias("avg_cnt"),
+    )
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("row_share"),
+            "n_keys",
+            "n_rows",
+            F.round(F.col("max_cnt") / F.col("avg_cnt"), 4).alias(
+                "max_over_avg"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(SKEW_TOP_KEYS)
+    )
