@@ -223,3 +223,58 @@ def text_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dl").cast("long").alias("n_tokens"),
         F.round(-F.col("ll") / F.col("dl"), 4).alias("nll"),
     )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "dataset_kfold_assign",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('fold#' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT % {KFOLD_K}) AS fold,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT fold, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM f GROUP BY fold
+    """,
+)
+def dataset_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment with per-fold size stats — the
+    cross-validation counterpart of ``split_train_val_test`` (same
+    portable-hash bucketing: fold membership survives retries, engine
+    swaps, and repartitioning). The stats row per fold is the balance
+    check run before training on the split.
+
+    Scale: one hash expression per row + one tiny groupBy over k folds
+    (map-side combined). The per-document fold column itself is the same
+    expression applied as a filter, no materialization needed.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit("fold"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % KFOLD_K
+    )
+    f = docs.select(
+        fold.alias("fold"), F.size("toks").cast("long").alias("n_tokens")
+    )
+    return f.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )

@@ -107,3 +107,69 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(containment, 4).alias("containment"),
         )
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://Docs.Example.COM:443/' || source || '?utm_campaign='
+                 || doc_id || '&lang=' || lang || '#sec' AS url
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_extract(
+                 regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/]+'),
+                 ':443$', ''))
+             || regexp_extract(regexp_replace(url, '#.*$', ''),
+                 '^[A-Za-z]+://[^/]+(/[^?]*)', 1)
+             || CASE WHEN len(list_sort(list_filter(string_split(
+                      regexp_extract(regexp_replace(url, '#.*$', ''),
+                          '\\?(.*)$', 1), '&'),
+                      p -> NOT starts_with(p, 'utm_') AND p <> ''))) > 0
+                 THEN '?' || array_to_string(list_sort(list_filter(
+                      string_split(regexp_extract(
+                          regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1),
+                          '&'),
+                      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&')
+                 ELSE '' END AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_variants
+    FROM c GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: collapse tracking-parameter variants of the same
+    page onto one canonical URL and keep the lowest doc_id — the crawl
+    frontier's first dedup gate (before any content is even fetched).
+    The synthesized URLs differ per document ONLY in ``utm_campaign``
+    and the fragment, so canonicalization (via the same
+    ``canonicalize_url`` the normalizer query uses) genuinely merges
+    them: one survivor per (source, lang) page.
+
+    Scale: per-row string expressions + one hash aggregation on the
+    canonical key — identical shape to ``dedup_exact``, applied to URLs.
+    """
+    from concurrent_etl_go_spark.operators.scalars2 import canonicalize_url
+
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://Docs.Example.COM:443/"),
+        F.col("source"),
+        F.lit("?utm_campaign="),
+        F.col("doc_id").cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+        F.lit("#sec"),
+    )
+    c = docs.select(
+        "doc_id", canonicalize_url(url).alias("canonical_url")
+    )
+    return c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )

@@ -238,6 +238,38 @@ def scalar_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonicalize_url(url):
+    """Canonical form of a URL Column: drop the fragment, lowercase the
+    scheme+host and strip the default :443 port, remove ``utm_*`` query
+    parameters, and sort the survivors (see ``scalar_url_normalize``).
+    Reused by ``dedup_url_canonical`` so the dedup key can never drift
+    from the normalizer it advertises."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    origin = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/]+", 0),
+            r":443$",
+            "",
+        )
+    )
+    path = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/]+(/[^?]*)", 1)
+    qs = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != ""),
+        )
+    )
+    return F.concat(
+        origin,
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
 @query(
     "scalar_url_normalize",
     oracle="""
@@ -299,33 +331,5 @@ def scalar_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.lit("&b=2&a=1#frag"),
     )
-    s = docs.select("doc_id", url.alias("url")).withColumn(
-        "no_frag", F.regexp_replace("url", r"#.*$", "")
-    )
-    origin = F.lower(
-        F.regexp_replace(
-            F.regexp_extract("no_frag", r"^[A-Za-z]+://[^/]+", 0),
-            r":443$",
-            "",
-        )
-    )
-    path = F.regexp_extract("no_frag", r"^[A-Za-z]+://[^/]+(/[^?]*)", 1)
-    qs = F.regexp_extract("no_frag", r"\?(.*)$", 1)
-    params = F.array_sort(
-        F.filter(
-            F.split(qs, "&"),
-            lambda p: (~p.startswith("utm_")) & (p != ""),
-        )
-    )
-    return s.select(
-        "doc_id",
-        "url",
-        F.concat(
-            origin,
-            path,
-            F.when(
-                F.size(params) > 0,
-                F.concat(F.lit("?"), F.array_join(params, "&")),
-            ).otherwise(F.lit("")),
-        ).alias("canonical_url"),
-    )
+    s = docs.select("doc_id", url.alias("url"))
+    return s.select("doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url"))
