@@ -157,3 +157,97 @@ def mad_outlier_report(ev: DataFrame) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "agg_log2_histogram",
+    oracle="""
+    SELECT CAST(floor(ln(o_totalprice) / ln(2)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1
+    ORDER BY log2_bucket
+    """,
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale (power-of-two bucket) histogram of order values — the
+    profiling standard for heavy-tailed distributions, where linear
+    buckets (``agg_histogram``) put everything in one bin and equi-depth
+    buckets (``agg_equidepth_histogram``) hide the tail's extent.
+
+    Cross-engine note: the bucket is floor(ln(x)/ln(2)) in BOTH engines
+    (not a native log2), so the IEEE operation sequence is identical and
+    values sitting near power-of-two boundaries bucket identically.
+
+    Scale: one map-side expression + a groupBy over ~64 possible buckets
+    — combiner-friendly, output size independent of row count.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.log(F.col("o_totalprice")) / F.log(F.lit(2.0))).cast(
+        "long"
+    )
+    return (
+        orders.where(F.col("o_totalprice") > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+ROLL_CORR_DAYS = 14
+
+
+@query(
+    "window_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                 AS purchases
+      FROM events GROUP BY 1
+    )
+    SELECT day, CAST(views AS BIGINT) AS views,
+           CAST(purchases AS BIGINT) AS purchases,
+           ROUND(corr(views, purchases) OVER (
+             ORDER BY day
+             ROWS BETWEEN {ROLL_CORR_DAYS - 1} PRECEDING AND CURRENT ROW
+           ), 4) AS roll_corr
+    FROM daily
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {d}-day correlation between daily view and purchase
+    volumes — the drift detector for metric relationships (a correlation
+    that collapses flags funnel breakage even when each volume alone
+    looks healthy).
+
+    Scale: grain-first discipline again — raw events collapse to one row
+    per day, the window runs over |days| rows. The window is
+    unpartitioned but over the DAILY grain (a few thousand rows for a
+    decade), not events; partition by a series key when tracking many
+    metric pairs.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+    )
+    w = (
+        Window.orderBy("day").rowsBetween(-(ROLL_CORR_DAYS - 1), 0)
+    )
+    return daily.select(
+        "day",
+        F.col("views").cast("long").alias("views"),
+        F.col("purchases").cast("long").alias("purchases"),
+        F.round(F.corr("views", "purchases").over(w), 4).alias("roll_corr"),
+    )
