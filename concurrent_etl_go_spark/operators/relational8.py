@@ -453,3 +453,92 @@ def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
         F.count(F.when(F.col("l_tax") > 0.05, 1)).alias("n_high_tax"),
     )
+
+
+@query(
+    "agg_session_conversion",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT user_id, ts, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, session_seq,
+               MIN(ts) AS session_start,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+        FROM tagged GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', session_start) AS day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_purch > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_purch > t_view
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+               AS conversion_rate
+    FROM sess
+    GROUP BY 1
+    """,
+)
+def agg_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session conversion rate: a session converts when it saw a
+    view AND a purchase after that view, inside the SAME 30-minute-gap
+    session — the within-visit twin of ``agg_window_funnel``'s
+    cross-visit chain, built on the identical sessionization as
+    ``sessionize_events`` (same lag+cumsum, same (ts, event_id) order).
+
+    Scale: one shuffle on user_id covers the sessionizing windows and
+    the per-session rollup; the daily rate is a second tiny aggregation
+    over |sessions| rows.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+
+    def epoch_us(col):
+        return F.unix_micros(col.cast("timestamp"))
+
+    prev_us = epoch_us(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (epoch_us(F.col("ts")) - prev_us > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    tagged = ev.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = tagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purch"
+        ),
+    )
+    converted = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_purch") > F.col("t_view")), 1
+    ).otherwise(0)
+    return sess.groupBy(
+        F.date_trunc("day", "session_start").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(converted).cast("long").alias("n_converted"),
+        F.round(
+            F.sum(converted).cast("double") / F.count(F.lit(1)), 4
+        ).alias("conversion_rate"),
+    )
