@@ -251,3 +251,86 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchases").cast("long").alias("purchases"),
         F.round(F.corr("views", "purchases").over(w), 4).alias("roll_corr"),
     )
+
+
+@query(
+    "agg_regression_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS DOUBLE)
+                 AS day_num,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(regr_slope(n, day_num), 4) AS slope_per_day,
+           ROUND(regr_intercept(n, day_num), 4) AS intercept,
+           ROUND(regr_r2(n, day_num), 4) AS r2
+    FROM daily
+    GROUP BY 1
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily volumes via the SQL regression
+    aggregates (regr_slope / regr_intercept / regr_r2) — "is this metric
+    growing, and how well does a line explain it" in one pass, the
+    capacity-planning companion to ``agg_daily_zscore``'s anomaly view.
+
+    Scale: grain-first (events collapse to |types| x |days| rows), then
+    ONE aggregation computes all three regression statistics from the
+    same running moments — no iteration, no driver-side fitting; the
+    regression aggregates are combiner-friendly like corr/covar.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("day", "ts")) / 86400
+        ).cast("double").alias("day_num"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.regr_slope("n", "day_num"), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept("n", "day_num"), 4).alias("intercept"),
+        F.round(F.regr_r2("n", "day_num"), 4).alias("r2"),
+    )
+
+
+@query(
+    "agg_hourly_seasonality",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM hr) AS BIGINT) AS hour_of_day,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           ROUND(AVG(n), 4) AS avg_per_hour
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def agg_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: total and average
+    hourly volume for each of the 24 clock hours — the baseline shape
+    every volume-anomaly monitor normalizes against (a 3 a.m. dip is not
+    an incident if 3 a.m. always dips).
+
+    Scale: two stacked tiny aggregations (hour grain, then clock-hour
+    grain) — the first is the only one that sees event rows, map-side
+    combined. Hours extract under the UTC-pinned session, so both
+    engines bucket identically.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy(
+        "event_type", F.hour("hr").cast("long").alias("hour_of_day")
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(F.avg("n"), 4).alias("avg_per_hour"),
+    )
