@@ -69,6 +69,8 @@ HEADLINE = (
     "similarity_ivfpq_topk",   # IVF-PQ ANN (build + probe + re-rank)
     "corpus_pretrain_funnel",  # composed corpus build, one wide pass
     "join_attribution_last_touch",  # lookback-window event credit
+    "profile_constraint_check",  # declarative DQ constraint report
+    "agg_session_conversion",  # sessionize + in-session funnel
 )
 
 
