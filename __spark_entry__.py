@@ -17,98 +17,100 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: The driver's per-round correctness snapshot covers the FIRST 50 entries
 #: of ``queries()`` (insertion order).  Coverage therefore accumulates as
 #: the union of per-round snapshots, and we rotate which queries occupy
-#: the window each round.  Rounds 1-3 proved the 100 queries in
-#: ``_PROVEN_R01_R03``; round 4 front-loads the 47 queries that have
-#: never had a driver row (every name absent from CORRECTNESS_r01-r03).
-#: Queries not named here (e.g. ones added after this list was frozen)
-#: slot in between: never-proven first keeps new work verifiable next
-#: round while already-proven queries stay at the back.  47 window + 3
-#: fresh slots = the driver's 50; round-4 additions beyond the first 3
-#: fresh names rotate in next round.
-#: ROUND-5 TODO: fold r04 passes into _PROVEN_R01_R03, re-front-load
-#: whatever remains unproven (r04 failures + round-4 additions past the
-#: 50-slot cut).
-_ROUND4_WINDOW = [
-    # TPC-H shapes added in round 3
-    "join_q2_min_supplier", "join_q4_priority", "agg_q6_forecast",
-    "join_q7_volume", "agg_q8_market_share", "agg_q9_profit",
-    "join_q10_returns", "agg_q11_balance_share", "agg_q12_priority_class",
-    "agg_q13_custdist", "agg_q14_promo", "join_q15_top_supplier",
-    "agg_q16_supplier_cnt", "agg_q17_small_qty", "join_q18_large_orders",
-    "filter_q19_disjunctive", "join_q20_dominant_supplier",
-    "join_q21_late_supplier", "agg_q22_idle_customers",
-    # relational / window / sampling additions
-    "agg_median_mode", "agg_bool_and_or", "window_percent_rank",
-    "window_nth_value", "sample_fraction", "scalar_regexp_extract_all",
-    "agg_trailing_distinct", "agg_equidepth_histogram",
-    "sessionize_events", "dedup_time_window", "join_interval_bucketed",
-    # warehouse trio
-    "dim_scd2_merge", "agg_incremental_merge", "join_fuzzy_names",
-    # sketches + graph
-    "agg_hll_mergeable", "text_countmin_sketch", "graph_pagerank",
-    # curation
-    "corpus_decontaminate", "corpus_mix_rebalance",
-    "sample_fixed_per_group",
-    # dedup / similarity / embeddings
-    "dedup_survivor_corpus", "similarity_knn_join",
-    "embeddings_normalize", "embeddings_quantize_int8",
-    # text round-3 additions
-    "text_token_histogram", "text_chunk_windows", "text_pii_scrub",
-    "text_repetition",
-    # round-4 additions, pinned so the ORACLE-backed ones take the three
-    # free slots (fresh ordering would seat rows-only
-    # agg_trailing_distinct_hll first by module import order; it rotates
-    # in next round instead)
-    "agg_salted_skew", "dedup_embedding_cosine", "text_boilerplate_ngrams",
+#: the window each round.  Rounds 1-4 proved the 149 queries in
+#: ``_PROVEN_R01_R04``; round 5 front-loads everything that still lacks a
+#: green driver row: the round-4 ``embeddings_normalize`` hash fail
+#: (signed-zero root cause fixed in llm/similarity.py — re-proving is the
+#: round's top verdict item), the three round-5 additions
+#: (``scalar_float_canary`` and the two scalable window twins), and the
+#: 43 round-4 additions that landed after the r4 window was frozen.
+#: 47 names + 3 spare slots = the driver's 50.  Queries not named here
+#: slot in between: never-proven first, already-proven at the back.
+#: ROUND-6 TODO: fold r05 passes into the proven set; if all 47 come back
+#: green the whole 196-query registry is driver-proven and future rounds
+#: only need to front-load new additions.
+_ROUND5_WINDOW = [
+    "embeddings_normalize", "scalar_float_canary",
+    "window_ntile_cume_scalable", "window_power_users_scalable",
+    "join_attribution_last_touch", "agg_window_funnel", "layout_zorder",
+    "profile_table_stats", "agg_daily_zscore", "window_gap_fill", "agg_ewma",
+    "profile_constraint_check", "profile_key_skew", "agg_user_lifetime",
+    "agg_stickiness", "window_power_users", "agg_session_conversion",
+    "scalar_uri_parse", "scalar_url_normalize", "corpus_pretrain_funnel",
+    "dataset_epoch_shuffle", "corpus_dedup_incremental", "text_unigram_nll",
+    "dataset_kfold_assign", "dedup_containment", "dedup_url_canonical",
+    "embeddings_pq_codes", "dedup_embedding_cosine_lsh",
+    "similarity_ivfpq_topk", "multimodal_image_features",
+    "multimodal_audio_features", "sample_negatives", "text_bm25_search",
+    "agg_heavy_hitters", "agg_trailing_distinct_hll", "agg_theta_retention",
+    "agg_approx_topk", "agg_theta_churn", "join_salted_skew",
+    "join_null_skew_outer", "agg_resample_ohlc", "agg_mad_outliers",
+    "agg_log2_histogram", "window_rolling_corr", "agg_regression_trend",
+    "agg_hourly_seasonality", "join_pit_scd2",
 ]
 
-#: Proven green in CORRECTNESS_r01/r02/r03 (hash_match or rows-only).
-_PROVEN_R01_R03 = frozenset({
-    # r01/r02
-    "etl_transform_flat", "etl_explode_indicators", "etl_worker_route",
-    "etl_micro_batch", "filter_project", "project_rename",
-    "agg_pricing_summary", "agg_count_distinct", "agg_stats", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "join_inner_broadcast",
-    "join_q3_top_shipping", "join_left", "join_right", "join_full_outer",
-    "join_semi", "join_anti", "join_range_band", "join_asof",
-    "window_topk_per_group", "window_lag_delta", "window_running_sum",
-    "window_rank_dense", "sort_limit_topk", "set_union_all",
-    "set_intersect", "set_except", "join_q5_local_supplier",
-    "agg_percentiles", "agg_approx", "agg_pivot", "unpivot_stack",
-    "distinct_rows", "scalar_subquery", "correlated_exists_agg",
-    "agg_minmax_by", "agg_corr_covar", "window_range_frame",
-    "filter_in_subquery", "window_ntile_cume", "agg_string_concat",
-    "window_first_last", "filter_rlike", "scalar_date_format",
-    "set_union_missing_cols", "join_asof_left", "agg_rollup_grouping",
-    "scalar_map_functions",
-    # r03
-    "join_interval_overlap", "agg_histogram", "window_lead", "scalar_trig",
-    "filter_between", "dedup_keep_latest", "text_shingles",
-    "agg_retention_cohort", "agg_funnel", "scalar_date_arith",
-    "scalar_string2", "scalar_null_fns", "scalar_map_column",
-    "agg_conditional", "scalar_bitwise", "scalar_array2", "scalar_string",
-    "scalar_date", "scalar_math", "scalar_array", "scalar_json",
-    "scalar_case_when", "window_tumbling", "window_sliding",
-    "window_session", "split_train_val_test", "sample_stratified_hash",
-    "text_quality_filter", "text_sequence_pack", "corpus_clean",
-    "text_stats", "text_quality", "text_token_regex", "text_fingerprint",
-    "text_langid", "text_ngrams", "text_tfidf", "dedup_exact",
-    "dedup_normalized", "dedup_ngram_jaccard", "multimodal_hash_dedup",
-    "similarity_topk", "similarity_pairs", "similarity_centroids",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
-    "similarity_kmeans", "similarity_rp_lsh", "similarity_ivf_topk",
+#: Proven green in CORRECTNESS_r01-r04 (hash_match, or rows-only queries
+#: the driver ran with plausible row counts).  The single r04 non-green
+#: row (embeddings_normalize) is deliberately NOT here.
+_PROVEN_R01_R04 = frozenset({
+    "agg_approx", "agg_bool_and_or", "agg_conditional", "agg_corr_covar",
+    "agg_count_distinct", "agg_cube", "agg_equidepth_histogram", "agg_funnel",
+    "agg_grouping_sets", "agg_histogram", "agg_hll_mergeable",
+    "agg_incremental_merge", "agg_median_mode", "agg_minmax_by",
+    "agg_percentiles", "agg_pivot", "agg_pricing_summary",
+    "agg_q11_balance_share", "agg_q12_priority_class", "agg_q13_custdist",
+    "agg_q14_promo", "agg_q16_supplier_cnt", "agg_q17_small_qty",
+    "agg_q22_idle_customers", "agg_q6_forecast", "agg_q8_market_share",
+    "agg_q9_profit", "agg_retention_cohort", "agg_rollup",
+    "agg_rollup_grouping", "agg_salted_skew", "agg_stats", "agg_string_concat",
+    "agg_trailing_distinct", "corpus_clean", "corpus_decontaminate",
+    "corpus_mix_rebalance", "correlated_exists_agg", "dedup_components",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_keep_latest",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_normalized",
+    "dedup_simhash", "dedup_survivor_corpus", "dedup_time_window",
+    "dim_scd2_merge", "distinct_rows", "embeddings_quantize_int8",
+    "etl_explode_indicators", "etl_micro_batch", "etl_transform_flat",
+    "etl_worker_route", "filter_between", "filter_in_subquery",
+    "filter_project", "filter_q19_disjunctive", "filter_rlike",
+    "graph_pagerank", "join_anti", "join_asof", "join_asof_left",
+    "join_full_outer", "join_fuzzy_names", "join_inner_broadcast",
+    "join_interval_bucketed", "join_interval_overlap", "join_left",
+    "join_q10_returns", "join_q15_top_supplier", "join_q18_large_orders",
+    "join_q20_dominant_supplier", "join_q21_late_supplier",
+    "join_q2_min_supplier", "join_q3_top_shipping", "join_q4_priority",
+    "join_q5_local_supplier", "join_q7_volume", "join_range_band",
+    "join_right", "join_semi", "multimodal_hash_dedup", "project_rename",
+    "sample_fixed_per_group", "sample_fraction", "sample_stratified_hash",
+    "scalar_array", "scalar_array2", "scalar_bitwise", "scalar_case_when",
+    "scalar_date", "scalar_date_arith", "scalar_date_format", "scalar_json",
+    "scalar_map_column", "scalar_map_functions", "scalar_math",
+    "scalar_null_fns", "scalar_regexp_extract_all", "scalar_string",
+    "scalar_string2", "scalar_subquery", "scalar_trig", "sessionize_events",
+    "set_except", "set_intersect", "set_union_all", "set_union_missing_cols",
+    "similarity_centroids", "similarity_ivf_topk", "similarity_kmeans",
+    "similarity_knn_join", "similarity_pairs", "similarity_rp_lsh",
+    "similarity_topk", "sort_limit_topk", "split_train_val_test",
+    "text_boilerplate_ngrams", "text_chunk_windows", "text_countmin_sketch",
+    "text_fingerprint", "text_langid", "text_ngrams", "text_pii_scrub",
+    "text_quality", "text_quality_filter", "text_repetition",
+    "text_sequence_pack", "text_shingles", "text_stats", "text_tfidf",
+    "text_token_histogram", "text_token_regex", "unpivot_stack",
+    "window_first_last", "window_lag_delta", "window_lead", "window_nth_value",
+    "window_ntile_cume", "window_percent_rank", "window_range_frame",
+    "window_rank_dense", "window_running_sum", "window_session",
+    "window_sliding", "window_topk_per_group", "window_tumbling",
 })
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND4_WINDOW if n in set(names)]
+    window = [n for n in _ROUND5_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names
-        if n not in in_window and n not in _PROVEN_R01_R03
+        if n not in in_window and n not in _PROVEN_R01_R04
     ]
-    proven = [n for n in names if n in _PROVEN_R01_R03 and n not in in_window]
+    proven = [n for n in names if n in _PROVEN_R01_R04 and n not in in_window]
     return window + fresh + proven
 
 

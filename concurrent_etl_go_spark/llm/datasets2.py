@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.llm.datasets import hash_bucket
 from concurrent_etl_go_spark.llm.dedup import normalize_text
 from concurrent_etl_go_spark.llm.text import tokens
 from concurrent_etl_go_spark.sources.readers import read_table
@@ -47,15 +48,6 @@ _SQL_NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', "
     "'g'), ' +', ' ', 'g'))"
 )
-
-
-def _bucket(col):
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
-            "long"
-        )
-        % 100
-    )
 
 
 @query(
@@ -155,7 +147,7 @@ def corpus_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         "doc_id",
         normalize_text("text").alias("norm_text"),
-        _bucket(F.col("doc_id")).alias("bucket"),
+        hash_bucket("doc_id").alias("bucket"),
     ).withColumn("fp", F.md5("norm_text"))
     corpus_fp = (
         b.where(F.col("bucket") < INCOMING_BUCKET).select("fp").distinct()

@@ -437,7 +437,7 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e WHERE nrm > 0
     )
     SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_pos,
-           ROUND(v[i] / nrm, 4) AS unit_val
+           ROUND(v[i] / nrm, 4) + 0.0 AS unit_val
     FROM x
     """,
 )
@@ -451,6 +451,12 @@ def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash unreliably); the production form keeps the array:
     ``F.transform(v, x -> x / norm)``. Map-side only — zero shuffles at
     any scale; zero vectors are excluded (no NaN propagation).
+
+    Both engine and oracle add ``+ 0.0`` after the ROUND: a tiny negative
+    component rounds to ``-0.0`` in DuckDB but ``+0.0`` here, and the
+    driver's value hash is bit-exact even though ``-0.0 == 0.0``.  IEEE
+    ``-0.0 + 0.0 = +0.0`` canonicalizes both sides (round-4 driver fail,
+    VERDICT.md r4 §What's wrong #1).
     """
     vectors = _vectors(spark, sf_dir).where(F.col("norm") > 0)
     return vectors.select(
@@ -460,7 +466,9 @@ def embeddings_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("dim_pos").cast("long").alias("dim_pos"),
-        F.round(F.col("val") / F.col("norm"), 4).alias("unit_val"),
+        (F.round(F.col("val") / F.col("norm"), 4) + F.lit(0.0)).alias(
+            "unit_val"
+        ),
     )
 
 

@@ -7,10 +7,12 @@ loads every query module.
 
 from concurrent_etl_go_spark.operators import (  # noqa: F401
     attribution,
+    canary,
     etl_queries,
     graph,
     layout,
     profiling,
+    quantiles,
     relational,
     relational2,
     relational3,

@@ -110,6 +110,7 @@ def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_ntile_cume",
+    scale_class="oracle_twin",  # production: window_ntile_cume_scalable
     oracle="""
     SELECT c_custkey,
            ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
@@ -123,10 +124,11 @@ def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions over a total order (tie-broken).
 
-    Note: an unpartitioned window funnels all rows through one task — fine
-    for a per-segment-sized table, wrong at 100 TB. The scale path for
-    global quantile assignment is approx_percentile boundaries + a
-    broadcast range join (see agg_percentiles / join_range_band)."""
+    ORACLE TWIN: the unpartitioned window funnels all rows through one
+    task — fine for a per-segment-sized table, wrong at 100 TB. The
+    production path is ``window_ntile_cume_scalable``
+    (operators/quantiles.py): distributed global rank via range
+    repartition + partition offsets, same exact answer and oracle."""
     w = Window.orderBy("c_acctbal", "c_custkey")
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",

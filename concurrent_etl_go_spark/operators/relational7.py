@@ -196,6 +196,7 @@ def agg_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_power_users",
+    scale_class="oracle_twin",  # production: window_power_users_scalable
     oracle="""
     WITH u AS (
       SELECT user_id, COUNT(*) AS n_events,
@@ -213,11 +214,11 @@ def window_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-decile users by activity (deterministic ntile with user_id
     tie-break) with their totals — the power-user segment cut.
 
-    Scale: the ntile runs over the per-user AGGREGATE (users, not
+    ORACLE TWIN: the ntile runs over the per-user AGGREGATE (users, not
     events) — but a global ORDER BY is still a single-partition sort at
-    extreme user counts; the production variant replaces ntile with an
-    approx-quantile threshold (compute the p90 of n_events, filter) at
-    the cost of boundary exactness. Kept exact here for the oracle.
+    extreme user counts. The production path is
+    ``window_power_users_scalable`` (operators/quantiles.py): histogram
+    threshold + bounded tie top-k, same exact answer and oracle.
     """
     from pyspark.sql import Window
 

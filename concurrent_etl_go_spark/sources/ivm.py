@@ -37,12 +37,43 @@ def _state_path(rollup_root: str) -> str:
 
 def refresh_state(rollup_root: str) -> dict:
     """Last refresh bookkeeping: {"src_version": int, "rollup_version":
-    int}; empty dict before the first refresh."""
+    int}; empty dict before the first refresh.
+
+    Corrupt state (a crash mid-write under a pre-atomic writer, or disk
+    damage) degrades to "missing", which safely forces a full recompute
+    on the next refresh instead of wedging every refresh on
+    ``JSONDecodeError``."""
     try:
         with open(_state_path(rollup_root)) as f:
             return json.load(f)
-    except FileNotFoundError:
+    except (FileNotFoundError, json.JSONDecodeError):
         return {}
+
+
+def _write_state(rollup_root: str, state: dict) -> None:
+    """Atomically persist refresh state (temp file + ``os.replace``) so a
+    crash mid-write can never leave truncated JSON behind."""
+    path = _state_path(rollup_root)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def _append_only_since(src_root: str, prev_version: int, cur_version: int) -> bool:
+    """True iff every source commit in ``(prev_version, cur_version]`` is a
+    plain append. ``compact``/``overwrite``/``merge`` REPLACE the file set,
+    so after one of them every rewritten file looks "new" to the manifest
+    set-difference and an incremental merge would double-count; a vacuumed
+    (missing) intermediate manifest is likewise unprovable and counts as
+    not-append-only."""
+    for v in range(prev_version + 1, cur_version + 1):
+        try:
+            if vt.snapshot(src_root, v).op != "append":
+                return False
+        except FileNotFoundError:
+            return False
+    return True
 
 
 def _partials(df: DataFrame) -> DataFrame:
@@ -74,6 +105,22 @@ def refresh_rollup(
     new_files = [f for f in snap.files if f not in prev_files]
     if prev_version == snap.version or not new_files:
         return snap.version, 0
+
+    if prev_version and not _append_only_since(src_root, prev_version, snap.version):
+        # A compact/overwrite/merge replaced the source file set: the
+        # manifest set-difference no longer means "rows added", so an
+        # incremental merge would double-count. Recompute the rollup from
+        # the full current snapshot instead (still one commit, still
+        # idempotent/resumable via the same state protocol).
+        full = _partials(
+            spark.read.option("mergeSchema", "true").parquet(*snap.files)
+        )
+        new_rollup = vt.write_table(full, rollup_root, mode="overwrite")
+        _write_state(
+            rollup_root,
+            {"src_version": snap.version, "rollup_version": new_rollup.version},
+        )
+        return snap.version, len(snap.files)
 
     delta = _partials(
         spark.read.option("mergeSchema", "true").parquet(*new_files)
@@ -119,9 +166,8 @@ def refresh_rollup(
         merged = delta
     new_rollup = vt.write_table(merged, rollup_root, mode="overwrite")
 
-    with open(_state_path(rollup_root), "w") as f:
-        json.dump(
-            {"src_version": snap.version, "rollup_version": new_rollup.version},
-            f,
-        )
+    _write_state(
+        rollup_root,
+        {"src_version": snap.version, "rollup_version": new_rollup.version},
+    )
     return snap.version, len(new_files)

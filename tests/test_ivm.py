@@ -87,3 +87,50 @@ def test_crashed_refresh_retry_never_double_counts(spark, tmp_path):
         _events_slice(spark, 0, 600)
     )
     assert ivm.refresh_state(dst)["rollup_version"] > state["rollup_version"]
+
+
+def test_compacted_source_triggers_full_recompute_not_double_count(
+    spark, tmp_path
+):
+    """After a source compact, every rewritten file looks 'new' to the
+    manifest set-difference; the refresh must detect the non-append op and
+    recompute from the full snapshot instead of re-merging all rows into
+    the existing rollup (which would exactly double every count)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "rollup")
+    vt.write_table(_events_slice(spark, 0, 300), src)
+    ivm.refresh_rollup(spark, src, dst)
+
+    vt.write_table(_events_slice(spark, 300, 600), src)
+    vt.compact(spark, src, target_files=2)  # replaces the file set, op="compact"
+    ivm.refresh_rollup(spark, src, dst)
+    assert _rollup_dict(spark, dst) == _expected_dict(
+        _events_slice(spark, 0, 600)
+    )
+
+    # and incremental refresh keeps working after the recompute
+    vt.write_table(_events_slice(spark, 600, 900), src)
+    v, n = ivm.refresh_rollup(spark, src, dst)
+    assert n > 0
+    assert _rollup_dict(spark, dst) == _expected_dict(
+        _events_slice(spark, 0, 900)
+    )
+
+
+def test_corrupt_state_degrades_to_full_recompute(spark, tmp_path):
+    """Truncated _refresh_state.json (crash mid-write) must read as
+    'missing' and the next refresh must still converge, not raise."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "rollup")
+    vt.write_table(_events_slice(spark, 0, 400), src)
+    ivm.refresh_rollup(spark, src, dst)
+
+    with open(os.path.join(dst, "_refresh_state.json"), "w") as f:
+        f.write('{"src_version": 1, "rollup_')  # truncated JSON
+    assert ivm.refresh_state(dst) == {}
+
+    v, n = ivm.refresh_rollup(spark, src, dst)
+    assert v == 1 and n > 0
+    assert _rollup_dict(spark, dst) == _expected_dict(
+        _events_slice(spark, 0, 400)
+    )

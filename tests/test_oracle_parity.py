@@ -70,6 +70,11 @@ def values_equal(a, b) -> bool:
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if fa == 0.0 and fb == 0.0:
+            # signbit-strict at zero: the driver's value hash is bit-exact,
+            # so -0.0 vs +0.0 is a real mismatch even though ``-0.0 == 0.0``
+            # (round-4 embeddings_normalize driver fail, VERDICT.md r4)
+            return bool(np.signbit(fa) == np.signbit(fb))
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return a == b
 

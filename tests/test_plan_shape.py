@@ -383,3 +383,25 @@ def test_theta_retention_joins_week_sketches_not_raw_events(spark, sf_dir):
 
     plan = plan_of(spark, sf_dir, "agg_theta_retention")
     assert len(re.findall(r"FileScan parquet.*events", plan)) <= 2
+
+
+def test_scalable_ntile_has_no_single_partition_stage(spark, sf_dir):
+    """The production twin of window_ntile_cume must never funnel the
+    table through one task: its windows partition on the range-partition
+    id, and there is no SinglePartition exchange anywhere (the exact twin
+    has exactly that — a global empty-partitionBy window)."""
+    plan = plan_of(spark, sf_dir, "window_ntile_cume_scalable")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    exact = plan_of(spark, sf_dir, "window_ntile_cume")
+    assert "SinglePartition" in exact  # the twin relationship is real
+
+
+def test_scalable_power_users_is_selection_not_sorting(spark, sf_dir):
+    """The production twin of window_power_users replaces the global
+    ORDER BY window with histogram-threshold selection: no window
+    operator at all, and the only global stage is the bounded tie-break
+    top-k (a LIMIT of at most the boundary-value tie count)."""
+    plan = plan_of(spark, sf_dir, "window_power_users_scalable")
+    assert "Window" not in plan
+    assert "partial_count" in plan  # per-user agg map-side combines

@@ -54,23 +54,35 @@ def test_query_runs_with_sane_schema(spark, sf_dir, name):
 
 
 def test_driver_window_rotation():
-    """Round-4 rotation: the driver snapshots the FIRST 50 entries of
-    ``queries()``; those slots must hold the 47 queries with no
-    CORRECTNESS_r01-r03 row followed by round-4 additions, with every
+    """Round-5 rotation: the driver snapshots the FIRST 50 entries of
+    ``queries()``; those slots must hold every query without a green
+    CORRECTNESS_r01-r04 row (the re-proving embeddings_normalize, the
+    round-5 additions, and the 43 round-4 backlog names), with every
     proven query behind slot 50."""
     names = list(entry_mod.queries())
     first50 = names[:50]
-    assert first50[: len(entry_mod._ROUND4_WINDOW)] == entry_mod._ROUND4_WINDOW
-    assert set(first50).isdisjoint(entry_mod._PROVEN_R01_R03)
+    assert first50[: len(entry_mod._ROUND5_WINDOW)] == entry_mod._ROUND5_WINDOW
+    # every unproven query sits inside the 50-slot window; spare slots
+    # (there are fewer than 50 unproven names) hold proven re-checks,
+    # which is harmless
+    unproven = [n for n in names if n not in entry_mod._PROVEN_R01_R04]
+    assert set(unproven) <= set(first50)
     # every rotation/proven name still exists in the registry
-    assert set(entry_mod._ROUND4_WINDOW) <= set(names)
-    assert entry_mod._PROVEN_R01_R03 <= set(names)
+    assert set(entry_mod._ROUND5_WINDOW) <= set(names)
+    assert entry_mod._PROVEN_R01_R04 <= set(names)
+    # the window + fresh additions must fit the driver's 50 slots, or the
+    # overflow silently goes unproven for another round
+    n_unproven = sum(1 for n in names if n not in entry_mod._PROVEN_R01_R04)
+    assert n_unproven <= 50, (
+        f"{n_unproven} unproven queries exceed the 50-slot driver window; "
+        "rotate or defer additions"
+    )
     # never-proven queries (e.g. newly added ones) sort before proven ones
     tail = names[50:]
     first_proven = next(
-        i for i, n in enumerate(tail) if n in entry_mod._PROVEN_R01_R03
+        i for i, n in enumerate(tail) if n in entry_mod._PROVEN_R01_R04
     )
-    assert all(n in entry_mod._PROVEN_R01_R03 for n in tail[first_proven:])
+    assert all(n in entry_mod._PROVEN_R01_R04 for n in tail[first_proven:])
 
 
 def test_scale_class_metadata_marks_oracle_twins():
@@ -86,6 +98,10 @@ def test_scale_class_metadata_marks_oracle_twins():
         "similarity_pairs",
         "dedup_embedding_cosine",
         "dedup_containment",
+        # single-partition global windows; production twins compute the
+        # identical exact answer in operators/quantiles.py
+        "window_ntile_cume",
+        "window_power_users",
     }
     assert set(registry.SCALE_CLASS) == set(registry.QUERIES)
 
@@ -149,3 +165,57 @@ def test_engine_repins_utc_under_hostile_session_timezone(spark, sf_dir):
     assert hostile == baseline
     # and the engine actually re-pinned (the query path calls read_table)
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_float_canary_is_live(spark, sf_dir):
+    """The scalar_float_canary row only has value if the danger it guards
+    is real on this data: WITHOUT the ``+ 0.0`` canonicalization, DuckDB's
+    ROUND must emit at least one ``-0.0`` where Spark emits ``+0.0`` for
+    the same expression (the round-4 embeddings_normalize failure mode).
+    If engines ever converge this starts failing — then the canary (and
+    the idiom) can be retired deliberately, not silently."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    con = duckdb.connect()
+    try:
+        raw = con.execute(
+            "SELECT ROUND((l_discount - 0.05) * 0.001, 4) AS x "
+            f"FROM '{sf_dir}/lineitem.parquet'"
+        ).df()["x"]
+        canon = con.execute(
+            "SELECT ROUND((l_discount - 0.05) * 0.001, 4) + 0.0 AS x "
+            f"FROM '{sf_dir}/lineitem.parquet'"
+        ).df()["x"]
+    finally:
+        con.close()
+    duck_neg_zero = int(np.sum((raw == 0.0) & np.signbit(raw)))
+    assert duck_neg_zero > 0, "canary dead: DuckDB ROUND no longer emits -0.0"
+    assert int(np.sum((canon == 0.0) & np.signbit(canon))) == 0
+
+    li = read_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.select(
+            F.round((F.col("l_discount") - 0.05) * 0.001, 4).alias("x")
+        )
+        .toPandas()["x"]
+    )
+    # Spark's round never keeps the sign bit at zero — the asymmetry the
+    # + 0.0 idiom exists to erase
+    assert int(np.sum((sp == 0.0) & np.signbit(sp))) == 0
+
+
+def test_parity_gate_is_signbit_strict():
+    """The local values_equal must reject -0.0 vs +0.0 (the driver's value
+    hash is bit-exact; an ==-based compare is blind to the difference)."""
+    from tests.test_oracle_parity import values_equal
+
+    assert not values_equal(-0.0, 0.0)
+    assert not values_equal(0.0, -0.0)
+    assert values_equal(-0.0, -0.0)
+    assert values_equal(0.0, 0.0)
+    assert values_equal(float("nan"), float("nan"))
+    assert not values_equal(None, 0.0)
