@@ -71,6 +71,9 @@ HEADLINE = (
     "join_attribution_last_touch",  # lookback-window event credit
     "profile_constraint_check",  # declarative DQ constraint report
     "agg_session_conversion",  # sessionize + in-session funnel
+    # round 5: exact scalable twins of the single-partition global windows
+    "window_ntile_cume_scalable",   # distributed rank, no global sort
+    "window_power_users_scalable",  # histogram threshold, no window
 )
 
 

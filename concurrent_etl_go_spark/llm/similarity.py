@@ -123,7 +123,7 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
          x AS (SELECT label, generate_subscripts(v, 1) AS pos,
                       unnest(v) AS val FROM e)
-    SELECT label, pos, ROUND(AVG(val), 4) AS mean
+    SELECT label, pos, ROUND(AVG(val), 4) + 0.0 AS mean
     FROM x GROUP BY label, pos
     """,
 )
@@ -136,13 +136,18 @@ def similarity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     hardcoded dim). The shuffle key is (label, pos) with map-side partial
     aggregation — at 100 TB this is one combine-heavy pass, k x dim output
     rows. Same shape the k-means centroid update uses each iteration.
+
+    ``+ 0.0`` after the ROUND canonicalizes signed zero on both sides
+    (tiny negative means round to DuckDB ``-0.0`` but Spark ``+0.0``;
+    see ``scalar_float_canary``) — the signbit-strict local gate caught
+    this here at sf0.001 after the round-4 embeddings_normalize fail.
     """
     vectors = _vectors(spark, sf_dir)
     return (
         vectors.select("label", F.posexplode("v").alias("pos0", "val"))
         .select("label", (F.col("pos0") + 1).cast("long").alias("pos"), "val")
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 4).alias("mean"))
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("mean"))
     )
 
 
