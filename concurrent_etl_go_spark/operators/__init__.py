@@ -10,6 +10,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     canary,
     etl_queries,
     graph,
+    graph2,
     layout,
     profiling,
     quantiles,
