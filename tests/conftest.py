@@ -29,3 +29,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMOKE)
+
+
+@pytest.fixture(autouse=True)
+def _release_registry_caches():
+    """Registered queries return lazy DataFrames whose internal persists
+    are tracked for caller release (see registry.scoped_persist); tests
+    are such callers, so drop the scoped caches after every test instead
+    of letting ~200 parametrized queries pin blocks in the shared
+    session."""
+    yield
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    release_caches()
