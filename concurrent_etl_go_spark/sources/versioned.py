@@ -39,6 +39,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflictError(RuntimeError):
@@ -103,6 +104,72 @@ def snapshot(root: str, version: int | None = None) -> Snapshot:
 
 def history(root: str) -> list[Snapshot]:
     return [snapshot(root, v) for v in _versions(root)]
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes between two committed snapshots (CDC read):
+    every row present in ``to`` but not ``from`` tagged
+    ``_change_type='insert'``, every row present in ``from`` but not
+    ``to`` tagged ``'delete'`` (an in-place update therefore surfaces as
+    a delete + insert pair), multiset semantics (a row appearing twice
+    then once yields one delete).
+
+    FILES SHARED BY BOTH MANIFESTS ARE NEVER READ: their rows contribute
+    identical multisets to both sides and cancel in the difference, so
+    the diff costs O(files changed), not O(table) — after a plain append
+    that is exactly the appended files (and a compact, which rewrites
+    every file with identical contents, correctly diffs to zero rows at
+    full-rewrite cost). Schema evolution is handled by aligning both
+    sides on the union of their columns (absent columns read as NULL,
+    matching ``read_table_version``'s mergeSchema semantics).
+    """
+    old_snap = snapshot(root, from_version)
+    new_snap = snapshot(root, to_version)
+    old_only = [f for f in old_snap.files if f not in set(new_snap.files)]
+    new_only = [f for f in new_snap.files if f not in set(old_snap.files)]
+
+    def _read(files: list[str]) -> DataFrame | None:
+        if not files:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
+    old_df, new_df = _read(old_only), _read(new_only)
+    if old_df is None and new_df is None:
+        return (
+            read_table_version(spark, root, to_version)
+            .withColumn("_change_type", F.lit("insert"))
+            .limit(0)
+        )
+    if old_df is None:
+        old_df = new_df.limit(0)
+    elif new_df is None:
+        new_df = old_df.limit(0)
+    # union of columns in first-seen order, each with its concrete type
+    # (a bare NULL literal is VOID-typed and would break exceptAll's
+    # schema match, so absent columns are cast to the present side's type)
+    types = dict(old_df.dtypes)
+    types.update({n: t for n, t in new_df.dtypes if n not in types})
+    cols = list(types)
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c)
+                if c in df.columns
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+
+    old_a, new_a = _aligned(old_df), _aligned(new_df)
+    inserts = new_a.exceptAll(old_a).withColumn("_change_type", F.lit("insert"))
+    deletes = old_a.exceptAll(new_a).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def committed_batch_ids(root: str) -> set[int]:

@@ -329,3 +329,58 @@ def test_mad_outlier_count_invariant_under_affine_transform(
         r.event_type: r.n_outliers for r in mad_outlier_report(moved).collect()
     }
     assert base == after
+
+
+def test_ntile_expr_matches_sql_ntile_for_all_small_n():
+    """The scalable twin's closed-form ntile (operators/quantiles.py::
+    _ntile_expr, a pure function of (rank, n)) must reproduce SQL ntile
+    semantics EXACTLY for every row count and bucket count in a range
+    that covers all the boundary shapes: n < k, n == k, n % k == 0, and
+    every remainder class. Checked against the arithmetic definition
+    (first n % k buckets get one extra row) row by row, exhaustively for
+    n in [1, 40] x k in {2, 3, 4, 7, 10}."""
+    from concurrent_etl_go_spark.operators.quantiles import _ntile_expr
+    from pyspark.sql import functions as F
+    from concurrent_etl_go_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="engine-tests", master="local[8]", shuffle_partitions=8
+    )
+
+    def reference_ntile(rn: int, n: int, k: int) -> int:
+        q, r = divmod(n, k)
+        if q == 0:
+            return rn
+        big = r * (q + 1)
+        if rn <= big:
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - big - 1) // q + 1
+
+    cases = []
+    for n in range(1, 41):
+        for k in (2, 3, 4, 7, 10):
+            cases.append((n, k))
+    # one DataFrame per (n, k) is slow; evaluate the expression over a
+    # single long/int frame with (n, k, rn) columns instead
+    rows = [
+        (n, k, rn) for n, k in cases for rn in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "n int, k int, rn long")
+    # one job: dispatch every (n, k) case through a single coalesced
+    # expression instead of 200 filtered collects
+    bucket = F.coalesce(
+        *[
+            F.when(
+                (F.col("n") == n) & (F.col("k") == k),
+                _ntile_expr(F.col("rn"), n, k),
+            )
+            for n, k in cases
+        ]
+    )
+    got = {
+        (r.n, r.k, r.rn): r.bucket
+        for r in df.select("n", "k", "rn", bucket.alias("bucket")).collect()
+    }
+    for n, k in cases:
+        for rn in range(1, n + 1):
+            assert got[(n, k, rn)] == reference_ntile(rn, n, k), (n, k, rn)

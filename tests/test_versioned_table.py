@@ -274,3 +274,67 @@ def test_schema_evolution_rejects_type_change(spark, tmp_path):
     # overwrite with the new type is the sanctioned escape hatch
     s2 = vt.write_table(bad, root, mode="overwrite")
     assert s2.version == 2
+
+
+def test_table_changes_reports_row_level_diff(spark, tmp_path):
+    """CDC read between versions: appends surface as inserts only, a
+    merge upsert as delete+insert for the changed row plus inserts for
+    new rows, and a compact (identical logical contents) as zero
+    changes."""
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 5), root)                     # v1
+    vt.write_table(_df(spark, 5, 8), root)                     # v2 append
+
+    ch = vt.table_changes(spark, root, 1, 2)
+    rows = {(r.id, r._change_type) for r in ch.collect()}
+    assert rows == {(i, "insert") for i in range(5, 8)}
+    # shared files are pruned from the diff scan entirely
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    v1_files = set(vt.snapshot(root, 1).files)
+    assert not any(os.path.basename(f) in plan for f in v1_files)
+
+    # update id=0 (double_id changes) + insert id=100 via MERGE  -> v3
+    base = vt.read_table_version(spark, root)
+    updates = base.where(F.col("id") == 0).withColumn(
+        "double_id", F.col("double_id") + 1000
+    ).unionByName(_df(spark, 100, 101))
+    vt.merge_upsert(spark, root, updates, key="id")
+
+    ch = vt.table_changes(spark, root, 2, 3)
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    assert (0, "delete") in got and (0, "insert") in got
+    assert (100, "insert") in got
+    # untouched rows never appear
+    assert not any(i not in (0, 100) for i, _ in got)
+
+    # compact rewrites files but not contents -> empty diff
+    vt.compact(spark, root, target_files=1)                    # v4
+    assert vt.table_changes(spark, root, 3, 4).count() == 0
+    # full-range diff (v1 -> latest) is the NET state change: id=0 was
+    # updated after v1, so it appears as the delete(old)+insert(new)
+    # pair; never-touched rows (1..4) don't appear at all
+    net = {(r.id, r._change_type) for r in vt.table_changes(spark, root, 1).collect()}
+    assert net == {
+        (0, "delete"), (0, "insert"), (5, "insert"), (6, "insert"),
+        (7, "insert"), (100, "insert"),
+    }
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """Rows from before a column existed diff as NULL in that column —
+    the same semantics read_table_version gives the evolved snapshot."""
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 3), root)                     # v1
+    evolved = _df(spark, 3, 5).withColumn("extra", F.lit("x"))
+    vt.write_table(evolved, root)                              # v2 adds a col
+
+    ch = vt.table_changes(spark, root, 1, 2)
+    rows = {(r.id, r.extra, r._change_type) for r in ch.collect()}
+    assert rows == {(3, "x", "insert"), (4, "x", "insert")}
+
+    # deleting an old (pre-evolution) row shows it with extra=NULL
+    kept = vt.read_table_version(spark, root).where(F.col("id") != 0)
+    vt.write_table(kept, root, mode="overwrite")               # v3
+    ch = {(r.id, r.extra, r._change_type)
+          for r in vt.table_changes(spark, root, 2, 3).collect()}
+    assert (0, None, "delete") in ch
