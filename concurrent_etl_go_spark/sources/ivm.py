@@ -60,20 +60,6 @@ def _write_state(rollup_root: str, state: dict) -> None:
     os.replace(tmp, path)
 
 
-def _append_only_since(src_root: str, prev_version: int, cur_version: int) -> bool:
-    """True iff every source commit in ``(prev_version, cur_version]`` is a
-    plain append. ``compact``/``overwrite``/``merge`` REPLACE the file set,
-    so after one of them every rewritten file looks "new" to the manifest
-    set-difference and an incremental merge would double-count; a vacuumed
-    (missing) intermediate manifest is likewise unprovable and counts as
-    not-append-only."""
-    for v in range(prev_version + 1, cur_version + 1):
-        try:
-            if vt.snapshot(src_root, v).op != "append":
-                return False
-        except FileNotFoundError:
-            return False
-    return True
 
 
 def _partials(df: DataFrame) -> DataFrame:
@@ -96,22 +82,17 @@ def refresh_rollup(
     (source_version_reflected, n_new_files_read). No-op (returns the
     recorded version and 0) when the source hasn't advanced.
     """
-    snap = vt.snapshot(src_root)
     state = refresh_state(rollup_root)
     prev_version = state.get("src_version")
-    prev_files: set[str] = set()
-    if prev_version:
-        prev_files = set(vt.snapshot(src_root, prev_version).files)
-    new_files = [f for f in snap.files if f not in prev_files]
-    if prev_version == snap.version or not new_files:
-        return snap.version, 0
-
-    if prev_version and not _append_only_since(src_root, prev_version, snap.version):
-        # A compact/overwrite/merge replaced the source file set: the
-        # manifest set-difference no longer means "rows added", so an
+    try:
+        delta_src, snap = vt.incremental_scan(spark, src_root, prev_version)
+    except ValueError:
+        # A compact/overwrite/merge/restore replaced the source file set:
+        # the manifest set-difference no longer means "rows added", so an
         # incremental merge would double-count. Recompute the rollup from
         # the full current snapshot instead (still one commit, still
         # idempotent/resumable via the same state protocol).
+        snap = vt.snapshot(src_root)
         full = _partials(
             spark.read.option("mergeSchema", "true").parquet(*snap.files)
         )
@@ -121,10 +102,17 @@ def refresh_rollup(
             {"src_version": snap.version, "rollup_version": new_rollup.version},
         )
         return snap.version, len(snap.files)
+    if delta_src is None:
+        return snap.version, 0
+    # file count for the caller's telemetry only — validity was already
+    # decided by incremental_scan's append-only check
+    if prev_version:
+        prev_files = set(vt.snapshot(src_root, prev_version).files)
+        n_new_files = sum(1 for f in snap.files if f not in prev_files)
+    else:
+        n_new_files = len(snap.files)
 
-    delta = _partials(
-        spark.read.option("mergeSchema", "true").parquet(*new_files)
-    )
+    delta = _partials(delta_src)
     # Merge against the rollup version RECORDED IN STATE, never "latest":
     # a crash between the rollup commit below and the state write leaves
     # an orphan newer rollup version; merging into latest would count the
@@ -170,4 +158,4 @@ def refresh_rollup(
         rollup_root,
         {"src_version": snap.version, "rollup_version": new_rollup.version},
     )
-    return snap.version, len(new_files)
+    return snap.version, n_new_files

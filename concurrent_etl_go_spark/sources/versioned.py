@@ -215,6 +215,103 @@ def _check_append_schema(root: str, base: int, dtypes: list) -> list[list[str]]:
     return merged
 
 
+def restore_table(root: str, version: int) -> Snapshot:
+    """Roll the table back to ``version`` by committing a NEW version
+    whose manifest references the restored snapshot's files (op =
+    "restore") — history is preserved, nothing is rewritten or deleted,
+    and the usual base+1 commit race rules apply.
+
+    This is the fix-forward undo for a bad write: the offending versions
+    stay readable for forensics until ``vacuum``, readers of "latest"
+    see the restored contents immediately, and because the restore
+    reuses the target's immutable files its cost is one manifest write —
+    O(1), independent of table size.  NOTE: a restore is not an append;
+    incremental consumers (``refresh_rollup``) detect the non-append op
+    and recompute rather than double-count.
+    """
+    target = snapshot(root, version)
+    base = snapshot(root)
+    return _commit(
+        root,
+        "restore",
+        list(target.files),
+        base_version=base.version,
+        schema=_manifest_schema(root, version),
+    )
+
+
+def clone_table(root: str, dest_root: str) -> Snapshot:
+    """Zero-copy (shallow) clone: a NEW table whose v1 manifest points at
+    the SOURCE's current data files.  Nothing is copied — the clone costs
+    one manifest write regardless of table size, which is what makes
+    dev/test forks of a 100 TB production table practical.
+
+    Divergence is free and safe afterwards: files are immutable and every
+    table writes new data under its OWN root, so writes to the clone
+    never touch the source (and vice versa).  The one coupling is
+    ``vacuum`` on the SOURCE, which cannot see the clone's references —
+    the same caveat Delta documents for shallow clones; vacuum the source
+    only when its clones are gone or deep-copied.
+    """
+    if os.path.isdir(_manifest_dir(dest_root)) and _versions(dest_root):
+        raise ValueError(f"clone destination already has versions: {dest_root}")
+    src = snapshot(root)
+    return _commit(
+        dest_root,
+        "clone",
+        list(src.files),
+        base_version=0,
+        schema=_manifest_schema(root, src.version),
+    )
+
+
+def incremental_scan(
+    spark: SparkSession, root: str, since_version: int | None
+) -> tuple[DataFrame | None, Snapshot]:
+    """Rows APPENDED strictly after ``since_version`` (None = everything),
+    or None when the table hasn't advanced — the generic incremental-
+    consumer read (``ivm.refresh_rollup`` is one such consumer; a
+    micro-batch forwarder is another).
+
+    Validity requires every commit in the window to be a plain append —
+    after an overwrite/compact/merge/restore the file-set difference no
+    longer means "rows added", so this raises ``ValueError`` and the
+    consumer must fall back to a full read of the returned snapshot.
+    Cost is O(files added): only the delta files are handed to Spark.
+    """
+    snap = snapshot(root)
+    if since_version is None:
+        return (
+            spark.read.option("mergeSchema", "true").parquet(*snap.files),
+            snap,
+        )
+    if since_version == snap.version:
+        return None, snap
+    try:
+        prev = set(snapshot(root, since_version).files)
+        for v in range(since_version + 1, snap.version + 1):
+            op = snapshot(root, v).op
+            if op != "append":
+                raise ValueError(
+                    f"incremental scan invalid across non-append commit "
+                    f"v{v} (op={op!r}); re-read the full snapshot"
+                )
+    except FileNotFoundError as exc:
+        # a vacuumed manifest inside the window makes append-only
+        # unprovable — same contract violation as a non-append op
+        raise ValueError(
+            f"incremental scan window [{since_version}, {snap.version}] "
+            f"has vacuumed manifests; re-read the full snapshot"
+        ) from exc
+    new_files = [f for f in snap.files if f not in prev]
+    if not new_files:
+        return None, snap
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*new_files),
+        snap,
+    )
+
+
 def _commit(
     root: str,
     op: str,

@@ -338,3 +338,71 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     ch = {(r.id, r.extra, r._change_type)
           for r in vt.table_changes(spark, root, 2, 3).collect()}
     assert (0, None, "delete") in ch
+
+
+def test_restore_rolls_back_without_rewriting(spark, tmp_path):
+    """RESTORE commits a new version pointing at an old snapshot's files:
+    latest reads the restored contents, history stays intact, and no data
+    files are written (cost is one manifest)."""
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 5), root)                     # v1
+    vt.write_table(_df(spark, 100, 120), root, mode="overwrite")  # v2: bad write
+    assert vt.read_table_version(spark, root).count() == 20
+
+    snap = vt.restore_table(root, 1)
+    assert snap.version == 3 and snap.op == "restore"
+    assert set(snap.files) == set(vt.snapshot(root, 1).files)  # zero copy
+    assert sorted(r.id for r in vt.read_table_version(spark, root).collect()) \
+        == list(range(5))
+    # forensics: the bad version is still readable until vacuum
+    assert vt.read_table_version(spark, root, version=2).count() == 20
+    # CDC across the restore shows the rollback as delete+insert
+    ch = {(r.id, r._change_type)
+          for r in vt.table_changes(spark, root, 2, 3).collect()}
+    assert (100, "delete") in ch and (0, "insert") in ch
+
+
+def test_shallow_clone_is_zero_copy_and_diverges_safely(spark, tmp_path):
+    root = str(tmp_path / "src")
+    dest = str(tmp_path / "fork")
+    vt.write_table(_df(spark, 0, 10), root)
+    snap = vt.clone_table(root, dest)
+    assert snap.version == 1 and snap.op == "clone"
+    assert set(snap.files) == set(vt.snapshot(root).files)  # no data copied
+    assert vt.read_table_version(spark, dest).count() == 10
+
+    # divergence: writes to the clone never touch the source
+    vt.write_table(_df(spark, 10, 12), dest)
+    assert vt.read_table_version(spark, dest).count() == 12
+    assert vt.read_table_version(spark, root).count() == 10
+    # and vice versa
+    vt.write_table(_df(spark, 50, 53), root)
+    assert vt.read_table_version(spark, dest).count() == 12
+
+    with pytest.raises(ValueError):
+        vt.clone_table(root, dest)  # refuses to clobber an existing table
+
+
+def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    s1 = vt.write_table(_df(spark, 0, 5), root)
+    df, snap = vt.incremental_scan(spark, root, None)
+    assert snap.version == 1 and df.count() == 5   # first read = everything
+
+    vt.write_table(_df(spark, 5, 9), root)
+    df, snap = vt.incremental_scan(spark, root, s1.version)
+    assert snap.version == 2
+    assert sorted(r.id for r in df.collect()) == [5, 6, 7, 8]  # delta only
+
+    # caught up -> None
+    df, snap = vt.incremental_scan(spark, root, 2)
+    assert df is None and snap.version == 2
+
+    # a non-append commit invalidates the incremental window
+    vt.compact(spark, root, target_files=1)
+    with pytest.raises(ValueError):
+        vt.incremental_scan(spark, root, 2)
+    # but scanning from the post-compact version works again
+    vt.write_table(_df(spark, 9, 10), root)
+    df, snap = vt.incremental_scan(spark, root, 3)
+    assert sorted(r.id for r in df.collect()) == [9]
