@@ -6,6 +6,11 @@ inspection without writing a script.
         [--sf-dir /root/testdata/sf0.001] [--limit 20] [--explain]
     python -m concurrent_etl_go_spark.cli sql "SELECT count(*) FROM lineitem"
     python -m concurrent_etl_go_spark.cli explain join_q3_top_shipping
+    python -m concurrent_etl_go_spark.cli table /path/to/tbl history
+    python -m concurrent_etl_go_spark.cli table /path/to/tbl show [--version N]
+    python -m concurrent_etl_go_spark.cli table /path/to/tbl restore 3
+    python -m concurrent_etl_go_spark.cli table /path/to/tbl changes 1 [2]
+    python -m concurrent_etl_go_spark.cli table /path/to/tbl vacuum
 
 ``sql`` registers every shared analytics table (region .. embeddings) as
 a temp view first, so the reference's users get an ANSI-SQL surface over
@@ -45,6 +50,24 @@ def _build_parser() -> argparse.ArgumentParser:
 
     ep = sub.add_parser("explain", help="print a query's physical plan")
     ep.add_argument("name")
+
+    tp = sub.add_parser(
+        "table", help="manage a versioned table (sources/versioned.py)"
+    )
+    tp.add_argument("root", help="table root directory")
+    tsub = tp.add_subparsers(dest="table_cmd", required=True)
+    tsub.add_parser("history", help="list committed versions")
+    th = tsub.add_parser("show", help="show latest (or --version) rows")
+    th.add_argument("--version", type=int, default=None)
+    th.add_argument("--limit", type=int, default=20)
+    tr = tsub.add_parser("restore", help="roll back to a version (new commit)")
+    tr.add_argument("version", type=int)
+    tc = tsub.add_parser("changes", help="row-level diff between versions")
+    tc.add_argument("from_version", type=int)
+    tc.add_argument("to_version", type=int, nargs="?", default=None)
+    tc.add_argument("--limit", type=int, default=20)
+    tv = tsub.add_parser("vacuum", help="delete unreferenced data files")
+    tv.add_argument("--keep-versions", type=int, default=1)
     return p
 
 
@@ -89,6 +112,29 @@ def main(argv: list[str] | None = None) -> int:
         from concurrent_etl_go_spark.engine import explain_query
 
         print(explain_query(spark, args.sf_dir, args.name))
+        return 0
+
+    if args.cmd == "table":
+        from concurrent_etl_go_spark.sources import versioned as vt
+
+        if args.table_cmd == "history":
+            for s in vt.history(args.root):
+                batch = "" if s.batch_id is None else f"\tepoch={s.batch_id}"
+                print(f"v{s.version}\t{s.op}\t{len(s.files)} file(s){batch}")
+        elif args.table_cmd == "show":
+            vt.read_table_version(spark, args.root, args.version).show(
+                args.limit, truncate=False
+            )
+        elif args.table_cmd == "restore":
+            snap = vt.restore_table(args.root, args.version)
+            print(f"restored to v{args.version} as v{snap.version}")
+        elif args.table_cmd == "changes":
+            vt.table_changes(
+                spark, args.root, args.from_version, args.to_version
+            ).show(args.limit, truncate=False)
+        elif args.table_cmd == "vacuum":
+            deleted = vt.vacuum(args.root, keep_versions=args.keep_versions)
+            print(f"deleted {len(deleted)} file(s)")
         return 0
 
     return 2  # pragma: no cover — argparse enforces the choices

@@ -95,3 +95,38 @@ def test_cli_list_run_sql_explain(capsys, spark):
 
     assert main(["explain", "sort_limit_topk"]) == 0
     assert "TakeOrderedAndProject" in capsys.readouterr().out
+
+
+def test_cli_table_management(capsys, spark, tmp_path):
+    """The table subcommand drives the versioned-table lifecycle end to
+    end from the command line: history, show, restore, changes, vacuum."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.cli import main
+    from concurrent_etl_go_spark.sources import versioned as vt
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 5).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    vt.write_table(df, root)
+    vt.write_table(
+        spark.range(5, 8).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+    )
+
+    assert main(["table", root, "history"]) == 0
+    out = capsys.readouterr().out
+    assert "v1\tappend" in out and "v2\tappend" in out
+
+    assert main(["table", root, "show", "--version", "1"]) == 0
+    assert "id" in capsys.readouterr().out
+
+    assert main(["table", root, "changes", "1", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "insert" in out and "_change_type" in out
+
+    assert main(["table", root, "restore", "1"]) == 0
+    assert "as v3" in capsys.readouterr().out
+    assert vt.read_table_version(spark, root).count() == 5
+
+    assert main(["table", root, "vacuum", "--keep-versions", "1"]) == 0
+    assert "deleted" in capsys.readouterr().out

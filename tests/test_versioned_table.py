@@ -406,3 +406,37 @@ def test_incremental_scan_reads_only_the_delta(spark, tmp_path):
     vt.write_table(_df(spark, 9, 10), root)
     df, snap = vt.incremental_scan(spark, root, 3)
     assert sorted(r.id for r in df.collect()) == [9]
+
+
+def test_table_changes_algebra_reconstructs_every_version(spark, tmp_path):
+    """CDC soundness as algebra: for EVERY adjacent version pair across a
+    history mixing append/merge/overwrite/compact/restore,
+    old + inserts - deletes == new as MULTISETS. This pins the diff
+    semantics globally rather than per-op."""
+    from collections import Counter
+
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 6), root)                      # v1 append
+    vt.write_table(_df(spark, 6, 9), root)                      # v2 append
+    upd = spark.createDataFrame([(2, 777), (50, 555)], "id long, double_id long")
+    vt.merge_upsert(spark, root, upd, key="id")                 # v3 merge
+    vt.write_table(_df(spark, 20, 24), root, mode="overwrite")  # v4 overwrite
+    vt.compact(spark, root, target_files=1)                     # v5 compact
+    vt.restore_table(root, 3)                                   # v6 restore
+
+    def multiset(df):
+        return Counter((r.id, r.double_id) for r in df.collect())
+
+    versions = [s.version for s in vt.history(root)]
+    for a, b in zip(versions, versions[1:]):
+        old = multiset(vt.read_table_version(spark, root, a))
+        new = multiset(vt.read_table_version(spark, root, b))
+        ch = vt.table_changes(spark, root, a, b).collect()
+        ins = Counter((r.id, r.double_id) for r in ch if r._change_type == "insert")
+        dels = Counter((r.id, r.double_id) for r in ch if r._change_type == "delete")
+        rebuilt = old + ins
+        rebuilt.subtract(dels)
+        rebuilt = +rebuilt  # drop zero counts
+        assert rebuilt == new, f"diff algebra broken for v{a}->v{b}"
+        # deletes only remove rows that existed
+        assert all(old[k] >= n for k, n in dels.items())
