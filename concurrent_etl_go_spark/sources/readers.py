@@ -88,6 +88,34 @@ def register_views(spark: SparkSession, sf_dir: str, tables=schemas.TABLES) -> N
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*",
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file ingestion for multimodal pipelines: every matching file
+    becomes one row ``(path, modificationTime, length, content)`` via
+    Spark's built-in ``binaryFile`` source — the standard front door for
+    media sitting as loose objects (images, audio, video) rather than
+    rows in a columnar table.
+
+    Feeds directly into the decode pipeline:
+    ``read_binary_files(...)`` -> ``llm.multimodal.with_media_meta`` ->
+    ``extract_features`` (Arrow-batched mapInPandas).  At scale the
+    source parallelizes by file and prunes on ``pathGlobFilter`` at
+    listing time; content bytes only move for matched files.  Column
+    pruning applies too: a query selecting only ``path``/``length``
+    never reads file contents.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+
+
 def read_appliances_csv(spark: SparkSession, path: str) -> DataFrame:
     """Scan the reference's headerless positional appliance CSV.
 

@@ -128,3 +128,77 @@ def test_udtf_registered_and_callable_from_sql(spark):
     register_udtf(spark, "split_words", SplitWords, "pos int, word string")
     rows = spark.sql("SELECT * FROM split_words('a b c')").collect()
     assert [(r.pos, r.word) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_binary_file_ingestion_feeds_multimodal_decode(spark, tmp_path):
+    """The loose-object front door: media files on disk -> binaryFile
+    rows -> typed metadata -> REAL stdlib decode via mapInPandas, with
+    exact pixel/sample stats. Also pins glob pruning (non-matching files
+    never enter the frame)."""
+    import struct
+    import wave
+
+    from concurrent_etl_go_spark.llm.multimodal import (
+        extract_features,
+        with_media_meta,
+    )
+    from concurrent_etl_go_spark.sources.readers import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    # two P5 grayscale images with known pixels
+    for name, px in (("a.pgm", [0, 100, 200, 255]), ("b.pgm", [10, 20, 30, 40])):
+        (media / name).write_bytes(b"P5\n2 2\n255\n" + bytes(px))
+    # one WAV (mono 16-bit, 4 known samples) and one decoy the glob skips
+    with wave.open(str(media / "c.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 0, 1000, -1000, 500))
+    (media / "notes.txt").write_bytes(b"not media")
+
+    imgs = read_binary_files(spark, str(media), pattern="*.pgm")
+    assert imgs.count() == 2
+    assert {c for c in imgs.columns} >= {"path", "length", "content"}
+
+    # FEATURE_SCHEMA keys rows by a LONG doc_id (the documents-table
+    # convention): derive one from the filename
+    named = imgs.select(
+        F.when(F.col("path").endswith("a.pgm"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+    )
+    feats = extract_features(
+        with_media_meta(named, "content", "image/x-portable-graymap"),
+        binary_col="content",
+    )
+    rows = {r.doc_id: r.feature for r in feats.collect()}
+    # decode_auto_features returns [width, height, mean, std]
+    assert rows[1][0:2] == [2.0, 2.0]
+    assert rows[1][2] == (0 + 100 + 200 + 255) / 4.0
+    assert rows[2][2] == 25.0
+
+    # the WAV ingests through the same pipeline with a different glob
+    wavs = read_binary_files(spark, str(media), pattern="*.wav")
+    assert wavs.count() == 1
+    wf = extract_features(
+        with_media_meta(
+            wavs.select(F.lit(3).cast("long").alias("doc_id"), "content"),
+            "content",
+            "audio/wav",
+        ),
+        binary_col="content",
+    ).collect()[0].feature
+    assert wf, "WAV decode produced features"
+
+    # column pruning: selecting only path/length must not read contents
+    plan = (
+        read_binary_files(spark, str(media), pattern="*.pgm")
+        .select("path", "length")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "content" not in plan.split("ReadSchema")[-1]
