@@ -50,3 +50,37 @@ def read_iceberg(spark: SparkSession, table: str) -> DataFrame:
 def read_hudi(spark: SparkSession, path: str) -> DataFrame:
     _probe(spark, "hudi", "org.apache.hudi:hudi-spark-bundle_2.13:<version>")
     return spark.read.format("hudi").load(path)
+
+
+_AVRO_HINT = (
+    "avro support requires the external module jar on the Spark classpath "
+    "(spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark-version>); "
+    "not present in this environment"
+)
+
+
+def _raise_if_avro_missing(exc: Exception) -> None:
+    """Map Spark's 'Failed to find data source: avro' analysis error to
+    the loud connector error (some avro CLASSES ship inside Spark even
+    when the data-source module jar is absent, so a classpath probe alone
+    is not a reliable presence test — the source lookup is)."""
+    if "Failed to find data source" in str(exc):
+        raise MissingConnectorError(_AVRO_HINT) from exc
+    raise exc
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — the standard row-oriented wire/landing format next to
+    the columnar lake formats (built-in-but-external since Spark 2.4, so
+    absence fails loudly like the table formats above)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # noqa: BLE001 — re-raise unless it's absence
+        _raise_if_avro_missing(exc)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as exc:  # noqa: BLE001 — re-raise unless it's absence
+        _raise_if_avro_missing(exc)

@@ -116,6 +116,33 @@ def read_binary_files(
     )
 
 
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    pattern: str = "*",
+    whole_files: bool = True,
+) -> DataFrame:
+    """Raw text-file ingestion for corpus pipelines: with
+    ``whole_files=True`` (default) every matching file becomes ONE row
+    ``(path, text)`` — the loose-object front door for documents, the
+    text twin of ``read_binary_files`` — otherwise one row per LINE
+    (``(path, text)``), the log-file shape.
+
+    Output feeds the documents-pipeline operators directly (text_stats /
+    quality / dedup take any (id, text) frame).  Scale: parallelizes by
+    file (whole-file mode makes one task per file — fine for documents,
+    wrong for a single giant file), glob-prunes at listing time, and
+    carries the path for lineage/doc-id derivation.
+    """
+    df = (
+        spark.read.option("pathGlobFilter", pattern)
+        .text(path, wholetext=whole_files)
+        .select(F.col("value").alias("text"))
+        .withColumn("path", F.input_file_name())
+    )
+    return df.select("path", "text")
+
+
 def read_appliances_csv(spark: SparkSession, path: str) -> DataFrame:
     """Scan the reference's headerless positional appliance CSV.
 

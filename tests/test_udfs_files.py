@@ -202,3 +202,51 @@ def test_binary_file_ingestion_feeds_multimodal_decode(spark, tmp_path):
         .toString()
     )
     assert "content" not in plan.split("ReadSchema")[-1]
+
+
+def test_text_corpus_ingestion_feeds_text_pipeline(spark, tmp_path):
+    """Loose text files -> (path, text) rows -> the documents-pipeline
+    operators; whole-file vs per-line modes, glob pruning."""
+    from concurrent_etl_go_spark.sources.readers import read_text_corpus
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "a.txt").write_text("the quick brown fox\njumps over the dog")
+    (docs / "b.txt").write_text("hello corpus world")
+    (docs / "skip.md").write_text("not ingested")
+
+    whole = read_text_corpus(spark, str(docs), pattern="*.txt")
+    rows = {r.path.split("/")[-1]: r.text for r in whole.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert "jumps over the dog" in rows["a.txt"]  # newline kept in-file
+
+    # the frame drops straight into a text-analysis shape
+    stats = whole.select(
+        F.col("path"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    got = {r.path.split("/")[-1]: r.n_tokens for r in stats.collect()}
+    assert got == {"a.txt": 8, "b.txt": 3}
+
+    lines = read_text_corpus(
+        spark, str(docs), pattern="a.txt", whole_files=False
+    )
+    assert lines.count() == 2  # one row per line in line mode
+
+
+def test_avro_is_import_gated_with_loud_error(spark, tmp_path):
+    """No spark-avro jar ships in this image: the helpers must raise
+    MissingConnectorError naming the package, like the lakehouse stubs."""
+    import pytest
+
+    from concurrent_etl_go_spark.sources.lakehouse import (
+        MissingConnectorError,
+        read_avro,
+        write_avro,
+    )
+
+    with pytest.raises(MissingConnectorError) as exc:
+        read_avro(spark, str(tmp_path / "nope.avro"))
+    assert "spark-avro" in str(exc.value)
+    with pytest.raises(MissingConnectorError):
+        write_avro(spark.range(3), str(tmp_path / "out.avro"))
