@@ -143,6 +143,22 @@ def read_text_corpus(
     return df.select("path", "text")
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """XML scan (native since Spark 4 — no spark-xml jar needed): one row
+    per ``row_tag`` element.  Pass an explicit ``schema`` DDL string in
+    production — schema inference costs a full extra pass over the data,
+    exactly like the CSV/JSON readers."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.xml(path)
+
+
 def read_appliances_csv(spark: SparkSession, path: str) -> DataFrame:
     """Scan the reference's headerless positional appliance CSV.
 

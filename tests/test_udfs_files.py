@@ -250,3 +250,23 @@ def test_avro_is_import_gated_with_loud_error(spark, tmp_path):
     assert "spark-avro" in str(exc.value)
     with pytest.raises(MissingConnectorError):
         write_avro(spark.range(3), str(tmp_path / "out.avro"))
+
+
+def test_xml_roundtrip_native(spark, tmp_path):
+    """Spark 4 ships XML natively (no spark-xml jar): write a slice of
+    the shared nation table out as XML and read it back identically,
+    with an explicit schema (no inference pass)."""
+    from concurrent_etl_go_spark.sources.readers import read_xml
+
+    out = str(tmp_path / "xml")
+    nation = read_table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    nation.write.mode("overwrite").option("rowTag", "nation").xml(out)
+
+    back = read_xml(
+        spark, out, row_tag="nation",
+        schema="n_nationkey long, n_name string",
+    )
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == \
+        sorted((r.n_nationkey, r.n_name) for r in nation.collect())
