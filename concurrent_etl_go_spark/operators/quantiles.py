@@ -130,6 +130,55 @@ def window_ntile_cume_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_fraction_by_value(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    fraction: float = 0.1,
+) -> DataFrame:
+    """EXACT top-``fraction`` rows of ``df`` under the order
+    ``(value_col DESC, tiebreak_col ASC)`` — i.e. SQL
+    ``ntile(round(1/fraction))`` bucket 1 — with NO global-order window.
+
+    Selection, not sorting: the histogram of ``value_col`` (few distinct
+    values — bounded by the value domain, NOT by row count) finds the
+    boundary value ``t``; every row above ``t`` is in, and the remaining
+    seats among rows AT ``t`` go to the smallest tiebreak keys via a
+    bounded sort-limit.  Driver traffic: the histogram rows only.
+    Returns the empty frame unchanged for empty input.
+    """
+    hist = sorted(
+        (
+            (r["v"], r["cnt"])
+            for r in df.groupBy(F.col(value_col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    n = sum(c for _, c in hist)
+    if n == 0:
+        return df
+    k = math.ceil(n * fraction)  # ntile bucket-1 size
+    above = 0
+    t = None
+    for val, cnt in hist:
+        if above + cnt >= k:
+            t = val
+            break
+        above += cnt
+    winners = df.where(F.col(value_col) > t)
+    seats_at_t = k - above
+    if seats_at_t > 0:
+        ties = (
+            df.where(F.col(value_col) == t)
+            .orderBy(tiebreak_col)
+            .limit(seats_at_t)
+        )
+        winners = winners.unionByName(ties)
+    return winners
+
+
 @query(
     "window_power_users_scalable",
     oracle="""
@@ -150,12 +199,9 @@ def window_power_users_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     production twin of ``window_power_users``.
 
     ntile(10) decile 1 over (n_events DESC, user_id) is exactly the top
-    ``ceil(n_users / 10)`` users.  Selection, not sorting: the histogram
-    of ``n_events`` (few distinct values — bounded by max events per
-    user, NOT by user count) finds the boundary activity level ``t``;
-    every user above ``t`` is in, and the remaining seats among users AT
-    ``t`` go to the smallest user_ids (SQL ntile's tie-break) via a
-    bounded sort-limit.  Driver traffic: the histogram rows only.
+    ``ceil(n_users / 10)`` users; see ``top_fraction_by_value`` for the
+    histogram-threshold selection (property-tested against SQL ntile on
+    adversarial tie-heavy inputs in tests/test_properties.py).
     """
     ev = read_table(spark, sf_dir, "events")
     u = scoped_persist(
@@ -164,31 +210,4 @@ def window_power_users_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
-    hist = sorted(
-        (
-            (r["n_events"], r["cnt"])
-            for r in u.groupBy("n_events")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        ),
-        reverse=True,
-    )
-    n = sum(c for _, c in hist)
-    k = math.ceil(n / 10)  # ntile(10) bucket-1 size
-    above = 0
-    t = None
-    for val, cnt in hist:
-        if above + cnt >= k:
-            t = val
-            break
-        above += cnt
-    winners = u.where(F.col("n_events") > t)
-    seats_at_t = k - above
-    if seats_at_t > 0:
-        ties = (
-            u.where(F.col("n_events") == t)
-            .orderBy("user_id")
-            .limit(seats_at_t)
-        )
-        winners = winners.unionByName(ties)
-    return winners
+    return top_fraction_by_value(u, "n_events", "user_id", fraction=0.1)

@@ -384,3 +384,53 @@ def test_ntile_expr_matches_sql_ntile_for_all_small_n():
     for n, k in cases:
         for rn in range(1, n + 1):
             assert got[(n, k, rn)] == reference_ntile(rn, n, k), (n, k, rn)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # value: heavy ties
+            st.integers(min_value=0, max_value=10**6),  # tiebreak key
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    frac_denom=st.sampled_from([2, 4, 10]),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_top_fraction_selection_equals_sql_ntile(spark, rows, frac_denom):
+    """The histogram-threshold selection (quantiles.top_fraction_by_value,
+    the scalable power-users core) must equal SQL ntile bucket 1 under
+    (value DESC, key ASC) on ADVERSARIAL tie-heavy inputs — boundary
+    ties, all-equal values, tiny n — not just the shared-table
+    distribution the oracle covers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.operators.quantiles import (
+        top_fraction_by_value,
+    )
+
+    df = spark.createDataFrame(rows, "v long, k long")
+    got = sorted(
+        (r.v, r.k)
+        for r in top_fraction_by_value(
+            df, "v", "k", fraction=1.0 / frac_denom
+        ).collect()
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("k"))
+    expect = sorted(
+        (r.v, r.k)
+        for r in df.withColumn("b", F.ntile(frac_denom).over(w))
+        .where(F.col("b") == 1)
+        .collect()
+    )
+    assert got == expect
