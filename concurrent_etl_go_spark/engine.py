@@ -156,6 +156,22 @@ class Engine:
         register_views(self.spark, self.sf_dir)
         return self.spark.sql(statement)
 
+    def register_versioned_view(
+        self, view_name: str, root: str, version: int | None = None
+    ) -> None:
+        """Expose a versioned table (``sources/versioned.py``) to the SQL
+        surface as a temp view — latest snapshot by default, or a
+        time-travel pin.  The view resolves the manifest ONCE at
+        registration, so queries against it keep snapshot isolation even
+        while writers commit new versions; re-register to advance."""
+        from concurrent_etl_go_spark.sources.versioned import (
+            read_table_version,
+        )
+
+        read_table_version(self.spark, root, version).createOrReplaceTempView(
+            view_name
+        )
+
     def query(self, name: str) -> DataFrame:
         """Run a named operator query from the registry.
 

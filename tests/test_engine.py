@@ -130,3 +130,35 @@ def test_cli_table_management(capsys, spark, tmp_path):
 
     assert main(["table", root, "vacuum", "--keep-versions", "1"]) == 0
     assert "deleted" in capsys.readouterr().out
+
+
+def test_engine_sql_over_versioned_view(spark, tmp_path):
+    """Versioned tables join the SQL surface via register_versioned_view,
+    with time travel and snapshot isolation (view pinned at registration)."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.engine import Engine
+    from concurrent_etl_go_spark.sources import versioned as vt
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 6).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    vt.write_table(df, root)
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    eng.register_versioned_view("facts", root)
+    assert eng.sql("SELECT COUNT(*) AS n FROM facts").first().n == 6
+    # joins against the shared tables work in the same statement
+    joined = eng.sql(
+        "SELECT COUNT(*) AS n FROM facts JOIN region ON facts.id = region.r_regionkey"
+    ).first().n
+    assert joined == 5
+
+    # snapshot isolation: a later commit doesn't move the view
+    vt.write_table(
+        spark.range(6, 9).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        root,
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM facts").first().n == 6
+    # explicit time travel
+    eng.register_versioned_view("facts_v2", root, version=2)
+    assert eng.sql("SELECT COUNT(*) AS n FROM facts_v2").first().n == 9
