@@ -215,6 +215,45 @@ def _check_append_schema(root: str, base: int, dtypes: list) -> list[list[str]]:
     return merged
 
 
+def apply_changes(
+    spark: SparkSession, root: str, changes: DataFrame, key: str
+) -> Snapshot:
+    """Apply a ``table_changes``-shaped frame (rows tagged
+    ``_change_type`` in {'insert', 'delete'}) to this table as ONE
+    committed version — the consumer half of CDC replication: deletes
+    remove the matching ``key`` rows, inserts append, and an update's
+    delete+insert pair nets to an in-place replace.
+
+    ``key`` must uniquely identify rows (the ``merge_upsert``
+    primary-key convention) — the delete is key-based, so deleting one
+    of several rows sharing a key would remove them all; raise that
+    shape to row-level semantics by choosing a finer key.  Same
+    copy-on-write + base-version conflict rules as ``merge_upsert``:
+    a concurrent commit fails THIS apply (caller re-reads and retries)
+    rather than silently losing rows.
+
+    End-to-end: ``table_changes(src, v1, v2)`` piped into
+    ``apply_changes(dst)`` replicates src's v1->v2 transition onto dst —
+    the foundation a downstream mirror or a selective (filtered)
+    replica builds on.
+    """
+    base = snapshot(root)
+    current = spark.read.option("mergeSchema", "true").parquet(*base.files)
+    inserts = changes.where(F.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+    deleted_keys = (
+        changes.where(F.col("_change_type") == "delete")
+        .select(key)
+        .distinct()
+    )
+    merged = current.join(deleted_keys, key, "left_anti").unionByName(
+        inserts, allowMissingColumns=True
+    )
+    files = _write_data_files(merged, root)
+    return _commit(root, "merge", files, base_version=base.version)
+
+
 def restore_table(root: str, version: int) -> Snapshot:
     """Roll the table back to ``version`` by committing a NEW version
     whose manifest references the restored snapshot's files (op =

@@ -440,3 +440,39 @@ def test_table_changes_algebra_reconstructs_every_version(spark, tmp_path):
         assert rebuilt == new, f"diff algebra broken for v{a}->v{b}"
         # deletes only remove rows that existed
         assert all(old[k] >= n for k, n in dels.items())
+
+
+def test_cdc_replication_via_table_changes_and_apply(spark, tmp_path):
+    """Full CDC replication loop: every src version transition, read as
+    table_changes, applied to a clone with apply_changes — the mirror
+    must equal the source after every step (including update pairs and
+    pure deletes)."""
+    from collections import Counter
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    vt.write_table(_df(spark, 0, 6), src)                       # v1
+    vt.clone_table(src, dst)                                    # mirror at v1
+
+    # v2: append
+    vt.write_table(_df(spark, 6, 9), src)
+    # v3: update two rows + insert one (merge)
+    upd = spark.createDataFrame(
+        [(1, 111), (2, 222), (40, 444)], "id long, double_id long"
+    )
+    vt.merge_upsert(spark, src, upd, key="id")
+    # v4: delete rows 0 and 6 (overwrite without them)
+    kept = vt.read_table_version(spark, src).where(~F.col("id").isin(0, 6))
+    vt.write_table(kept, src, mode="overwrite")
+
+    def multiset(root, version=None):
+        return Counter(
+            (r.id, r.double_id)
+            for r in vt.read_table_version(spark, root, version).collect()
+        )
+
+    for v_from, v_to in [(1, 2), (2, 3), (3, 4)]:
+        ch = vt.table_changes(spark, src, v_from, v_to)
+        vt.apply_changes(spark, dst, ch, key="id")
+        assert multiset(dst) == multiset(src, v_to), f"mirror diverged at v{v_to}"
