@@ -86,6 +86,22 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{SCALE_CLASS[name]}\t{oracle}")
         return 0
 
+    if args.cmd == "table" and args.table_cmd in ("history", "restore", "vacuum"):
+        # pure-filesystem manifest operations: no Spark session needed
+        from concurrent_etl_go_spark.sources import versioned as vt
+
+        if args.table_cmd == "history":
+            for s in vt.history(args.root):
+                batch = "" if s.batch_id is None else f"\tepoch={s.batch_id}"
+                print(f"v{s.version}\t{s.op}\t{len(s.files)} file(s){batch}")
+        elif args.table_cmd == "restore":
+            snap = vt.restore_table(args.root, args.version)
+            print(f"restored to v{args.version} as v{snap.version}")
+        else:
+            deleted = vt.vacuum(args.root, keep_versions=args.keep_versions)
+            print(f"deleted {len(deleted)} file(s)")
+        return 0
+
     from concurrent_etl_go_spark.engine import Engine
     from concurrent_etl_go_spark.session import get_spark
 
@@ -117,24 +133,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "table":
         from concurrent_etl_go_spark.sources import versioned as vt
 
-        if args.table_cmd == "history":
-            for s in vt.history(args.root):
-                batch = "" if s.batch_id is None else f"\tepoch={s.batch_id}"
-                print(f"v{s.version}\t{s.op}\t{len(s.files)} file(s){batch}")
-        elif args.table_cmd == "show":
+        if args.table_cmd == "show":
             vt.read_table_version(spark, args.root, args.version).show(
                 args.limit, truncate=False
             )
-        elif args.table_cmd == "restore":
-            snap = vt.restore_table(args.root, args.version)
-            print(f"restored to v{args.version} as v{snap.version}")
         elif args.table_cmd == "changes":
             vt.table_changes(
                 spark, args.root, args.from_version, args.to_version
             ).show(args.limit, truncate=False)
-        elif args.table_cmd == "vacuum":
-            deleted = vt.vacuum(args.root, keep_versions=args.keep_versions)
-            print(f"deleted {len(deleted)} file(s)")
         return 0
 
     return 2  # pragma: no cover — argparse enforces the choices

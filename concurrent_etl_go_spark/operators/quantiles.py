@@ -6,10 +6,11 @@ through one task, which is dead at 100 TB (flagged perf-weak in the
 round-4 verdict).  The twins here compute the IDENTICAL exact answer
 (same oracle SQL) with no single-partition stage:
 
-- global rank   = range-repartition on the order key, rank locally
-  within each range partition, then add the broadcast cumulative row
-  count of the partitions before it (the classic distributed-rank
-  recipe — the only driver traffic is one count per partition);
+- global rank   = deterministic range-bucketing on literal approx-
+  quantile boundaries, rank locally within each bucket, then add the
+  broadcast cumulative row count of the buckets before it (the classic
+  distributed-rank recipe — the only driver traffic is the boundaries
+  and one count per bucket);
 - ntile/cume/percent_rank are pure FUNCTIONS of (global rank, n) when
   the order key is a total order (unique tie-break column), so they
   become map-side expressions;
@@ -37,7 +38,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
-#: Range partitions for the distributed-rank recipe. At 100 TB this
+#: Range buckets for the distributed-rank recipe. At 100 TB this
 #: would be O(cluster cores); correctness is independent of the value.
 _RANK_PARTITIONS = 16
 
@@ -46,21 +47,30 @@ def _global_rank(df: DataFrame, *order_cols: str) -> tuple[DataFrame, int]:
     """Attach an exact 1-based global rank over a TOTAL order (the last
     order column must be unique) without a single-partition sort.
 
-    Range-repartition on the order key, rank within each range partition,
-    and offset by the cumulative size of earlier partitions.  The
-    partition sizes (``_RANK_PARTITIONS`` rows) are the only data that
-    reaches the driver.  The range-partitioned frame is persisted first:
-    range boundaries come from a sample, so the counts job and the rank
-    job must see the SAME partition assignment.
+    Range-bucket on the FIRST order column using approx-quantile
+    boundaries frozen into the plan as literals, rank within each bucket,
+    and offset by the cumulative size of earlier buckets.  Bucket
+    assignment (``sum(value > boundary_i)``) is a PURE FUNCTION of the
+    row — monotone in the order, ties all land in one bucket — so a
+    recomputed partition (executor loss, cache eviction) reassigns rows
+    IDENTICALLY; nothing depends on a sampled physical partitioning
+    staying resident, which ``repartitionByRange`` +
+    ``spark_partition_id`` could not guarantee.  Driver traffic: the
+    boundary quantiles and one count per bucket.  Heavy duplication of a
+    single first-column value degrades bucket balance (never
+    correctness); the tie-break columns only disambiguate order within a
+    bucket.
 
     Returns (df + ``rn`` column, total row count).
     """
     cols = [F.col(c) for c in order_cols]
-    parted = scoped_persist(
-        df.repartitionByRange(_RANK_PARTITIONS, *cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
+    first = order_cols[0]
+    qs = [i / _RANK_PARTITIONS for i in range(1, _RANK_PARTITIONS)]
+    boundaries = sorted(set(df.stat.approxQuantile(first, qs, 0.01)))
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(F.col(first) > F.lit(b), 1).otherwise(0)
+    parted = df.withColumn("_pid", bucket)
     sizes = {
         r["_pid"]: r["cnt"]
         for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -184,7 +194,7 @@ def top_fraction_by_value(
     oracle="""
     WITH u AS (
       SELECT user_id, COUNT(*) AS n_events,
-             ROUND(SUM(value), 4) AS total_value
+             ROUND(SUM(value), 4) + 0.0 AS total_value
       FROM events GROUP BY 1
     )
     SELECT user_id, n_events, total_value
@@ -207,7 +217,7 @@ def window_power_users_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = scoped_persist(
         ev.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("total_value"),
         )
     )
     return top_fraction_by_value(u, "n_events", "user_id", fraction=0.1)

@@ -200,7 +200,7 @@ def agg_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT user_id, COUNT(*) AS n_events,
-             ROUND(SUM(value), 4) AS total_value
+             ROUND(SUM(value), 4) + 0.0 AS total_value
       FROM events GROUP BY 1
     )
     SELECT user_id, n_events, total_value
@@ -225,7 +225,7 @@ def window_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("total_value"),
     )
     w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
     return (

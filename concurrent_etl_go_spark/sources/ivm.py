@@ -104,13 +104,9 @@ def refresh_rollup(
         return snap.version, len(snap.files)
     if delta_src is None:
         return snap.version, 0
-    # file count for the caller's telemetry only — validity was already
-    # decided by incremental_scan's append-only check
-    if prev_version:
-        prev_files = set(vt.snapshot(src_root, prev_version).files)
-        n_new_files = sum(1 for f in snap.files if f not in prev_files)
-    else:
-        n_new_files = len(snap.files)
+    # telemetry: the delta's own input file list, already resolved by
+    # incremental_scan — no second manifest read or set-difference
+    n_new_files = len(delta_src.inputFiles())
 
     delta = _partials(delta_src)
     # Merge against the rollup version RECORDED IN STATE, never "latest":
@@ -119,10 +115,26 @@ def refresh_rollup(
     # delta twice on retry, merging into the state-recorded version redoes
     # the identical refresh and the orphan is simply superseded.
     base_rollup = state.get("rollup_version")
-    try:
-        if not state:
-            raise FileNotFoundError  # first refresh: the delta IS the rollup
-        current = vt.read_table_version(spark, rollup_root, base_rollup)
+    if state:
+        try:
+            current = vt.read_table_version(spark, rollup_root, base_rollup)
+        except FileNotFoundError:
+            # State RECORDS a rollup version that no longer exists (e.g.
+            # vacuum removed it after a crash left an orphan newer
+            # version). Merging the delta alone would silently DROP all
+            # history — recompute from the full source snapshot instead.
+            full = _partials(
+                spark.read.option("mergeSchema", "true").parquet(*snap.files)
+            )
+            new_rollup = vt.write_table(full, rollup_root, mode="overwrite")
+            _write_state(
+                rollup_root,
+                {
+                    "src_version": snap.version,
+                    "rollup_version": new_rollup.version,
+                },
+            )
+            return snap.version, len(snap.files)
         merged = (
             current.select(
                 *_KEYS,
@@ -150,8 +162,8 @@ def refresh_rollup(
                 ).alias("total_value"),
             )
         )
-    except FileNotFoundError:
-        merged = delta
+    else:
+        merged = delta  # first refresh: the delta IS the rollup
     new_rollup = vt.write_table(merged, rollup_root, mode="overwrite")
 
     _write_state(

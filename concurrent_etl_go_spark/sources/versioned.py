@@ -130,8 +130,9 @@ def table_changes(
     """
     old_snap = snapshot(root, from_version)
     new_snap = snapshot(root, to_version)
-    old_only = [f for f in old_snap.files if f not in set(new_snap.files)]
-    new_only = [f for f in new_snap.files if f not in set(old_snap.files)]
+    old_set, new_set = set(old_snap.files), set(new_snap.files)
+    old_only = [f for f in old_snap.files if f not in new_set]
+    new_only = [f for f in new_snap.files if f not in old_set]
 
     def _read(files: list[str]) -> DataFrame | None:
         if not files:
@@ -251,7 +252,13 @@ def apply_changes(
         inserts, allowMissingColumns=True
     )
     files = _write_data_files(merged, root)
-    return _commit(root, "merge", files, base_version=base.version)
+    return _commit(
+        root,
+        "merge",
+        files,
+        base_version=base.version,
+        schema=[[n, t] for n, t in merged.dtypes],
+    )
 
 
 def restore_table(root: str, version: int) -> Snapshot:
@@ -483,7 +490,15 @@ def vacuum(root: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreferenced by the ``keep_versions`` newest
     manifests (and drop the older manifests). Returns deleted paths.
     The immutable-files + manifest design makes this safe: a reader that
-    resolved a retained snapshot never holds a deleted path."""
+    resolved a retained snapshot never holds a deleted path.
+    ``keep_versions`` must be >= 1 — zero would delete every manifest
+    (leaving the table unreadable) while the falsy-zero slice kept every
+    data file orphaned."""
+    if keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1, got {keep_versions} (vacuuming "
+            "every version would leave an unreadable table)"
+        )
     versions = _versions(root)
     keep = versions[-keep_versions:]
     referenced: set[str] = set()
@@ -529,7 +544,15 @@ def merge_upsert(
         updates.select(key).distinct(), key, "left_anti"
     ).unionByName(updates)
     files = _write_data_files(merged, root)
-    return _commit(root, "merge", files, base_version=base.version)
+    # record the schema so later appends keep SchemaEvolutionError
+    # validation (a schema-less manifest would disable the check)
+    return _commit(
+        root,
+        "merge",
+        files,
+        base_version=base.version,
+        schema=[[n, t] for n, t in merged.dtypes],
+    )
 
 
 # --- File skipping via manifest statistics (Delta-style data skipping) ----
@@ -682,6 +705,9 @@ def compact(
             "n_files": len(files),
             "batch_id": None,
             "stats": stats,
+            # logical contents are identical, so the schema carries over;
+            # dropping it would disable append-time evolution validation
+            "schema": _manifest_schema(root, base.version),
         }
     )
     path = _manifest_path(root, base.version + 1)

@@ -134,3 +134,31 @@ def test_corrupt_state_degrades_to_full_recompute(spark, tmp_path):
     assert _rollup_dict(spark, dst) == _expected_dict(
         _events_slice(spark, 0, 400)
     )
+
+
+def test_vacuumed_state_rollup_version_recovers_with_full_recompute(
+    spark, tmp_path
+):
+    """Crash+vacuum corner: state records a rollup version whose manifest
+    was vacuumed away (an orphan newer version superseded it). The next
+    refresh must recompute from the full source — NOT treat it as a
+    first refresh and silently drop all history to delta-only."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "rollup")
+    vt.write_table(_events_slice(spark, 0, 300), src)
+    ivm.refresh_rollup(spark, src, dst)                 # rollup v1
+    vt.write_table(_events_slice(spark, 300, 600), src)
+    ivm.refresh_rollup(spark, src, dst)                 # rollup v2
+
+    # crash window: state still points at rollup v1...
+    with open(os.path.join(dst, "_refresh_state.json"), "w") as f:
+        json.dump({"src_version": 1, "rollup_version": 1}, f)
+    # ...and vacuum removes v1 (keeps only the orphan v2)
+    vt.vacuum(dst, keep_versions=1)
+
+    vt.write_table(_events_slice(spark, 600, 900), src)
+    v, n = ivm.refresh_rollup(spark, src, dst)
+    assert v == 3
+    assert _rollup_dict(spark, dst) == _expected_dict(
+        _events_slice(spark, 0, 900)
+    )

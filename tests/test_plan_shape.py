@@ -387,12 +387,13 @@ def test_theta_retention_joins_week_sketches_not_raw_events(spark, sf_dir):
 
 def test_scalable_ntile_has_no_single_partition_stage(spark, sf_dir):
     """The production twin of window_ntile_cume must never funnel the
-    table through one task: its windows partition on the range-partition
-    id, and there is no SinglePartition exchange anywhere (the exact twin
-    has exactly that — a global empty-partitionBy window)."""
+    table through one task: its window partitions on the deterministic
+    range-bucket column (literal quantile boundaries), and there is no
+    SinglePartition exchange anywhere (the exact twin has exactly that —
+    a global empty-partitionBy window)."""
     plan = plan_of(spark, sf_dir, "window_ntile_cume_scalable")
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(_pid" in plan  # bucketed window exchange
     exact = plan_of(spark, sf_dir, "window_ntile_cume")
     assert "SinglePartition" in exact  # the twin relationship is real
 

@@ -476,3 +476,42 @@ def test_cdc_replication_via_table_changes_and_apply(spark, tmp_path):
         ch = vt.table_changes(spark, src, v_from, v_to)
         vt.apply_changes(spark, dst, ch, key="id")
         assert multiset(dst) == multiset(src, v_to), f"mirror diverged at v{v_to}"
+
+
+def test_vacuum_rejects_keep_versions_below_one(spark, tmp_path):
+    """keep_versions=0 would delete every manifest (unreadable table with
+    all data orphaned) — must be rejected, including via the CLI path."""
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 3), root)
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            vt.vacuum(root, keep_versions=bad)
+    assert vt.read_table_version(spark, root).count() == 3
+
+
+def test_merge_and_apply_preserve_schema_validation(spark, tmp_path):
+    """merge_upsert / apply_changes / compact must record the schema in
+    their manifests so a later append still hits SchemaEvolutionError on
+    a retyped column instead of committing a poisoned table."""
+    root = str(tmp_path / "tbl")
+    vt.write_table(_df(spark, 0, 4), root)
+    vt.merge_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(9, 99)], "id long, double_id long"),
+        key="id",
+    )
+    retyped = spark.createDataFrame([("x", 1)], "id string, double_id long")
+    with pytest.raises(vt.SchemaEvolutionError):
+        vt.write_table(retyped, root, mode="append")
+
+    ch = spark.createDataFrame(
+        [(7, 77, "insert")], "id long, double_id long, _change_type string"
+    )
+    vt.apply_changes(spark, root, ch, key="id")
+    with pytest.raises(vt.SchemaEvolutionError):
+        vt.write_table(retyped, root, mode="append")
+
+    vt.compact(spark, root, target_files=1)
+    with pytest.raises(vt.SchemaEvolutionError):
+        vt.write_table(retyped, root, mode="append")
