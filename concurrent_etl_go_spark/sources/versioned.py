@@ -217,7 +217,11 @@ def _check_append_schema(root: str, base: int, dtypes: list) -> list[list[str]]:
 
 
 def apply_changes(
-    spark: SparkSession, root: str, changes: DataFrame, key: str
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key: str,
+    batch_id: int | None = None,
 ) -> Snapshot:
     """Apply a ``table_changes``-shaped frame (rows tagged
     ``_change_type`` in {'insert', 'delete'}) to this table as ONE
@@ -236,7 +240,10 @@ def apply_changes(
     End-to-end: ``table_changes(src, v1, v2)`` piped into
     ``apply_changes(dst)`` replicates src's v1->v2 transition onto dst —
     the foundation a downstream mirror or a selective (filtered)
-    replica builds on.
+    replica builds on.  ``batch_id`` rides into the manifest as the
+    idempotence key (``sources/mirror.py`` passes the source version so
+    a crash-retry of the same transition is detectable via
+    ``committed_batch_ids``).
     """
     base = snapshot(root)
     current = spark.read.option("mergeSchema", "true").parquet(*base.files)
@@ -257,6 +264,7 @@ def apply_changes(
         "merge",
         files,
         base_version=base.version,
+        batch_id=batch_id,
         schema=[[n, t] for n, t in merged.dtypes],
     )
 
