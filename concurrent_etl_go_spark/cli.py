@@ -11,6 +11,7 @@ inspection without writing a script.
     python -m concurrent_etl_go_spark.cli table /path/to/tbl restore 3
     python -m concurrent_etl_go_spark.cli table /path/to/tbl changes 1 [2]
     python -m concurrent_etl_go_spark.cli table /path/to/tbl vacuum
+    python -m concurrent_etl_go_spark.cli table /src mirror /dst [--key id]
 
 ``sql`` registers every shared analytics table (region .. embeddings) as
 a temp view first, so the reference's users get an ANSI-SQL surface over
@@ -68,6 +69,14 @@ def _build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--limit", type=int, default=20)
     tv = tsub.add_parser("vacuum", help="delete unreferenced data files")
     tv.add_argument("--keep-versions", type=int, default=1)
+    tm = tsub.add_parser(
+        "mirror", help="advance a downstream replica of this table"
+    )
+    tm.add_argument("dest", help="mirror table root")
+    tm.add_argument(
+        "--key", default=None,
+        help="primary key enabling CDC catch-up across rewrites",
+    )
     return p
 
 
@@ -141,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
             vt.table_changes(
                 spark, args.root, args.from_version, args.to_version
             ).show(args.limit, truncate=False)
+        elif args.table_cmd == "mirror":
+            from concurrent_etl_go_spark.sources.mirror import mirror_table
+
+            v, mode = mirror_table(spark, args.root, args.dest, key=args.key)
+            print(f"mirror at src v{v} via {mode}")
         return 0
 
     return 2  # pragma: no cover — argparse enforces the choices

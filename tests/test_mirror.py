@@ -101,3 +101,17 @@ def test_mirror_cdc_crash_retry_is_idempotent(spark, tmp_path):
     v, mode = mirror.mirror_table(spark, src, dst, key="id")
     assert mode == "noop"
     assert _multiset(spark, dst) == _multiset(spark, src)
+
+
+def test_cli_mirror_subcommand(capsys, spark, tmp_path):
+    from concurrent_etl_go_spark.cli import main
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    vt.write_table(_df(spark, 0, 4), src)
+    assert main(["table", src, "mirror", dst]) == 0
+    assert "via rebuild" in capsys.readouterr().out
+    vt.write_table(_df(spark, 4, 6), src)
+    assert main(["table", src, "mirror", dst, "--key", "id"]) == 0
+    assert "via append" in capsys.readouterr().out
+    assert _multiset(spark, dst) == _multiset(spark, src)
