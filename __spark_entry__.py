@@ -26,9 +26,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: 43 round-4 additions that landed after the r4 window was frozen.
 #: 47 names + 3 spare slots = the driver's 50.  Queries not named here
 #: slot in between: never-proven first, already-proven at the back.
-#: ROUND-6 TODO: fold r05 passes into the proven set; if all 47 come back
-#: green the whole 196-query registry is driver-proven and future rounds
-#: only need to front-load new additions.
+#: ROUND-6 TODO: fold r05 passes into the proven set; if all 50 come back
+#: green the whole 199-query registry is driver-proven and future rounds
+#: only need to front-load new additions (cap additions at ~50/round so
+#: each window clears its own backlog).  Candidate round-6 additions with
+#: oracle potential: streaming-twin batch queries for the mirror/CDC path,
+#: TPC-DS-style shapes (windowed market-basket, cross-channel rollups),
+#: doc-level dedup over the text-corpus front door (read_text_corpus),
+#: and a binaryFile-ingestion multimodal feature query.
 _ROUND5_WINDOW = [
     "embeddings_normalize", "scalar_float_canary",
     "window_ntile_cume_scalable", "window_power_users_scalable",
