@@ -4,21 +4,28 @@
 latest snapshot using the CHEAPEST valid mechanism per window:
 
 - append-only source window -> forward just the delta files
-  (``incremental_scan``, O(files added)), committed with the SOURCE
-  VERSION as the streaming-style idempotence key so a crash between the
-  dst commit and the state write is detected on retry
-  (``committed_batch_ids``) instead of double-appending;
-- non-append window (compact/overwrite/merge/restore upstream, or
-  vacuumed manifests) -> CDC catch-up (``table_changes`` +
-  ``apply_changes``) when a primary ``key`` is provided, likewise
-  version-keyed for retry safety;
-- no usable window (first sync, or no key for a rewritten window) ->
-  full overwrite rebuild, which is content-idempotent under retry.
+  (``incremental_scan``, O(files added));
+- non-append window (compact/overwrite/merge/restore upstream) -> CDC
+  catch-up (``table_changes`` + ``apply_changes``) when a primary
+  ``key`` is provided;
+- everything else (first sync, keyless rewrites, windows with vacuumed
+  source manifests) -> full overwrite rebuild, which is
+  content-idempotent under retry and explicitly priced in the returned
+  mode string.
+
+Crash safety: every append/CDC commit carries the NEGATED source version
+as its manifest ``batch_id`` (negative = the mirror's namespace, disjoint
+from streaming epoch ids, which are >= 0).  On entry the mirror
+fast-forwards its state past any source versions already committed to
+the destination (scanning only the newest ``_SCAN_DEPTH`` destination
+manifests — a crash loses at most the single last state write, so the
+un-stated commits are always recent), which makes the
+commit-then-crash-then-more-upstream-commits schedule converge without
+double-applying.
 
 This is the batch shape of a replication daemon: call it on a schedule
 (or after each upstream commit notification) and the mirror converges.
-At 100 TB the append path moves only new data; rebuilds are the
-explicitly-priced fallback, surfaced in the returned mode string.
+At 100 TB the append path moves only new data.
 """
 
 from __future__ import annotations
@@ -29,6 +36,12 @@ import os
 from pyspark.sql import SparkSession
 
 from concurrent_etl_go_spark.sources import versioned as vt
+
+#: Newest destination manifests scanned for already-applied source
+#: versions. A crash loses at most one state write, so anything deeper
+#: is always reflected in the state already; the bound keeps each call
+#: O(1) in destination history.
+_SCAN_DEPTH = 16
 
 
 def _state_path(dst_root: str) -> str:
@@ -52,6 +65,24 @@ def _write_state(dst_root: str, state: dict) -> None:
     os.replace(tmp, _state_path(dst_root))
 
 
+def _applied_src_versions(dst_root: str) -> set[int]:
+    """Source versions already committed to dst (negative batch ids in
+    the newest ``_SCAN_DEPTH`` manifests)."""
+    try:
+        versions = vt._versions(dst_root)  # noqa: SLF001
+    except FileNotFoundError:
+        return set()
+    out: set[int] = set()
+    for v in versions[-_SCAN_DEPTH:]:
+        try:
+            s = vt.snapshot(dst_root, v)
+        except FileNotFoundError:
+            continue
+        if s.batch_id is not None and s.batch_id < 0:
+            out.add(-s.batch_id)
+    return out
+
+
 def mirror_table(
     spark: SparkSession,
     src_root: str,
@@ -67,15 +98,15 @@ def mirror_table(
     state = mirror_state(dst_root)
     since = state.get("src_version")
     snap = vt.snapshot(src_root)
-    if since == snap.version:
-        return snap.version, "noop"
 
-    # crash-retry detection: the previous attempt committed this source
-    # version into dst but died before the state write
-    committed = (
-        vt.committed_batch_ids(dst_root) if os.path.isdir(dst_root) else set()
-    )
-    if snap.version in committed:
+    # crash-retry fast-forward: skip source versions a previous attempt
+    # already committed to dst before dying pre-state-write
+    if since is not None:
+        applied = _applied_src_versions(dst_root)
+        newer = [v for v in applied if since < v <= snap.version]
+        if newer:
+            since = max(newer)
+    if since == snap.version:
         _write_state(dst_root, {"src_version": snap.version})
         return snap.version, "noop"
 
@@ -87,21 +118,38 @@ def mirror_table(
                 _write_state(dst_root, {"src_version": snap.version})
                 return snap.version, "noop"
             files = vt._write_data_files(delta, dst_root)  # noqa: SLF001
-            vt.append_prepared(dst_root, files, batch_id=snap.version)
+            vt.append_prepared(
+                dst_root,
+                files,
+                batch_id=-snap.version,
+                dtypes=delta.dtypes,
+            )
             mode = "append"
         except ValueError:
             if key is not None:
-                changes = vt.table_changes(
-                    spark, src_root, since, snap.version
-                )
-                vt.apply_changes(
-                    spark, dst_root, changes, key=key, batch_id=snap.version
-                )
-                mode = "cdc"
+                try:
+                    changes = vt.table_changes(
+                        spark, src_root, since, snap.version
+                    )
+                    vt.apply_changes(
+                        spark,
+                        dst_root,
+                        changes,
+                        key=key,
+                        batch_id=-snap.version,
+                    )
+                    mode = "cdc"
+                except FileNotFoundError:
+                    # the window's source manifests were vacuumed — CDC
+                    # cannot reconstruct it; fall through to rebuild
+                    mode = None
     if mode is None:
-        # first sync, or a rewritten window with no key: full copy.
-        # Overwrite is content-idempotent — a crashed retry redoes it.
-        full = vt.read_table_version(spark, src_root)
+        # first sync, a keyless rewrite, or a vacuumed window: full copy
+        # PINNED at the resolved snapshot (reading unpinned "latest"
+        # could fold in a concurrent newer commit while state records
+        # snap.version, double-applying it next sync). Overwrite is
+        # content-idempotent — a crashed retry just redoes it.
+        full = vt.read_table_version(spark, src_root, snap.version)
         vt.write_table(full, dst_root, mode="overwrite")
         mode = "rebuild"
 

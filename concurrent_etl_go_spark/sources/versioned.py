@@ -452,6 +452,7 @@ def append_prepared(
     new_files: list[str],
     batch_id: int | None = None,
     retries: int = 5,
+    dtypes: list | None = None,
 ) -> Snapshot:
     """Append already-written data files, retrying commit races.
 
@@ -459,11 +460,21 @@ def append_prepared(
     data files exist once; each attempt only re-resolves the latest
     snapshot and re-attempts the atomic manifest create. ``batch_id``
     rides along as the streaming idempotence key.
+
+    Pass the appended DataFrame's ``dtypes`` to validate/record schema
+    evolution like ``write_table`` does; without them the base version's
+    schema carries forward unchanged — either way the manifest keeps a
+    schema, so later appends never lose ``SchemaEvolutionError``
+    validation (a schema-less manifest silently disables the check).
     """
     for _ in range(retries):
         versions = _versions(root)
         base = versions[-1] if versions else 0
         prior = snapshot(root, base).files if base else ()
+        if dtypes is not None:
+            schema = _check_append_schema(root, base, dtypes)
+        else:
+            schema = _manifest_schema(root, base) if base else None
         try:
             return _commit(
                 root,
@@ -471,6 +482,7 @@ def append_prepared(
                 list(prior) + list(new_files),
                 base_version=base,
                 batch_id=batch_id,
+                schema=schema,
             )
         except CommitConflictError:
             continue

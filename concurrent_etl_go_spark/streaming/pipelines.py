@@ -381,7 +381,9 @@ def stream_to_versioned(
         if epoch_id in vt.committed_batch_ids(root):
             return  # replayed epoch: already durable, skip
         files = vt._write_data_files(batch_df, root)  # noqa: SLF001
-        vt.append_prepared(root, files, batch_id=epoch_id)
+        vt.append_prepared(
+            root, files, batch_id=epoch_id, dtypes=batch_df.dtypes
+        )
 
     return (
         stream.writeStream.outputMode("append")

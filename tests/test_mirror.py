@@ -115,3 +115,82 @@ def test_cli_mirror_subcommand(capsys, spark, tmp_path):
     assert main(["table", src, "mirror", dst, "--key", "id"]) == 0
     assert "via append" in capsys.readouterr().out
     assert _multiset(spark, dst) == _multiset(spark, src)
+
+
+def test_mirror_crash_with_later_upstream_commits_fast_forwards(
+    spark, tmp_path
+):
+    """Crash after committing src v2 to dst, then src advances to v3:
+    the retry must fast-forward past the committed v2 window and apply
+    ONLY v3's delta — not re-append v2's rows."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    vt.write_table(_df(spark, 0, 4), src)                 # v1
+    mirror.mirror_table(spark, src, dst)
+    vt.write_table(_df(spark, 4, 7), src)                 # v2
+    mirror.mirror_table(spark, src, dst)                  # commits v2 delta
+
+    # crash window: state lost the last sync...
+    with open(os.path.join(dst, "_mirror_state.json"), "w") as f:
+        json.dump({"src_version": 1}, f)
+    # ...and the source moves on
+    vt.write_table(_df(spark, 7, 9), src)                 # v3
+
+    v, mode = mirror.mirror_table(spark, src, dst)
+    assert (v, mode) == (3, "append")
+    assert _multiset(spark, dst) == _multiset(spark, src)
+
+
+def test_mirror_vacuumed_window_with_key_rebuilds(spark, tmp_path):
+    """CDC cannot reconstruct a window whose source manifests were
+    vacuumed — even with a key the mirror must degrade to rebuild, not
+    crash."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    vt.write_table(_df(spark, 0, 4), src)                 # v1
+    mirror.mirror_table(spark, src, dst, key="id")
+    vt.write_table(_df(spark, 4, 6), src)                 # v2
+    vt.write_table(_df(spark, 6, 8), src)                 # v3
+    vt.vacuum(src, keep_versions=1)                       # v1/v2 manifests gone
+
+    v, mode = mirror.mirror_table(spark, src, dst, key="id")
+    assert (v, mode) == (3, "rebuild")
+    assert _multiset(spark, dst) == _multiset(spark, src)
+
+
+def test_mirror_batch_ids_disjoint_from_streaming_epochs(spark, tmp_path):
+    """A dst that also received streaming exactly-once appends (epoch ids
+    >= 0) must not false-noop when a source version number collides with
+    an epoch id — mirror ids live in the negative namespace."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    vt.write_table(_df(spark, 0, 3), src)                 # src v1
+    mirror.mirror_table(spark, src, dst)
+    vt.write_table(_df(spark, 3, 5), src)                 # src v2
+
+    # a streaming epoch id equal to the pending source version
+    files = vt._write_data_files(_df(spark, 100, 101), dst)
+    vt.append_prepared(dst, files, batch_id=2, dtypes=_df(spark, 100, 101).dtypes)
+
+    v, mode = mirror.mirror_table(spark, src, dst)
+    assert (v, mode) == (2, "append")                     # NOT a false noop
+    expect = _multiset(spark, src) + Counter({(100, 200): 1})
+    assert _multiset(spark, dst) == expect
+
+
+def test_mirror_append_preserves_schema_validation(spark, tmp_path):
+    """append_prepared now records the schema, so a retyping append to
+    the MIRROR still raises SchemaEvolutionError."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    vt.write_table(_df(spark, 0, 3), src)
+    mirror.mirror_table(spark, src, dst)
+    vt.write_table(_df(spark, 3, 5), src)
+    v, mode = mirror.mirror_table(spark, src, dst)
+    assert mode == "append"
+
+    import pytest
+
+    retyped = spark.createDataFrame([("x", 1)], "id string, double_id long")
+    with pytest.raises(vt.SchemaEvolutionError):
+        vt.write_table(retyped, dst, mode="append")
