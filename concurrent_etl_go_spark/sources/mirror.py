@@ -34,6 +34,7 @@ import json
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.sources import versioned as vt
 
@@ -88,12 +89,23 @@ def mirror_table(
     src_root: str,
     dst_root: str,
     key: str | None = None,
+    predicate: str | None = None,
 ) -> tuple[int, str]:
     """Advance ``dst_root`` to ``src_root``'s latest snapshot.
 
     Returns ``(source_version_reflected, mode)`` with mode one of
     ``noop`` / ``append`` / ``cdc`` / ``rebuild``.  See module docstring
     for the mechanism selection and crash-safety contract.
+
+    ``predicate`` (a SQL boolean expression over the source columns)
+    makes this a SELECTIVE replica — only matching rows replicate.  On
+    the append path the filter applies to the delta (and pushes down to
+    the delta-file scan); on the CDC path it applies to INSERTS only —
+    deletes always pass through, so a row UPDATED out of the predicate
+    is deleted from the replica, and one updated into it arrives (its
+    delete is a key-based no-op).  Use the same predicate on every call:
+    changing it between syncs does not retroactively re-filter rows
+    already replicated (rebuild with the new predicate to converge).
     """
     state = mirror_state(dst_root)
     since = state.get("src_version")
@@ -117,6 +129,8 @@ def mirror_table(
             if delta is None:
                 _write_state(dst_root, {"src_version": snap.version})
                 return snap.version, "noop"
+            if predicate is not None:
+                delta = delta.where(F.expr(predicate))
             files = vt._write_data_files(delta, dst_root)  # noqa: SLF001
             vt.append_prepared(
                 dst_root,
@@ -131,6 +145,14 @@ def mirror_table(
                     changes = vt.table_changes(
                         spark, src_root, since, snap.version
                     )
+                    if predicate is not None:
+                        # inserts are filtered; deletes always pass so a
+                        # row updated out of the predicate leaves the
+                        # replica (its key-based delete applies)
+                        changes = changes.where(
+                            (F.col("_change_type") == "delete")
+                            | F.expr(predicate)
+                        )
                     vt.apply_changes(
                         spark,
                         dst_root,
@@ -150,6 +172,8 @@ def mirror_table(
         # snap.version, double-applying it next sync). Overwrite is
         # content-idempotent — a crashed retry just redoes it.
         full = vt.read_table_version(spark, src_root, snap.version)
+        if predicate is not None:
+            full = full.where(F.expr(predicate))
         vt.write_table(full, dst_root, mode="overwrite")
         mode = "rebuild"
 

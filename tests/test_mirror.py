@@ -194,3 +194,34 @@ def test_mirror_append_preserves_schema_validation(spark, tmp_path):
     retyped = spark.createDataFrame([("x", 1)], "id string, double_id long")
     with pytest.raises(vt.SchemaEvolutionError):
         vt.write_table(retyped, dst, mode="append")
+
+
+def test_selective_replica_with_predicate(spark, tmp_path):
+    """Filtered mirroring: only even ids replicate; an update moving a
+    row out of the predicate deletes it from the replica, and one moving
+    a row in makes it arrive."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    pred = "double_id % 4 = 0"  # even ids (double_id = 2*id)
+
+    vt.write_table(_df(spark, 0, 6), src)                 # ids 0..5
+    v, mode = mirror.mirror_table(spark, src, dst, key="id", predicate=pred)
+    assert mode == "rebuild"
+    assert {r.id for r in vt.read_table_version(spark, dst).collect()} == {0, 2, 4}
+
+    # append path honors the predicate
+    vt.write_table(_df(spark, 6, 10), src)                # ids 6..9
+    v, mode = mirror.mirror_table(spark, src, dst, key="id", predicate=pred)
+    assert mode == "append"
+    assert {r.id for r in vt.read_table_version(spark, dst).collect()} == {0, 2, 4, 6, 8}
+
+    # CDC path: move id=2 OUT of the predicate (odd double_id) and
+    # id=3 IN (double_id divisible by 4)
+    upd = spark.createDataFrame([(2, 5), (3, 8)], "id long, double_id long")
+    vt.merge_upsert(spark, src, upd, key="id")
+    v, mode = mirror.mirror_table(spark, src, dst, key="id", predicate=pred)
+    assert mode == "cdc"
+    got = {(r.id, r.double_id) for r in vt.read_table_version(spark, dst).collect()}
+    assert (2, 5) not in got and (2, 4) not in got      # left the replica
+    assert (3, 8) in got                                 # arrived
+    assert {i for i, _ in got} == {0, 3, 4, 6, 8}
