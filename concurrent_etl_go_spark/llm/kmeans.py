@@ -138,6 +138,12 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     mathematics). Encoding is one final per-row assign select — no
     joins. Deterministic init (slices of the k lowest vec_ids) keeps
     the codes bit-stable for the driver's rows-only check.
+
+    Output schema: one SCALAR int column per subspace (``code_0`` ..
+    ``code_{M-1}``) rather than an ``array<int>`` — list-typed columns
+    cannot be sorted/factorized by the driver's pandas canonicalizer,
+    and scalar columns are also the honest storage layout (PQ codes are
+    fixed-width bytes, not variable-length lists).
     """
     from concurrent_etl_go_spark.llm.ivfpq import (
         _argmin_sql,
@@ -150,8 +156,11 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism = spark.sparkContext.defaultParallelism
     first = emb.select(F.size("embedding").alias("d")).first()
     if first is None:
+        code_cols = ", ".join(
+            f"code_{m} int" for m in range(PQ_SUBSPACES)
+        )
         return spark.createDataFrame(
-            [], "vec_id long, codes array<int>, recon_sq_err double"
+            [], f"vec_id long, {code_cols}, recon_sq_err double"
         )
     dim = first.d
     base = scoped_persist(
@@ -184,9 +193,10 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return encoded.select(
         "vec_id",
-        F.array(*[F.col(f"code_{m}") for m in range(PQ_SUBSPACES)]).alias(
-            "codes"
-        ),
+        *[
+            F.col(f"code_{m}").cast("int").alias(f"code_{m}")
+            for m in range(PQ_SUBSPACES)
+        ],
         F.round(
             sum(F.col(f"err_{m}") for m in range(PQ_SUBSPACES)), 4
         ).alias("recon_sq_err"),

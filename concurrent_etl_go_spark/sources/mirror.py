@@ -17,11 +17,14 @@ Crash safety: every append/CDC commit carries the NEGATED source version
 as its manifest ``batch_id`` (negative = the mirror's namespace, disjoint
 from streaming epoch ids, which are >= 0).  On entry the mirror
 fast-forwards its state past any source versions already committed to
-the destination (scanning only the newest ``_SCAN_DEPTH`` destination
-manifests — a crash loses at most the single last state write, so the
-un-stated commits are always recent), which makes the
+the destination (scanning destination manifests newest-first until one
+at-or-below the stated sync is reached — unbounded interleaved
+streaming epochs cannot hide a crashed mirror commit), which makes the
 commit-then-crash-then-more-upstream-commits schedule converge without
-double-applying.
+double-applying.  The append path is additionally idempotent at the
+commit layer: ``append_prepared`` skips a ``batch_id`` that is already
+committed, so two concurrent mirror runs replaying the SAME source
+delta cannot double-append it.
 
 This is the batch shape of a replication daemon: call it on a schedule
 (or after each upstream commit notification) and the mirror converges.
@@ -37,13 +40,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.sources import versioned as vt
-
-#: Newest destination manifests scanned for already-applied source
-#: versions. A crash loses at most one state write, so anything deeper
-#: is always reflected in the state already; the bound keeps each call
-#: O(1) in destination history.
-_SCAN_DEPTH = 16
-
 
 def _state_path(dst_root: str) -> str:
     return os.path.join(dst_root, "_mirror_state.json")
@@ -66,20 +62,33 @@ def _write_state(dst_root: str, state: dict) -> None:
     os.replace(tmp, _state_path(dst_root))
 
 
-def _applied_src_versions(dst_root: str) -> set[int]:
-    """Source versions already committed to dst (negative batch ids in
-    the newest ``_SCAN_DEPTH`` manifests)."""
+def _applied_src_versions(dst_root: str, since: int) -> set[int]:
+    """Source versions > ``since`` already committed to dst (negative
+    batch ids in destination manifests).
+
+    Scans newest -> oldest and stops at the first mirror commit whose
+    source version is <= ``since``: mirror commits land in increasing
+    source-version order, so everything older cannot exceed ``since``.
+    No fixed depth — mixed-writer destinations are supported, and any
+    number of interleaved streaming epochs (batch_id >= 0) between a
+    crashed mirror commit and the retry must not push it out of the scan
+    window (a fixed window would re-append the same source delta and
+    duplicate rows). A vacuumed (unreadable) manifest also stops the
+    scan: vacuum keeps a newest-suffix, so nothing older is readable.
+    Cost is O(commits since the last stated sync), not O(history)."""
     try:
         versions = vt._versions(dst_root)  # noqa: SLF001
     except FileNotFoundError:
         return set()
     out: set[int] = set()
-    for v in versions[-_SCAN_DEPTH:]:
+    for v in reversed(versions):
         try:
             s = vt.snapshot(dst_root, v)
         except FileNotFoundError:
-            continue
+            break
         if s.batch_id is not None and s.batch_id < 0:
+            if -s.batch_id <= since:
+                break
             out.add(-s.batch_id)
     return out
 
@@ -114,7 +123,7 @@ def mirror_table(
     # crash-retry fast-forward: skip source versions a previous attempt
     # already committed to dst before dying pre-state-write
     if since is not None:
-        applied = _applied_src_versions(dst_root)
+        applied = _applied_src_versions(dst_root, since)
         newer = [v for v in applied if since < v <= snap.version]
         if newer:
             since = max(newer)

@@ -373,6 +373,7 @@ def _commit(
     base_version: int,
     batch_id: int | None = None,
     schema: list[list[str]] | None = None,
+    stats: dict | None = None,
 ) -> Snapshot:
     """Atomically publish version ``base_version + 1`` referencing
     ``files``.
@@ -397,6 +398,7 @@ def _commit(
             "n_files": len(files),
             "batch_id": batch_id,
             "schema": schema,
+            **({"stats": stats} if stats is not None else {}),
         }
     )
     path = _manifest_path(root, next_v)
@@ -466,10 +468,20 @@ def append_prepared(
     schema carries forward unchanged — either way the manifest keeps a
     schema, so later appends never lose ``SchemaEvolutionError``
     validation (a schema-less manifest silently disables the check).
+
+    Exactly-once is enforced HERE, not just by callers: when ``batch_id``
+    is set and already appears in ``committed_batch_ids`` — at entry, or
+    re-checked after losing a commit race (the race winner may have been
+    a concurrent writer committing the SAME batch) — the append is a
+    no-op returning the current snapshot. Without the in-loop re-check,
+    two concurrent mirrors replaying the same source delta could both
+    commit it and duplicate rows.
     """
     for _ in range(retries):
         versions = _versions(root)
         base = versions[-1] if versions else 0
+        if batch_id is not None and batch_id in committed_batch_ids(root):
+            return snapshot(root, base)
         prior = snapshot(root, base).files if base else ()
         if dtypes is not None:
             schema = _check_append_schema(root, base, dtypes)
@@ -619,40 +631,31 @@ def write_table_with_stats(
     reads can skip files (``read_table_pruned``). Layout the data for
     skippability first — e.g. ``df.repartitionByRange(n, col)`` gives
     files disjoint ranges on ``col``; random layout yields stats that
-    never exclude anything (correct, just not faster)."""
+    never exclude anything (correct, just not faster).
+
+    Records the committed schema exactly like ``write_table`` — a
+    stats-bearing commit must not become the manifest that silently
+    disables ``SchemaEvolutionError`` validation for every later append
+    (``_check_append_schema`` treats a schema-less base as "nothing to
+    validate against")."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    new_files = _write_data_files(df, root)
-    new_stats = collect_file_stats(new_files, stats_cols)
     versions = _versions(root)
     base = versions[-1] if versions else 0
-    files, stats = list(new_files), dict(new_stats)
+    if mode == "append":
+        # validate BEFORE writing data files, same as write_table
+        schema = _check_append_schema(root, base, df.dtypes)
+    else:
+        schema = [[n, t] for n, t in df.dtypes]
+    new_files = _write_data_files(df, root)
+    files, stats = list(new_files), collect_file_stats(new_files, stats_cols)
     if mode == "append" and base:
         prior = snapshot(root, base)
         files = list(prior.files) + files
         stats = {**_manifest_stats(root, base), **stats}
-    os.makedirs(_manifest_dir(root), exist_ok=True)
-    next_v = base + 1
-    payload = json.dumps(
-        {
-            "version": next_v,
-            "op": mode,
-            "files": files,
-            "n_files": len(files),
-            "batch_id": None,
-            "stats": stats,
-        }
+    return _commit(
+        root, mode, files, base_version=base, schema=schema, stats=stats
     )
-    path = _manifest_path(root, next_v)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as exc:
-        raise CommitConflictError(
-            f"version {next_v} already committed under {root}"
-        ) from exc
-    with os.fdopen(fd, "w") as f:
-        f.write(payload)
-    return Snapshot(next_v, mode, tuple(files), None)
 
 
 def _manifest_stats(root: str, version: int) -> dict:

@@ -721,21 +721,33 @@ def test_pq_codes_deterministic_and_compressive(spark):
     from concurrent_etl_go_spark.operators.registry import release_caches
     from concurrent_etl_go_spark.sources.readers import read_table
 
-    rows = {r.vec_id: r for r in embeddings_pq_codes(spark, SF_SMOKE).collect()}
+    def codes_of(r):
+        return tuple(r[f"code_{m}"] for m in range(PQ_SUBSPACES))
+
+    df = embeddings_pq_codes(spark, SF_SMOKE)
+    # scalar code columns (NOT array<int>): the driver canonicalizer
+    # cannot sort list-typed columns, so the schema pins one int per
+    # subspace.
+    assert set(df.columns) == (
+        {"vec_id", "recon_sq_err"}
+        | {f"code_{m}" for m in range(PQ_SUBSPACES)}
+    )
+    rows = {r.vec_id: r for r in df.collect()}
     release_caches()
     n = read_table(spark, SF_SMOKE, "embeddings").count()
     assert len(rows) == n
     for r in rows.values():
-        assert len(r.codes) == PQ_SUBSPACES
-        assert all(0 <= c < PQ_CODEBOOK_K for c in r.codes)
+        assert all(0 <= c < PQ_CODEBOOK_K for c in codes_of(r))
         assert r.recon_sq_err >= 0.0
     for m in range(PQ_SUBSPACES):
-        assert len({r.codes[m] for r in rows.values()}) > 1, f"subspace {m}"
+        assert len({r[f"code_{m}"] for r in rows.values()}) > 1, (
+            f"subspace {m}"
+        )
 
     again = {r.vec_id: r for r in embeddings_pq_codes(spark, SF_SMOKE).collect()}
     release_caches()
     assert all(
-        rows[i].codes == again[i].codes
+        codes_of(rows[i]) == codes_of(again[i])
         and rows[i].recon_sq_err == again[i].recon_sq_err
         for i in rows
     )

@@ -225,3 +225,52 @@ def test_selective_replica_with_predicate(spark, tmp_path):
     assert (2, 5) not in got and (2, 4) not in got      # left the replica
     assert (3, 8) in got                                 # arrived
     assert {i for i, _ in got} == {0, 3, 4, 6, 8}
+
+
+def test_mirror_crash_recovery_survives_many_interleaved_epochs(
+    spark, tmp_path
+):
+    """A crashed mirror commit must be rediscovered on retry even when
+    MANY streaming epochs landed on dst in between — the fast-forward
+    scan is bounded by the stated sync, not a fixed manifest depth
+    (a fixed window would re-append the same source delta)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    vt.write_table(_df(spark, 0, 4), src)                 # src v1
+    mirror.mirror_table(spark, src, dst)
+    vt.write_table(_df(spark, 4, 7), src)                 # src v2
+    mirror.mirror_table(spark, src, dst)                  # commits v2 delta
+
+    # crash window: the state write for the v2 sync is lost...
+    with open(os.path.join(dst, "_mirror_state.json"), "w") as f:
+        json.dump({"src_version": 1}, f)
+    # ...and 20 streaming epochs land on dst before the mirror retries
+    extra = Counter()
+    for epoch in range(20):
+        row = _df(spark, 1000 + epoch, 1001 + epoch)
+        files = vt._write_data_files(row, dst)
+        vt.append_prepared(dst, files, batch_id=epoch, dtypes=row.dtypes)
+        extra[(1000 + epoch, 2 * (1000 + epoch))] = 1
+
+    v, mode = mirror.mirror_table(spark, src, dst)
+    assert (v, mode) == (2, "noop")                       # NOT re-applied
+    assert _multiset(spark, dst) == _multiset(spark, src) + extra
+
+
+def test_append_prepared_is_idempotent_on_batch_id(spark, tmp_path):
+    """Exactly-once lives in append_prepared itself: a second append
+    carrying an already-committed batch_id is a no-op returning the
+    current snapshot, so two writers replaying the same delta cannot
+    duplicate rows even without the caller-side guard."""
+    root = str(tmp_path / "tbl")
+    df = _df(spark, 0, 5)
+    first = vt.append_prepared(
+        root, vt._write_data_files(df, root), batch_id=3, dtypes=df.dtypes
+    )
+    dup_files = vt._write_data_files(df, root)
+    again = vt.append_prepared(root, dup_files, batch_id=3, dtypes=df.dtypes)
+    assert again.version == first.version
+    assert _multiset(spark, root) == Counter(
+        {(i, 2 * i): 1 for i in range(5)}
+    )
+    assert vt.committed_batch_ids(root) == {3}

@@ -515,3 +515,28 @@ def test_merge_and_apply_preserve_schema_validation(spark, tmp_path):
     vt.compact(spark, root, target_files=1)
     with pytest.raises(vt.SchemaEvolutionError):
         vt.write_table(retyped, root, mode="append")
+
+
+def test_write_table_with_stats_records_and_validates_schema(
+    spark, tmp_path
+):
+    """Stats-bearing commits carry the schema like write_table does —
+    otherwise the NEXT append finds a schema-less base manifest and
+    silently skips SchemaEvolutionError validation."""
+    import json
+
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    vt.write_table_with_stats(_df(spark, 0, 10), root, stats_cols=("id",))
+    with open(vt._manifest_path(root, 1)) as f:
+        manifest = json.load(f)
+    assert manifest["schema"] == [["id", "bigint"], ["double_id", "bigint"]]
+    assert manifest["stats"]  # stats still recorded alongside
+
+    retyped = spark.createDataFrame([("x", 1)], "id string, double_id long")
+    with pytest.raises(vt.SchemaEvolutionError):
+        vt.write_table(retyped, root, mode="append")
+    # and the stats writer itself validates in append mode
+    with pytest.raises(vt.SchemaEvolutionError):
+        vt.write_table_with_stats(retyped, root, stats_cols=("id",))
