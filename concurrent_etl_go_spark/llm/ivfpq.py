@@ -16,17 +16,29 @@ literature):
    exact cosine (the standard refinement step that recovers most of the
    recall PQ loses).
 
-Scale: the k-means fits are the offline INDEX BUILD (amortized across
-every query served); per query, driver traffic is the centroid matrix,
-the single query row, and the M x K LUT literals — candidate scoring is
-a per-row expression over the probed fraction (~nprobe/k of the corpus),
-followed by TakeOrdered. No shuffle touches the vectors.
+Scale: the k-means fits are the offline INDEX BUILD — build once, serve
+cheap. ``build_ivfpq_index`` persists the fitted index (coarse cells +
+PQ codebooks as JSON metadata, per-vector cluster + codes as a
+``sources/versioned.py`` table keyed by a source fingerprint);
+``similarity_ivfpq_topk`` READS it and only rebuilds when the source
+changed (or ``rebuild=True``). Per query, driver traffic is the centroid
+matrix, the single query row, and the M x K LUT literals — candidate
+scoring is M lookups per code row over the probed fraction (~nprobe/k of
+the corpus), and only the RERANK-sized shortlist ever touches a float
+vector again (one broadcast semi-join back to the corpus). At 100 TB a
+per-query refit would re-scan the corpus; the persisted index makes
+query cost O(probed codes + shortlist).
 
 Rows-only driver check (learned quantizers aren't SQL-portable);
 ``tests/test_llm_ops.py`` pins determinism and recall vs exact top-k.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,6 +50,7 @@ from concurrent_etl_go_spark.llm.kmeans import (
     kmeans_fit,
 )
 from concurrent_etl_go_spark.llm.similarity import _vectors
+from concurrent_etl_go_spark.sources import versioned as vt
 
 IVFPQ_CLUSTERS = 8
 IVFPQ_NPROBE = 3
@@ -170,16 +183,126 @@ def pq_fit_joint(
     return codebooks
 
 
+# ------------------------------------------------ persisted index build
+
+
+def _default_index_root(sf_dir: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"cetl_ivfpq_index_{key}")
+
+
+def _source_fingerprint(sf_dir: str) -> list[int]:
+    """(size, mtime_ns) of the source parquet — cheap staleness guard so
+    a refreshed corpus invalidates the index without reading any data."""
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return [st.st_size, st.st_mtime_ns]
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> dict:
+    """Offline index build: fit the coarse quantizer + PQ codebooks, then
+    persist (a) per-vector ``(vec_id, cluster, code_0..code_{M-1})`` rows
+    as a versioned table under ``root/codes`` and (b) the centroid /
+    codebook matrices + source fingerprint as ``root/meta.json``.
+
+    This is the build-offline / serve-cheap split every real ANN
+    deployment uses: the Lloyd fits re-scan the corpus (distributed,
+    batched — see ``pq_fit_joint``), but they run once per corpus
+    version, not once per query. The codes table is ~M bytes-ish per
+    vector — the 250x compression that lets a 100 TB corpus's index fit
+    in a fraction of one executor's scan budget.
+    """
+    root = root or _default_index_root(sf_dir)
+    vectors = _vectors(spark, sf_dir)
+    first = vectors.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError(f"no vectors under {sf_dir}")
+    dim = first.d
+    assigned, centroids = kmeans_fit(vectors, k=IVFPQ_CLUSTERS, iterations=2)
+    codebooks = pq_fit_joint(vectors, dim, iterations=2)
+
+    bounds = _subspace_bounds(dim)
+    with_dists = assigned.select(
+        "vec_id",
+        "cluster",
+        *[
+            F.expr(
+                _dists_sql(f"slice(v, {start}, {length})", codebooks[m])
+            ).alias(f"dists_{m}")
+            for m, (start, length) in enumerate(bounds)
+        ],
+    )
+    codes = with_dists.select(
+        "vec_id",
+        "cluster",
+        *[
+            F.expr(_argmin_sql(f"dists_{m}")).alias(f"code_{m}")
+            for m in range(PQ_SUBSPACES)
+        ],
+    )
+    try:
+        vt.write_table(codes, os.path.join(root, "codes"), mode="overwrite")
+    except vt.CommitConflictError:
+        # a concurrent builder won the commit race; builds are
+        # deterministic, so its index is byte-equivalent — just use it
+        pass
+    meta = {
+        "fingerprint": _source_fingerprint(sf_dir),
+        "dim": dim,
+        "centroids": centroids,
+        "codebooks": codebooks,
+    }
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(root, "meta.json"))
+    return meta
+
+
+def load_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str | None = None,
+    rebuild: bool = False,
+) -> tuple[DataFrame, dict]:
+    """(codes table, metadata) for ``sf_dir``'s corpus — built on first
+    use or when the source fingerprint changed; otherwise a pure read.
+    ``rebuild=True`` forces a refit (the tests' escape hatch)."""
+    root = root or _default_index_root(sf_dir)
+    if not rebuild:
+        try:
+            with open(os.path.join(root, "meta.json")) as f:
+                meta = json.load(f)
+            if meta["fingerprint"] == _source_fingerprint(sf_dir):
+                codes = vt.read_table_version(
+                    spark, os.path.join(root, "codes")
+                )
+                return codes, meta
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            pass
+    meta = build_ivfpq_index(spark, sf_dir, root)
+    codes = vt.read_table_version(spark, os.path.join(root, "codes"))
+    return codes, meta
+
+
 @query("similarity_ivfpq_topk")  # learned quantizers — rows-only check
 def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k for query vector 0: probe the best ``nprobe`` of
-    ``IVFPQ_CLUSTERS`` learned cells, score candidates by PQ asymmetric
-    distance (M LUT lookups each), exact-cosine re-rank the best
-    ``IVFPQ_RERANK``, return the top ``IVFPQ_TOP_K``.
+    """IVF-PQ top-k for query vector 0 against the PERSISTED index: probe
+    the best ``nprobe`` of ``IVFPQ_CLUSTERS`` cells, score candidates by
+    PQ asymmetric distance (M LUT lookups per code row — no float vector
+    touched), exact-cosine re-rank the best ``IVFPQ_RERANK`` via one
+    broadcast semi-join back to the corpus, return the top
+    ``IVFPQ_TOP_K``.
 
-    Deterministic end to end: k-means inits are id-ordered, argmin ties
-    break low, and every ordering carries a vec_id tie-break — required
-    for the driver's rows-only determinism check.
+    The index loads from ``load_ivfpq_index`` (built once per corpus
+    version); repeated queries pay only the probed-codes scan + a
+    shortlist-sized join. Deterministic end to end: k-means inits are
+    id-ordered, argmin ties break low, and every ordering carries a
+    vec_id tie-break — required for the driver's rows-only determinism
+    check (and identical whether the index was freshly built or read
+    back, which ``tests/test_search_layout.py`` pins).
     """
     vectors = _vectors(spark, sf_dir)
     qrow = vectors.where(F.col("vec_id") == 0).select("v", "norm").first()
@@ -189,9 +312,8 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(q)
     sub_dim = dim // PQ_SUBSPACES
 
-    # --- index build (offline at scale): coarse cells + PQ codebooks ---
-    assigned, centroids = kmeans_fit(vectors, k=IVFPQ_CLUSTERS, iterations=2)
-    codebooks = pq_fit_joint(vectors, dim, iterations=2)
+    codes, meta = load_ivfpq_index(spark, sf_dir)
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
 
     # --- query-time: probe decision on k tiny centroids (driver-side) ---
     def centroid_cos(c: list[float]) -> float:
@@ -203,7 +325,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[:IVFPQ_NPROBE]
 
     # Per-subspace LUTs: dot(q_sub, codeword) and ||codeword||^2 — M x K
-    # floats, embedded as literals (the whole "index" a scorer needs).
+    # floats, embedded as literals (all a code-row scorer needs).
     luts, cnorms = [], []
     for m in range(PQ_SUBSPACES):
         qs = q[m * sub_dim : (m + 1) * sub_dim if m < PQ_SUBSPACES - 1 else dim]
@@ -211,33 +333,6 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             [sum(x * y for x, y in zip(qs, c)) for c in codebooks[m]]
         )
         cnorms.append([sum(x * x for x in c) for c in codebooks[m]])
-
-    # --- candidate scoring: PQ codes + LUT sums, per-row expressions
-    # (SQL-string built: see _sq_expr_sql) ---
-    pruned = assigned.where(
-        F.col("cluster").isin(probed) & (F.col("vec_id") != 0)
-    )
-    bounds = _subspace_bounds(dim)
-    with_dists = pruned.select(
-        "vec_id",
-        "v",
-        "norm",
-        *[
-            F.expr(
-                _dists_sql(f"slice(v, {start}, {length})", codebooks[m])
-            ).alias(f"dists_{m}")
-            for m, (start, length) in enumerate(bounds)
-        ],
-    )
-    cands = with_dists.select(
-        "vec_id",
-        "v",
-        "norm",
-        *[
-            F.expr(_argmin_sql(f"dists_{m}")).alias(f"code_{m}")
-            for m in range(PQ_SUBSPACES)
-        ],
-    )
 
     def lut_sql(m: int, table: list[float]) -> str:
         lits = ",".join(f"{x!r}D" for x in table)
@@ -249,7 +344,9 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " + ".join(lut_sql(m, cnorms[m]) for m in range(PQ_SUBSPACES))
         + ")"
     )
-    scored = cands.withColumn(
+    scored = codes.where(
+        F.col("cluster").isin(probed) & (F.col("vec_id") != 0)
+    ).withColumn(
         "approx_sim",
         F.expr(f"({approx_dot}) / ({approx_norm} * {qn!r}D)"),
     )
@@ -257,9 +354,13 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_sim").desc(), F.col("vec_id")
     ).limit(IVFPQ_RERANK)
 
-    # --- exact re-rank of the shortlist ---
+    # --- exact re-rank: broadcast the tiny shortlist back to the corpus
+    # (the only step that touches float vectors again) ---
     qlits = ",".join(f"{x!r}D" for x in q)
-    exact = shortlist.select(
+    hits = vectors.join(
+        F.broadcast(shortlist.select("vec_id")), "vec_id", "inner"
+    )
+    exact = hits.select(
         "vec_id",
         F.round(
             F.expr(

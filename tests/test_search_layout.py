@@ -91,6 +91,50 @@ def test_ivfpq_deterministic(spark):
     assert a == b
 
 
+def test_ivfpq_index_persists_and_survives_rebuild(spark, tmp_path):
+    """Build-offline/serve-cheap: the first search builds and persists
+    the index; later searches read it back and return identical results;
+    a forced rebuild reproduces the same index (deterministic fits); a
+    source-fingerprint change invalidates it."""
+    import json
+    import os
+
+    from concurrent_etl_go_spark.llm import ivfpq
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    root = str(tmp_path / "idx")
+    codes1, meta1 = ivfpq.load_ivfpq_index(spark, SF_SMOKE, root=root)
+    built = codes1.orderBy("vec_id").collect()
+    release_caches()
+    assert os.path.exists(os.path.join(root, "meta.json"))
+
+    # read-back path: no refit, identical codes + metadata
+    codes2, meta2 = ivfpq.load_ivfpq_index(spark, SF_SMOKE, root=root)
+    assert meta2 == meta1
+    assert codes2.orderBy("vec_id").collect() == built
+    release_caches()
+
+    # forced rebuild reproduces the same index bit-for-bit
+    codes3, meta3 = ivfpq.load_ivfpq_index(
+        spark, SF_SMOKE, root=root, rebuild=True
+    )
+    assert meta3 == meta1
+    assert codes3.orderBy("vec_id").collect() == built
+    release_caches()
+
+    # staleness: a fingerprint mismatch triggers a rebuild (observable as
+    # the meta.json being rewritten with the CURRENT fingerprint)
+    meta_path = os.path.join(root, "meta.json")
+    with open(meta_path) as f:
+        stale = json.load(f)
+    stale["fingerprint"] = [0, 0]
+    with open(meta_path, "w") as f:
+        json.dump(stale, f)
+    _, meta4 = ivfpq.load_ivfpq_index(spark, SF_SMOKE, root=root)
+    release_caches()
+    assert meta4["fingerprint"] == meta1["fingerprint"]
+
+
 # -------------------------------------------- z-order layout + skipping
 
 
