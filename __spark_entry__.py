@@ -17,24 +17,27 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: The driver's per-round correctness snapshot covers the FIRST 50 entries
 #: of ``queries()`` (insertion order).  Coverage therefore accumulates as
 #: the union of per-round snapshots, and we rotate which queries occupy
-#: the window each round.  Rounds 1-4 proved the 149 queries in
-#: ``_PROVEN_R01_R04``; round 5 front-loads everything that still lacks a
-#: green driver row: the round-4 ``embeddings_normalize`` hash fail
-#: (signed-zero root cause fixed in llm/similarity.py — re-proving is the
-#: round's top verdict item), the three round-5 additions
-#: (``scalar_float_canary`` and the two scalable window twins), and the
-#: 43 round-4 additions that landed after the r4 window was frozen.
-#: 47 names + 3 spare slots = the driver's 50.  Queries not named here
-#: slot in between: never-proven first, already-proven at the back.
-#: ROUND-6 TODO: fold r05 passes into the proven set; if all 50 come back
-#: green the whole 199-query registry is driver-proven and future rounds
-#: only need to front-load new additions (cap additions at ~50/round so
-#: each window clears its own backlog).  Candidate round-6 additions with
-#: oracle potential: streaming-twin batch queries for the mirror/CDC path,
-#: TPC-DS-style shapes (windowed market-basket, cross-channel rollups),
-#: doc-level dedup over the text-corpus front door (read_text_corpus),
-#: and a binaryFile-ingestion multimodal feature query.
-_ROUND5_WINDOW = [
+#: the window each round.  Rounds 1-5 proved every query registered
+#: through round 5 EXCEPT ``embeddings_pq_codes`` (r5 driver ERROR: its
+#: ``array<int>`` output column crashed the driver's pandas
+#: canonicalization — fixed this round with scalar ``code_0..code_3``
+#: columns at llm/kmeans.py).  Round 6 therefore front-loads the fixed
+#: pq-codes query plus every round-6 addition (the CDC hash-proof pair,
+#: the loose-file front-door pair, the TPC-DS retail shapes, ...);
+#: additions stay capped well under 50 so the window clears its own
+#: backlog within the round.  Queries not named here slot in between:
+#: never-proven first, already-proven at the back.
+_ROUND6_WINDOW = [
+    "embeddings_pq_codes",
+    "cdc_table_changes", "cdc_apply_changes",
+    "corpus_file_dedup", "multimodal_binary_ingest",
+    "agg_market_basket", "agg_cross_channel_rollup",
+]
+
+#: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries
+#: the driver ran with plausible row counts).  The single r05 non-green
+#: row (embeddings_pq_codes) is deliberately NOT here.
+_PROVEN_R05 = frozenset({
     "embeddings_normalize", "scalar_float_canary",
     "window_ntile_cume_scalable", "window_power_users_scalable",
     "join_attribution_last_touch", "agg_window_funnel", "layout_zorder",
@@ -44,7 +47,7 @@ _ROUND5_WINDOW = [
     "scalar_uri_parse", "scalar_url_normalize", "corpus_pretrain_funnel",
     "dataset_epoch_shuffle", "corpus_dedup_incremental", "text_unigram_nll",
     "dataset_kfold_assign", "dedup_containment", "dedup_url_canonical",
-    "embeddings_pq_codes", "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh",
     "similarity_ivfpq_topk", "multimodal_image_features",
     "multimodal_audio_features", "sample_negatives", "text_bm25_search",
     "agg_heavy_hitters", "agg_trailing_distinct_hll", "agg_theta_retention",
@@ -52,11 +55,12 @@ _ROUND5_WINDOW = [
     "join_null_skew_outer", "agg_resample_ohlc", "agg_mad_outliers",
     "agg_log2_histogram", "window_rolling_corr", "agg_regression_trend",
     "agg_hourly_seasonality", "join_pit_scd2",
-]
+    "graph_components_copurchase", "graph_pagerank_copurchase",
+    "graph_triangles_copurchase",
+})
 
 #: Proven green in CORRECTNESS_r01-r04 (hash_match, or rows-only queries
-#: the driver ran with plausible row counts).  The single r04 non-green
-#: row (embeddings_normalize) is deliberately NOT here.
+#: the driver ran with plausible row counts).
 _PROVEN_R01_R04 = frozenset({
     "agg_approx", "agg_bool_and_or", "agg_conditional", "agg_corr_covar",
     "agg_count_distinct", "agg_cube", "agg_equidepth_histogram", "agg_funnel",
@@ -107,15 +111,18 @@ _PROVEN_R01_R04 = frozenset({
 })
 
 
+_PROVEN = _PROVEN_R01_R04 | _PROVEN_R05
+
+
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND5_WINDOW if n in set(names)]
+    window = [n for n in _ROUND6_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names
-        if n not in in_window and n not in _PROVEN_R01_R04
+        if n not in in_window and n not in _PROVEN
     ]
-    proven = [n for n in names if n in _PROVEN_R01_R04 and n not in in_window]
+    proven = [n for n in names if n in _PROVEN and n not in in_window]
     return window + fresh + proven
 
 

@@ -54,35 +54,33 @@ def test_query_runs_with_sane_schema(spark, sf_dir, name):
 
 
 def test_driver_window_rotation():
-    """Round-5 rotation: the driver snapshots the FIRST 50 entries of
+    """Round-6 rotation: the driver snapshots the FIRST 50 entries of
     ``queries()``; those slots must hold every query without a green
-    CORRECTNESS_r01-r04 row (the re-proving embeddings_normalize, the
-    round-5 additions, and the 43 round-4 backlog names), with every
-    proven query behind slot 50."""
+    CORRECTNESS_r01-r05 row (the re-proving embeddings_pq_codes and all
+    round-6 additions), with every proven query behind slot 50."""
     names = list(entry_mod.queries())
     first50 = names[:50]
-    assert first50[: len(entry_mod._ROUND5_WINDOW)] == entry_mod._ROUND5_WINDOW
+    window = entry_mod._ROUND6_WINDOW
+    proven = entry_mod._PROVEN
+    assert first50[: len(window)] == window
     # every unproven query sits inside the 50-slot window; spare slots
     # (there are fewer than 50 unproven names) hold proven re-checks,
     # which is harmless
-    unproven = [n for n in names if n not in entry_mod._PROVEN_R01_R04]
+    unproven = [n for n in names if n not in proven]
     assert set(unproven) <= set(first50)
     # every rotation/proven name still exists in the registry
-    assert set(entry_mod._ROUND5_WINDOW) <= set(names)
-    assert entry_mod._PROVEN_R01_R04 <= set(names)
+    assert set(window) <= set(names)
+    assert proven <= set(names)
     # the window + fresh additions must fit the driver's 50 slots, or the
     # overflow silently goes unproven for another round
-    n_unproven = sum(1 for n in names if n not in entry_mod._PROVEN_R01_R04)
-    assert n_unproven <= 50, (
-        f"{n_unproven} unproven queries exceed the 50-slot driver window; "
-        "rotate or defer additions"
+    assert len(unproven) <= 50, (
+        f"{len(unproven)} unproven queries exceed the 50-slot driver "
+        "window; rotate or defer additions"
     )
     # never-proven queries (e.g. newly added ones) sort before proven ones
     tail = names[50:]
-    first_proven = next(
-        i for i, n in enumerate(tail) if n in entry_mod._PROVEN_R01_R04
-    )
-    assert all(n in entry_mod._PROVEN_R01_R04 for n in tail[first_proven:])
+    first_proven = next(i for i, n in enumerate(tail) if n in proven)
+    assert all(n in proven for n in tail[first_proven:])
 
 
 def test_scale_class_metadata_marks_oracle_twins():
