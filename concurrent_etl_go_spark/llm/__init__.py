@@ -15,6 +15,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     datasets2,
     dedup,
     dedup2,
+    dedup3,
     ivfpq,
     kmeans,
     multimodal,

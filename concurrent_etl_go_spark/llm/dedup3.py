@@ -1,0 +1,188 @@
+"""Oracle-backed MinHash-LSH — the near-dup pipeline's algebra under the
+driver's hash compare.
+
+The production path (``llm/dedup.py::minhash_lsh_pairs``,
+``dedup_minhash_lsh``) uses ``xxhash64`` as the base shingle hash — fast,
+JVM-native, but not reproducible in DuckDB, so it carries only the
+driver's rows-only check plus recall pytests. These twins swap exactly
+ONE ingredient — the base hash becomes the engine-portable md5-prefix
+integer already used by ``llm/datasets.py::hash_bucket`` — and keep the
+rest of the algebra identical: k-token shingles, universal multiply-add
+permutations over the Mersenne prime, per-band grouping, and the banded
+candidate equi-join. DuckDB reproduces every signature and every
+candidate pair bit-for-bit, so the driver hash now proves the MinHash
+MATH (min-over-permutation, band assembly, join semantics), leaving only
+the base-hash swap outside oracle coverage (covered by the production
+path's planted-pair recall tests).
+
+Scale: both queries keep the production plan shape — map-side signature
+computation, band explode, narrow-key equi-join; never O(n^2). The md5
+base hash costs more per shingle than xxhash64, which is why the
+production path exists; these are correctness anchors, not replacements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.llm.dedup import shingles_from_tokens
+from concurrent_etl_go_spark.llm.text import tokenized_docs
+from concurrent_etl_go_spark.operators.registry import query
+
+_P = (1 << 31) - 1  # Mersenne prime — same modulus as the production path
+
+#: Fixed universal-hash coefficients (a, b): deterministic, shared
+#: verbatim with the oracle SQL below.
+_COEFFS = [
+    (1093, 2861),
+    (3079, 5741),
+    (6151, 11383),
+    (12289, 22811),
+    (24593, 45641),
+    (49157, 91291),
+    (98317, 182611),
+    (196613, 365267),
+]
+_NUM_SIGS = len(_COEFFS)
+_BAND_SIZE = 2  # 8 signatures -> 4 bands of 2
+
+
+def _base_hashes(sh: Column) -> Column:
+    """Portable base hash per shingle: first 8 hex chars of md5 as int64,
+    folded into [0, P) — Spark ``conv(substr(md5(x),1,8),16,10)`` equals
+    DuckDB ``('0x'||substr(md5(x),1,8))::BIGINT`` bit-for-bit."""
+    return F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            F.lit(_P),
+        ),
+    )
+
+
+def _sig_cols(hs: Column) -> list[Column]:
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % _P
+
+    return [
+        F.array_min(F.transform(hs, perm(a, b))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_COEFFS)
+    ]
+
+
+# --- shared oracle fragments (DuckDB side of the identical algebra) -----
+
+_ORACLE_SIGS = f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, greatest(len(w) - 2, 0) + 1)]) AS sh
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(x), 1, 8))::BIGINT % {_P} for x in sh]
+                 AS hs
+      FROM s
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"list_min([(h * {a} + {b}) % {_P} for h in hs])"
+                 f" AS sig_{i}"
+                 for i, (a, b) in enumerate(_COEFFS)
+             )}
+      FROM h
+    )
+"""
+
+
+@query(
+    "dedup_minhash_signature",
+    oracle=_ORACLE_SIGS + "SELECT * FROM sigs",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (8 permutations) with the portable
+    base hash — one scalar column per permutation so the driver hash
+    pins every signature value of every document. Short documents
+    (< 3 tokens, no shingles) get NULL signatures on both engines.
+
+    Map-only: tokenize -> shingle -> hash -> per-permutation array_min,
+    all inside one projection; no shuffle, no UDF.
+    """
+    docs = tokenized_docs(spark, sf_dir)
+    sh = shingles_from_tokens(F.col("toks"))
+    return docs.select("doc_id", _base_hashes(sh).alias("hs")).select(
+        "doc_id", *_sig_cols(F.col("hs"))
+    )
+
+
+@query(
+    "dedup_minhash_candidates",
+    oracle=_ORACLE_SIGS
+    + f"""
+    , bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {band} AS band_id, "
+          f"CAST(sig_{2 * band} AS VARCHAR) || '_' || "
+          f"CAST(sig_{2 * band + 1} AS VARCHAR) AS band_key FROM sigs"
+          for band in range(_NUM_SIGS // _BAND_SIZE)
+      )}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from the portable signatures: 4 bands of 2,
+    band key = the band's signature values concatenated, candidates =
+    the banded self-equi-join, with the number of agreeing bands per
+    pair. NULL signatures (shingle-less docs) produce NULL band keys,
+    which match nothing on either engine.
+
+    This is the production LSH plan shape end to end — explode to
+    (band_id, band_key), narrow-key equi-join, pair dedup via group —
+    now hash-proven: a banding bug, a join that matched across bands,
+    or a pair-orientation error would all flip the driver hash.
+    ``F.concat`` (not concat_ws) builds the band key because it
+    propagates NULL like SQL ``||`` does.
+    """
+    docs = tokenized_docs(spark, sf_dir)
+    sh = shingles_from_tokens(F.col("toks"))
+    sigs = docs.select("doc_id", _base_hashes(sh).alias("hs")).select(
+        "doc_id", *_sig_cols(F.col("hs"))
+    )
+    n_bands = _NUM_SIGS // _BAND_SIZE
+    bands = None
+    for band in range(n_bands):
+        one = sigs.select(
+            "doc_id",
+            F.lit(band).alias("band_id"),
+            F.concat(
+                F.col(f"sig_{2 * band}").cast("string"),
+                F.lit("_"),
+                F.col(f"sig_{2 * band + 1}").cast("string"),
+            ).alias("band_key"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )

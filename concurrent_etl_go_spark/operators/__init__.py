@@ -32,6 +32,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     sketches2,
     skew,
     timeseries,
+    vtable,
     warehouse,
     scalars_queries,
     time_windows,

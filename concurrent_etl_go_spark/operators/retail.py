@@ -134,3 +134,169 @@ def agg_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+#: RFM anchor: the day after the TPC-H data's last order date — fixed so
+#: recency is deterministic (never wall-clock).
+_RFM_ANCHOR = "1998-08-03"
+
+
+@query(
+    "agg_customer_rfm",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '{_RFM_ANCHOR}') AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 2) + 0.0 AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           (CASE WHEN recency_days <= 180 THEN 3
+                 WHEN recency_days <= 720 THEN 2 ELSE 1 END) * 100
+           + (CASE WHEN frequency >= 20 THEN 3
+                   WHEN frequency >= 10 THEN 2 ELSE 1 END) * 10
+           + (CASE WHEN monetary >= 2000000 THEN 3
+                   WHEN monetary >= 1000000 THEN 2 ELSE 1 END)
+               AS rfm_code
+    FROM rfm
+    """,
+)
+def agg_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary customer segmentation (the classic
+    retail scoring shape): days since last order against a FIXED anchor
+    date, order count, and lifetime spend, combined into a 3-digit RFM
+    code via fixed thresholds.
+
+    Scale: one hash aggregation on ``o_custkey`` plus per-row CASE
+    scoring — no window, no sort. Fixed-threshold scoring (not NTILE)
+    is deliberate: quantile-based scores need a global rank, and the
+    distributed-rank machinery (``operators/quantiles.py``) is overkill
+    when the business thresholds are stable; the fixed form also keeps
+    every row's score independent of corpus growth, like
+    ``split_train_val_test``'s leakage argument.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("long")  # DuckDB date_diff is BIGINT; match it exactly
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("monetary"),
+    )
+    r_score = (
+        F.when(F.col("recency_days") <= 180, 3)
+        .when(F.col("recency_days") <= 720, 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") >= 20, 3)
+        .when(F.col("frequency") >= 10, 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("monetary") >= 2_000_000, 3)
+        .when(F.col("monetary") >= 1_000_000, 2)
+        .otherwise(1)
+    )
+    return rfm.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (r_score * 100 + f_score * 10 + m_score).alias("rfm_code"),
+    )
+
+
+_MOVERS_TOP = 20
+
+
+@query(
+    "window_top_movers",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT p_brand AS brand,
+             strftime(l_shipdate, '%Y-%m') AS month,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) + 0.0
+                 AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT brand, month, revenue,
+             lag(revenue) OVER (PARTITION BY brand ORDER BY month)
+                 AS prev_revenue
+      FROM monthly
+    )
+    SELECT brand, month, revenue, prev_revenue,
+           ROUND((revenue - prev_revenue) / prev_revenue, 6) + 0.0
+               AS pct_change
+    FROM lagged
+    WHERE prev_revenue IS NOT NULL AND prev_revenue > 0
+    ORDER BY pct_change DESC, brand, month
+    LIMIT {_MOVERS_TOP}
+    """,
+)
+def window_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue movers by part brand (the TPC-DS
+    "which segment spiked" template): monthly brand revenue, LAG within
+    each brand's month series, and the top month-over-month percentage
+    gains.
+
+    Scale: the part dimension broadcasts into the lineitem scan; the
+    monthly rollup is one hash agg on (brand, month); the LAG window
+    partitions by brand (25 TPC-H brands x ~84 months = tiny, evenly
+    spread — never a global single-partition sort); the final top-N is
+    a TakeOrdered over brand-months, not rows. Deterministic LIMIT:
+    ordered by the ROUNDED pct with (brand, month) tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    monthly = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("brand").orderBy("month")
+    lagged = monthly.withColumn("prev_revenue", F.lag("revenue").over(w))
+    return (
+        lagged.where(
+            F.col("prev_revenue").isNotNull() & (F.col("prev_revenue") > 0)
+        )
+        .select(
+            "brand",
+            "month",
+            "revenue",
+            "prev_revenue",
+            (
+                F.round(
+                    (F.col("revenue") - F.col("prev_revenue"))
+                    / F.col("prev_revenue"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pct_change"),
+        )
+        .orderBy(F.col("pct_change").desc(), "brand", "month")
+        .limit(_MOVERS_TOP)
+    )
