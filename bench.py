@@ -74,6 +74,15 @@ HEADLINE = (
     # round 5: exact scalable twins of the single-partition global windows
     "window_ntile_cume_scalable",   # distributed rank, no global sort
     "window_power_users_scalable",  # histogram threshold, no window
+    # round 6: lifecycle proofs + retail shapes + portable MinHash
+    "cdc_apply_changes",            # versioned diff + replay end-to-end
+    "ivm_incremental_rollup",       # 3-append incremental view refresh
+    "agg_market_basket",            # co-ordered pair affinity (self-join)
+    "agg_cross_channel_rollup",     # union + ROLLUP
+    "agg_customer_rfm",             # customer segmentation hash agg
+    "window_top_movers",            # broadcast dim + per-brand LAG
+    "dedup_minhash_candidates",     # banded LSH with portable base hash
+    "corpus_file_dedup",            # loose-file ingest + exact dedup
 )
 
 
