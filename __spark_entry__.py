@@ -29,9 +29,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: never-proven first, already-proven at the back.
 _ROUND6_WINDOW = [
     "embeddings_pq_codes",
-    "cdc_table_changes", "cdc_apply_changes",
+    "cdc_table_changes", "cdc_apply_changes", "cdc_mirror_replicate",
     "corpus_file_dedup", "multimodal_binary_ingest",
     "agg_market_basket", "agg_cross_channel_rollup",
+    "dedup_minhash_signature", "dedup_minhash_candidates",
+    "ivm_incremental_rollup", "versioned_time_travel",
+    "agg_customer_rfm", "window_top_movers",
 ]
 
 #: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries

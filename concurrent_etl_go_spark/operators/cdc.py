@@ -146,3 +146,58 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.apply_changes(spark, dst, changes, key="o_orderkey", batch_id=-2)
     replica = vt.read_table_version(spark, dst).select(*_COLS)
     return _checkpoint_and_drop(replica, src, dst)
+
+
+@query(
+    "cdc_mirror_replicate",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 1000000
+                ELSE o_custkey END AS o_custkey,
+           'rebuild|append|cdc' AS sync_modes
+    FROM orders
+    """,
+)
+def cdc_mirror_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sources/mirror.py::mirror_table`` end to end, hash-proven:
+    advance a source through three upstream shapes — initial load (even
+    keys), plain append (odd keys), keyed merge_upsert (shift
+    ``o_custkey`` for every key divisible by 3) — calling the mirror
+    after each, and return the replica's final rows PLUS the actual
+    sequence of mechanisms the mirror chose, embedded as a constant
+    column.
+
+    The oracle hard-codes both halves: the final contents (all orders
+    with the upsert applied) AND the expected mechanism sequence
+    ``rebuild|append|cdc`` — first sync must full-build, an append-only
+    window must forward only delta files, and a keyed rewrite must take
+    the CDC catch-up path. A mirror that silently fell back to rebuild
+    everywhere would converge to the same rows but flip the mode half
+    of the hash.
+    """
+    src = tempfile.mkdtemp(prefix="cetl_mirror_src_")
+    dst = tempfile.mkdtemp(prefix="cetl_mirror_dst_")
+    from concurrent_etl_go_spark.sources.mirror import mirror_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    modes = []
+    vt.write_table(orders.where(F.col("o_orderkey") % 2 == 0), src)  # v1
+    modes.append(mirror_table(spark, src, dst, key="o_orderkey")[1])
+    vt.write_table(
+        orders.where(F.col("o_orderkey") % 2 == 1), src, mode="append"
+    )  # v2
+    modes.append(mirror_table(spark, src, dst, key="o_orderkey")[1])
+    ups = orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_custkey", F.col("o_custkey") + F.lit(1_000_000)
+    )
+    vt.merge_upsert(spark, src, ups, key="o_orderkey")               # v3
+    modes.append(mirror_table(spark, src, dst, key="o_orderkey")[1])
+
+    replica = vt.read_table_version(spark, dst).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("|".join(modes)).alias("sync_modes"),
+    )
+    return _checkpoint_and_drop(replica, src, dst)
