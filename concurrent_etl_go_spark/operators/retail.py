@@ -50,28 +50,46 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same order within one year, by basket count (TPC-DS's
     frequently-bought-together shape).
 
-    Scale: the year filter prunes at the orders scan; the distinct and
-    the self-join both key on ``l_orderkey``, so one exchange
-    co-partitions everything — the join is per-basket-local. Pair
-    blowup is quadratic in BASKET size, not table size, and TPC-H
-    baskets are <= 7 items (max 21 pairs/order); for unbounded carts
-    the standard guard is a per-basket item cap before pairing (see
-    ``operators/graph2.py``'s group-cap precedent). Deterministic
-    LIMIT: total order with explicit pair tie-breaks.
+    Scale: the year filter prunes at the orders scan. No self-join:
+    the order-key join, the per-basket ``collect_set`` (which IS the
+    distinct), and the pair expansion share ONE order-key exchange —
+    pairs are generated in-row from the sorted basket array (an
+    index-and-slice double transform), then one pair-key aggregation.
+    Pair blowup is quadratic in BASKET size, not table size, and the
+    basket lives in one aggregation buffer — TPC-H baskets are <= 7
+    items (max 21 pairs); for unbounded carts the standard guard is a
+    per-basket item cap before pairing (``operators/graph2.py``'s
+    group-cap precedent). Deterministic LIMIT: total order with
+    explicit pair tie-breaks.
     """
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     w = orders.where(F.year("o_orderdate") == _BASKET_YEAR).select(
         F.col("o_orderkey").alias("l_orderkey")
     )
-    li = (
+    baskets = (
         lineitem.select("l_orderkey", "l_partkey")
         .join(w, "l_orderkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "l_orderkey").where(F.col("part_a") < F.col("part_b"))
+    # all (a < b) pairs from the sorted basket, in-row: element i pairs
+    # with every element after it (slice is 1-based, so start = i + 2)
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
