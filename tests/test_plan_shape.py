@@ -406,3 +406,41 @@ def test_scalable_power_users_is_selection_not_sorting(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "window_power_users_scalable")
     assert "Window" not in plan
     assert "partial_count" in plan  # per-user agg map-side combines
+
+
+def test_market_basket_has_no_self_join(spark, sf_dir):
+    """Pairs come from the in-row expansion of each order's sorted
+    basket array — never a lineitem self-join. One hash join (the year
+    window), and the basket aggregation keys on the same order key the
+    join used."""
+    plan = plan_of(spark, sf_dir, "agg_market_basket")
+    assert plan.count("Join") <= 1
+    assert "collect_set" in plan
+    # the pair explosion happens after aggregation, in-row
+    assert "Generate explode" in plan
+
+
+def test_minhash_candidates_band_table_is_cached(spark, sf_dir):
+    """The banded self-join must read the persisted band table on both
+    sides — re-deriving the signature projection per side re-runs the
+    md5/permutation pass 8x (measured ~10x slower at sf0.1)."""
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    plan = plan_of(spark, sf_dir, "dedup_minhash_candidates")
+    release_caches()
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_top_movers_broadcasts_part_and_partitions_by_brand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_top_movers")
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan  # LAG partitions by brand
+    assert "TakeOrderedAndProject" in plan  # top-N, not a global sort
+
+
+def test_customer_rfm_is_one_aggregation_no_window(spark, sf_dir):
+    """Fixed-threshold scoring keeps RFM to one hash agg on o_custkey —
+    no window, no global rank, no join."""
+    plan = plan_of(spark, sf_dir, "agg_customer_rfm")
+    assert "Window" not in plan and "Join" not in plan
+    assert "partial_count" in plan  # map-side combine on the agg
