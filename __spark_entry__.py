@@ -35,6 +35,7 @@ _ROUND6_WINDOW = [
     "dedup_minhash_signature", "dedup_minhash_candidates",
     "ivm_incremental_rollup", "versioned_time_travel",
     "agg_customer_rfm", "window_top_movers",
+    "dedup_simhash_portable", "profile_freshness",
 ]
 
 #: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_go_spark.llm.dedup import shingles_from_tokens
 from concurrent_etl_go_spark.llm.text import tokenized_docs
 from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
 
 _P = (1 << 31) - 1  # Mersenne prime — same modulus as the production path
 
@@ -204,3 +205,68 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+_SIMHASH_BITS = 16
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             [('0x' || substr(md5(x), 1, 8))::BIGINT for x in w] AS hs
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           {" + ".join(
+               f"(CASE WHEN 2 * len([x for x in hs"
+               f" if ((x >> {i}) & 1) = 1]) > n_tokens"
+               f" THEN {1 << i} ELSE 0 END)"
+               for i in range(_SIMHASH_BITS)
+           )} AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with the portable base hash — the vote-and-
+    sign algebra of ``llm/dedup.py::simhash_bits`` (each token votes
+    +/-1 per bit position, the fingerprint keeps the majority sign)
+    reproduced bit-for-bit by DuckDB over a 16-bit fingerprint, so the
+    driver hash proves the SimHash MATH; the 64-bit xxhash64 production
+    path (``dedup_simhash``) keeps its rows-only check + pytests.
+    Majority is strict (a tied bit votes 0) identically on both sides.
+
+    Map-only: one projection computes every bit's vote count from the
+    per-token hash array; no shuffle, no UDF.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    hs = F.transform(
+        F.split(F.col("text"), " "),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"), hs.alias("hs")
+    )
+    bit_terms = [
+        F.when(
+            2
+            * F.size(
+                F.filter(
+                    F.col("hs"),
+                    lambda x: F.shiftright(x, i).bitwiseAND(1) == 1,
+                )
+            )
+            > F.col("n_tokens"),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(_SIMHASH_BITS)
+    ]
+    simhash = bit_terms[0]
+    for term in bit_terms[1:]:
+        simhash = simhash + term
+    return base.select("doc_id", "n_tokens", simhash.alias("simhash"))

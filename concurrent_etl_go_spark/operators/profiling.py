@@ -430,3 +430,49 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(SKEW_TOP_KEYS)
     )
+
+
+#: Freshness anchor "now": fixed just after the events table's time range
+#: so lag is deterministic (never wall-clock); staleness threshold in
+#: hours. Identical literals appear in the oracle.
+FRESHNESS_ANCHOR = "2024-02-01 00:00:00"
+FRESHNESS_STALE_HOURS = 36
+
+
+@query(
+    "profile_freshness",
+    oracle=f"""
+    SELECT event_type,
+           max(ts) AS last_ts,
+           CAST(floor(date_diff('second', max(ts),
+                      TIMESTAMP '{FRESHNESS_ANCHOR}') / 3600.0) AS BIGINT)
+               AS lag_hours,
+           CAST(floor(date_diff('second', max(ts),
+                      TIMESTAMP '{FRESHNESS_ANCHOR}') / 3600.0) AS BIGINT)
+               > {FRESHNESS_STALE_HOURS} AS is_stale
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness monitor: per event type, the latest arrival, its
+    lag in whole hours behind a FIXED reference instant, and a staleness
+    flag — the "did the feed stop" check every ingestion SLA dashboard
+    runs (the anchor is a pinned literal here so the result is
+    deterministic; production passes the scheduler's logical run time).
+
+    Scale: one hash aggregation on the type key — max(ts) combines
+    map-side, so the check costs one scan regardless of table size, and
+    at 100 TB a partition-pruned recent-window scan serves the same
+    answer.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    anchor = F.lit(FRESHNESS_ANCHOR).cast("timestamp")
+    lag_h = F.floor(
+        (anchor.cast("long") - F.max("ts").cast("long")) / 3600.0
+    ).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        lag_h.alias("lag_hours"),
+        (lag_h > FRESHNESS_STALE_HOURS).alias("is_stale"),
+    )
