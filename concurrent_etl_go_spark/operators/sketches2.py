@@ -128,3 +128,88 @@ def agg_theta_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(theta_sketch_estimate(theta_union(sk, sk_next)) as long)"
         ).alias("either_week"),
     ).orderBy("week")
+
+
+# --- portable count-min: the CMS algebra under the driver hash ---------
+
+#: Same dimensions as the production sketch (sketches.py); identical
+#: literals appear in the oracle SQL.
+_PCMS_DEPTH = 4
+_PCMS_WIDTH = 256
+
+
+def _pcms_bucket(item, row):
+    """Engine-portable CMS bucket: md5-prefix int of 'row|item', mod
+    width — Spark conv(substr(md5(.),1,8),16,10) == DuckDB
+    ('0x'||substr(md5(.),1,8))::BIGINT bit-for-bit (the hash_bucket
+    idiom from llm/datasets.py, salted per sketch row)."""
+    key = F.concat(row.cast("string"), F.lit("|"), item)
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % _PCMS_WIDTH
+    )
+
+
+@query(
+    "text_countmin_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    coords AS (
+      SELECT item, t.d AS row_id,
+             ('0x' || substr(md5(CAST(t.d AS VARCHAR) || '|' || item),
+                             1, 8))::BIGINT % {_PCMS_WIDTH} AS bucket
+      FROM toks, (SELECT unnest(range(0, {_PCMS_DEPTH})) AS d) t
+    ),
+    sketch AS (
+      SELECT row_id, bucket, COUNT(*) AS n FROM coords GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT item, row_id, bucket FROM coords
+    )
+    SELECT item, CAST(min(coalesce(n, 0)) AS BIGINT) AS approx_count
+    FROM probes LEFT JOIN sketch USING (row_id, bucket)
+    GROUP BY item
+    """,
+)
+def text_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, hash-proven: build a depth x width CMS over the
+    corpus TOKEN stream with the portable base hash, then point-estimate
+    every distinct token from the sketch alone. DuckDB rebuilds the
+    identical sketch (same buckets, same collisions), so the driver hash
+    proves the CMS algebra end to end — bucket derivation, map-side
+    count merge, and the min-over-rows estimator with its one-sided
+    collision error. The seeded-xxhash64 production sketch
+    (``text_countmin_sketch``, sketches.py) keeps its rows-only check +
+    error-bound pytest.
+
+    Scale: the sketch is depth x width rows regardless of corpus size
+    (one explode + one map-side-combined agg); estimation joins each
+    probe's d coordinates against the broadcast-sized sketch.
+    """
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    )
+    rows_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(_PCMS_DEPTH - 1)),
+        lambda d: F.struct(
+            d.cast("long").alias("row_id"),
+            _pcms_bucket(F.col("item"), d).alias("bucket"),
+        ),
+    )
+    coords = toks.select(
+        "item", F.explode(rows_arr).alias("rb")
+    ).select("item", "rb.row_id", "rb.bucket")
+    sketch = coords.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    probes = coords.distinct()
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("approx_count"))
+    )
