@@ -36,7 +36,7 @@ _ROUND6_WINDOW = [
     "ivm_incremental_rollup", "versioned_time_travel",
     "agg_customer_rfm", "window_top_movers",
     "dedup_simhash_portable", "profile_freshness",
-    "text_countmin_portable",
+    "text_countmin_portable", "ivm_rollup_after_compact",
 ]
 
 #: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries

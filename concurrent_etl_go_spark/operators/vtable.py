@@ -75,6 +75,49 @@ def ivm_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_rollup_after_compact",
+    oracle="""
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) + 0.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ivm_rollup_after_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM non-append fallback, hash-proven: append -> refresh ->
+    append -> refresh -> COMPACT the source -> refresh -> append ->
+    refresh. The compacted commit rewrites every source file, so a
+    manifest set-difference no longer means "rows added" — a refresh
+    that merged it incrementally would double-count the whole table
+    (the round-4 ADVICE finding, fixed in ``sources/ivm.py`` by
+    detecting non-append ops and recomputing). The final rollup must
+    still equal the one-shot aggregate, AND the post-compact append
+    must resume the incremental path cleanly.
+    """
+    events = read_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="cetl_ivmc_src_")
+    rollup = tempfile.mkdtemp(prefix="cetl_ivmc_rollup_")
+    thirds = [events.where(F.col("event_id") % 3 == p) for p in range(3)]
+    vt.write_table(thirds[0], src, mode="append")
+    refresh_rollup(spark, src, rollup)
+    vt.write_table(thirds[1], src, mode="append")
+    refresh_rollup(spark, src, rollup)
+    vt.compact(spark, src, target_files=2)   # full rewrite, zero new rows
+    refresh_rollup(spark, src, rollup)       # must recompute, not merge
+    vt.write_table(thirds[2], src, mode="append")
+    refresh_rollup(spark, src, rollup)       # incremental again
+    out = vt.read_table_version(spark, rollup).select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.round("total_value", 4) + F.lit(0.0)).alias("total_value"),
+    )
+    return _checkpoint_and_drop(out, src, rollup)
+
+
+@query(
     "versioned_time_travel",
     oracle="""
     WITH evens AS (
