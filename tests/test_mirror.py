@@ -274,3 +274,63 @@ def test_append_prepared_is_idempotent_on_batch_id(spark, tmp_path):
         {(i, 2 * i): 1 for i in range(5)}
     )
     assert vt.committed_batch_ids(root) == {3}
+
+
+def test_mirror_converges_under_random_schedules(spark, tmp_path):
+    """Property: whatever sequence of upstream shapes lands (append,
+    keyed merge, compact, restore), with crash injections (lost state
+    writes) and interleaved foreign streaming epochs on the
+    destination, every mirror sync converges the replica to the
+    source's current rows and never duplicates. Seeded random walk so
+    failures reproduce."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    next_id = [0]
+
+    def fresh_rows(n):
+        lo = next_id[0]
+        next_id[0] += n
+        return _df(spark, lo, lo + n)
+
+    vt.write_table(fresh_rows(5), src)
+    mirror.mirror_table(spark, src, dst, key="id")
+    foreign = Counter()
+
+    for step in range(12):
+        op = rng.choice(["append", "merge", "compact", "restore", "noop"])
+        if op == "append":
+            vt.write_table(fresh_rows(rng.randint(1, 4)), src, mode="append")
+        elif op == "merge":
+            cur = [r.id for r in vt.read_table_version(spark, src).collect()]
+            take = rng.sample(cur, min(3, len(cur)))
+            upd = spark.createDataFrame(
+                [(i, i * 7) for i in take], "id long, double_id long"
+            )
+            vt.merge_upsert(spark, src, upd, key="id")
+        elif op == "compact":
+            vt.compact(spark, src, target_files=2)
+        elif op == "restore":
+            versions = vt._versions(src)  # noqa: SLF001
+            if len(versions) > 1:
+                vt.restore_table(src, rng.choice(versions[:-1]))
+        # crash injection: lose the last state write sometimes
+        if rng.random() < 0.4:
+            state = mirror.mirror_state(dst)
+            if state.get("src_version", 1) > 1:
+                mirror._write_state(  # noqa: SLF001
+                    dst, {"src_version": state["src_version"] - 1}
+                )
+        # foreign streaming epochs on the mixed-writer destination
+        if rng.random() < 0.5:
+            row = _df(spark, 10_000 + step, 10_001 + step)
+            files = vt._write_data_files(row, dst)  # noqa: SLF001
+            vt.append_prepared(dst, files, batch_id=step, dtypes=row.dtypes)
+            foreign[(10_000 + step, 2 * (10_000 + step))] += 1
+
+        mirror.mirror_table(spark, src, dst, key="id")
+        assert _multiset(spark, dst) == _multiset(spark, src) + foreign, (
+            f"diverged at step {step} after {op}"
+        )
