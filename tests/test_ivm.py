@@ -162,3 +162,53 @@ def test_vacuumed_state_rollup_version_recovers_with_full_recompute(
     assert _rollup_dict(spark, dst) == _expected_dict(
         _events_slice(spark, 0, 900)
     )
+
+
+def test_ivm_converges_under_random_schedules(spark, tmp_path):
+    """Property: any interleaving of appends, compactions, crash-lost
+    state writes (the WHOLE state dict reverts — ``_write_state`` is
+    atomic, so a crash can only lose src_version and rollup_version
+    together, never half a pair), and torn/corrupt state leaves the
+    next refresh equal to the full recompute of the source's current
+    snapshot. Seeded so failures reproduce."""
+    import random
+
+    rng = random.Random(0x1BADB002)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "rollup")
+    state_path = os.path.join(dst, "_refresh_state.json")
+    cursor = [0]
+
+    def next_slice(n):
+        lo = cursor[0]
+        cursor[0] = min(lo + n, 900)
+        return _events_slice(spark, lo, cursor[0])
+
+    vt.write_table(next_slice(100), src)
+    ivm.refresh_rollup(spark, src, dst)
+
+    for step in range(10):
+        op = rng.choice(["append", "append", "compact", "noop"])
+        if op == "append" and cursor[0] < 900:
+            vt.write_table(next_slice(rng.randint(50, 150)), src,
+                           mode="append")
+        elif op == "compact":
+            vt.compact(spark, src, target_files=2)
+
+        pre_state = ivm.refresh_state(dst)
+        ivm.refresh_rollup(spark, src, dst)
+        # crash/corruption injection AFTER the refresh commits
+        r = rng.random()
+        if r < 0.3 and pre_state:
+            with open(state_path, "w") as f:
+                json.dump(pre_state, f)            # state write lost
+        elif r < 0.4:
+            with open(state_path, "w") as f:
+                f.write("{corrupt")                # torn write
+        ivm.refresh_rollup(spark, src, dst)        # retry converges
+
+        snap = vt.snapshot(src)
+        full = spark.read.option("mergeSchema", "true").parquet(*snap.files)
+        assert _rollup_dict(spark, dst) == _expected_dict(full), (
+            f"diverged at step {step} after {op}"
+        )
