@@ -80,9 +80,20 @@ def asof_join_merge(
     right_time: str,
     right_tiebreak: str,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """Bounded as-of join: co-partition both sides on the key, then run a
     two-cursor sorted merge (``pd.merge_asof``) per key group.
+
+    ``direction='backward'`` (default) matches the LATEST right row with
+    ``right_time <= left_time`` (ties -> largest ``right_tiebreak``);
+    ``direction='forward'`` matches the EARLIEST right row with
+    ``right_time > left_time`` — strictly greater, so composing one
+    backward and one forward pass partitions the candidates and never
+    double-counts an exact-time match — with ties -> smallest
+    ``right_tiebreak`` (the first qualifying row in (time, tiebreak)
+    ascending order). ``join_asof_nearest`` builds nearest-match
+    semantics from the two passes.
 
     The rank-based ``asof_join`` above materializes
     |left_rows(k)| x |right_rows(k)| intermediate rows per key k before its
@@ -111,6 +122,10 @@ def asof_join_merge(
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     left_cols = list(left.columns)
     right_names = list(right.columns)
     dup = set(left_cols) & set(right_names)
@@ -184,8 +199,9 @@ def asof_join_merge(
             return
         # merge_asof(by=) needs both frames globally sorted on the time
         # key; equal-time order is preserved (mergesort), so sorting the
-        # right side by (time, tiebreak) makes "last qualifying row per
-        # key" the max-tiebreak row.
+        # right side by (time, tiebreak) makes backward's "last
+        # qualifying row per key" the max-tiebreak row and forward's
+        # "first qualifying row" the min-tiebreak row.
         lpdf = lpdf.assign(__lt=_sortable(lpdf[left_time])).sort_values(
             "__lt", kind="mergesort"
         )
@@ -198,7 +214,8 @@ def asof_join_merge(
             left_on="__lt",
             right_on="__rt",
             by="__key",
-            direction="backward",
+            direction=direction,
+            allow_exact_matches=(direction == "backward"),
         )
         if how == "inner":
             merged = merged[merged[right_key].notna()]

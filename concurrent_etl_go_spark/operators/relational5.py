@@ -138,3 +138,82 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT event_id, o_orderkey, o_orderdate FROM (
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)),
+                            o.o_orderdate,
+                            CASE WHEN o.o_orderdate <= e.ts
+                                 THEN -o.o_orderkey ELSE o.o_orderkey END
+               ) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id
+    ) t WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``
+    semantics, distributed): each event matches the user's order closest
+    in time, in EITHER direction.
+
+    Composition, not a new kernel: one bounded backward pass (latest
+    order <= ts, ties -> largest key) and one bounded forward pass
+    (earliest order > ts — strictly, so the candidate sets partition —
+    ties -> smallest key), joined on the event id, picking whichever
+    candidate is closer (equidistant -> the backward/earlier one). Each
+    pass is the cursor-bounded cogroup merge, so a hot user never
+    explodes an intermediate, and the final pick is a narrow
+    event-keyed join of two already-small match tables. The oracle's
+    rank ordering encodes the same rule relationally: distance, then
+    date (backward first), then the side's own key tie-break.
+    """
+    from concurrent_etl_go_spark.operators.lib import asof_join_merge
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+
+    def one_pass(direction: str, prefix: str) -> DataFrame:
+        out = asof_join_merge(
+            events,
+            orders,
+            left_key="user_id",
+            right_key="o_custkey",
+            left_time="ts",
+            right_time="o_orderdate",
+            right_tiebreak="o_orderkey",
+            how="left",
+            direction=direction,
+        )
+        dist = F.abs(
+            F.unix_micros("ts") - F.unix_micros("o_orderdate")
+        )
+        return out.select(
+            "event_id",
+            F.col("o_orderkey").alias(f"{prefix}_key"),
+            F.col("o_orderdate").alias(f"{prefix}_date"),
+            dist.alias(f"{prefix}_dist"),
+        )
+
+    bk = one_pass("backward", "bk")
+    fw = one_pass("forward", "fw")
+    both = bk.join(fw, "event_id")
+    fw_wins = F.col("bk_key").isNull() | (
+        F.col("fw_key").isNotNull() & (F.col("fw_dist") < F.col("bk_dist"))
+    )
+    picked = both.select(
+        "event_id",
+        F.when(fw_wins, F.col("fw_key")).otherwise(F.col("bk_key")).alias(
+            "o_orderkey"
+        ),
+        F.when(fw_wins, F.col("fw_date")).otherwise(F.col("bk_date")).alias(
+            "o_orderdate"
+        ),
+    )
+    return picked.where(F.col("o_orderkey").isNotNull())
