@@ -44,7 +44,7 @@ _ROUND6_WINDOW = [
     "agg_customer_rfm", "window_top_movers",
     "dedup_simhash_portable", "profile_freshness",
     "text_countmin_portable", "ivm_rollup_after_compact",
-    "join_asof_nearest",
+    "join_asof_nearest", "text_keywords_tfidf", "agg_pareto_share",
 ]
 
 #: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries

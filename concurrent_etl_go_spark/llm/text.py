@@ -309,3 +309,67 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4)
+                      AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n
+         )
+    SELECT doc_id, term AS keyword, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) t WHERE rn = 1
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the single highest-TF-IDF term of
+    each document (the cheap summarization/tagging primitive of corpus
+    triage). The argmax orders by the ROUNDED score — the raw ``ln``
+    differs in the last ulp across engines' libm, so ranking on it could
+    flip near-ties; ranking on the 4-decimal value (the same value the
+    proven ``text_tfidf`` emits) with a term tie-break is deterministic
+    on both sides.
+
+    Scale: tf/df aggregations as in ``text_tfidf`` (df dictionary
+    broadcasts); the argmax is one window partitioned BY DOCUMENT —
+    perfectly spread, never a global sort.
+    """
+    docs = tokenized_docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("keyword"), "tfidf")
+    )

@@ -318,3 +318,66 @@ def window_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pct_change").desc(), "brand", "month")
         .limit(_MOVERS_TOP)
     )
+
+
+@query(
+    "agg_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    thresh AS (SELECT quantile_cont(rev, 0.8) AS p80 FROM rev)
+    SELECT ROUND(p80, 2) + 0.0 AS p80_revenue,
+           COUNT(*) FILTER (WHERE rev >= p80) AS n_top_customers,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(rev) FILTER (WHERE rev >= p80) / SUM(rev), 6) + 0.0
+               AS top_revenue_share
+    FROM rev CROSS JOIN thresh
+    GROUP BY p80
+    """,
+)
+def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): which share of total
+    revenue the top-quintile customers carry. Per-customer revenue is
+    ROUNDED to cents BEFORE the percentile so both engines rank the
+    identical multiset (raw float sums differ in the last ulp and a
+    boundary customer could flip sides of the threshold); the exact
+    interpolated percentile then matches bit-for-bit (the
+    ``agg_percentiles`` precedent).
+
+    Scale: one customer-key hash agg, then a single-row threshold
+    broadcast back over the small per-customer frame — the raw fact
+    table is scanned once. The exact percentile buffers per-customer
+    values (not raw rows); ``approx_percentile`` is the documented
+    at-scale twin, as with ``agg_percentiles`` -> ``agg_approx``.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    thresh = rev.agg(F.expr("percentile(rev, 0.8)").alias("p80"))
+    return (
+        rev.crossJoin(F.broadcast(thresh))
+        .groupBy("p80")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_if(F.col("rev") >= F.col("p80")).alias(
+                "n_top_customers"
+            ),
+            (
+                F.round(
+                    F.sum(F.when(F.col("rev") >= F.col("p80"), F.col("rev")))
+                    / F.sum("rev"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("top_revenue_share"),
+        )
+        .select(
+            (F.round("p80", 2) + F.lit(0.0)).alias("p80_revenue"),
+            "n_top_customers",
+            "n_customers",
+            "top_revenue_share",
+        )
+    )
