@@ -83,6 +83,9 @@ HEADLINE = (
     "window_top_movers",            # broadcast dim + per-brand LAG
     "dedup_minhash_candidates",     # banded LSH with portable base hash
     "corpus_file_dedup",            # loose-file ingest + exact dedup
+    "join_asof_nearest",            # backward+forward cogroup composition
+    "text_keywords_tfidf",          # per-doc argmax keyword
+    "agg_pareto_share",             # revenue concentration report
 )
 
 
