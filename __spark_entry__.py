@@ -45,6 +45,7 @@ _ROUND6_WINDOW = [
     "dedup_simhash_portable", "profile_freshness",
     "text_countmin_portable", "ivm_rollup_after_compact",
     "join_asof_nearest", "text_keywords_tfidf", "agg_pareto_share",
+    "graph_degree_distribution", "agg_benford_check",
 ]
 
 #: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries

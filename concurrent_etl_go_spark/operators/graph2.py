@@ -229,3 +229,46 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("id")))
     )
     return member.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    deg AS (
+        SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY 1
+    )
+    SELECT CAST(floor(ln(degree) / ln(2)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_nodes,
+           MIN(degree) AS min_degree,
+           MAX(degree) AS max_degree
+    FROM deg
+    GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in power-of-two
+    buckets — the first profile a graph-pipeline owner reads before
+    choosing partitioning (heavy-tailed degrees are why the pairing
+    stage carries its group cap, and why PageRank shuffles by src).
+    The edge list is symmetric, so out-degree over ``src`` covers every
+    node.
+
+    Scale: edges derive with the same capped pairing as the other
+    co-purchase queries; degree is one hash agg on the node key and the
+    histogram a second tiny agg — the ``agg_log2_histogram`` bucketing
+    applied to graph structure.
+    """
+    e = _copurchase_edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy(
+        F.floor(F.log("degree") / F.log(F.lit(2.0)))
+        .cast("long")
+        .alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )

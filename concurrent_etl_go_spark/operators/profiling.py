@@ -476,3 +476,61 @@ def profile_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_h.alias("lag_hours"),
         (lag_h > FRESHNESS_STALE_HOURS).alias("is_stale"),
     )
+
+
+@query(
+    "agg_benford_check",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice /
+                 pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT d AS leading_digit, n,
+           ROUND(n / total, 6) + 0.0 AS observed_share,
+           ROUND(ln(1.0 + 1.0 / d) / ln(10.0), 6) + 0.0
+               AS benford_share,
+           ROUND(abs(n / total - ln(1.0 + 1.0 / d) / ln(10.0)), 6) + 0.0
+               AS abs_deviation
+    FROM counts CROSS JOIN tot
+    """,
+)
+def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen (organically grown monetary amounts follow
+    log10(1 + 1/d); uniform or hand-entered data does not). Reports each
+    leading digit's observed share against the Benford expectation and
+    the absolute deviation.
+
+    Scale: the leading digit is a per-row expression (no string cast),
+    the profile one 9-key hash agg with map-side partials, and the
+    total a broadcast single-row join.
+    """
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 0
+    )
+    d = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    counts = orders.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        "n",
+        (F.round(F.col("n") / F.col("total"), 6) + F.lit(0.0)).alias(
+            "observed_share"
+        ),
+        (F.round(benford, 6) + F.lit(0.0)).alias("benford_share"),
+        (
+            F.round(F.abs(F.col("n") / F.col("total") - benford), 6)
+            + F.lit(0.0)
+        ).alias("abs_deviation"),
+    )
