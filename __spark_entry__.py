@@ -28,9 +28,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: backlog within the round.  Queries not named here slot in between:
 #: never-proven first, already-proven at the back.
 #: ROUND-7 TODO: fold the r06 greens into a ``_PROVEN_R06`` frozenset
-#: (all 18 window names below are locally hash-verified at sf0.01 AND
-#: sf0.1 — expect green; ``embeddings_pq_codes`` is rows-only), rename
-#: the window list, and front-load only round-7 additions (cap ~49).
+#: (all 23 window names below are locally verified via
+#: ``scripts/driver_dryrun.py`` at sf0.01, the 22 oracle-backed ones at
+#: sf0.1 too — expect green; ``embeddings_pq_codes`` is rows-only),
+#: rename the window list, and front-load only round-7 additions
+#: (cap ~49).
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).

@@ -93,6 +93,8 @@ def test_retention_single_scan_two_logical_shuffles(spark, sf_dir):
 ARROW_ALLOWLIST = {
     "join_asof",
     "join_asof_left",
+    # nearest = backward + forward cogroup passes (two MapInPandas)
+    "join_asof_nearest",
     # binary media decode has no JVM expression form — Arrow-batched by
     # design (llm/multimodal.py)
     "multimodal_image_features",
