@@ -48,6 +48,7 @@ _ROUND6_WINDOW = [
     "text_countmin_portable", "ivm_rollup_after_compact",
     "join_asof_nearest", "text_keywords_tfidf", "agg_pareto_share",
     "graph_degree_distribution", "agg_benford_check",
+    "agg_revenue_lorenz", "agg_new_vs_returning",
 ]
 
 #: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries

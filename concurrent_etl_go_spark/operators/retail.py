@@ -381,3 +381,118 @@ def agg_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_revenue_share",
         )
     )
+
+
+@query(
+    "agg_revenue_lorenz",
+    oracle="""
+    WITH rev AS (
+      SELECT p_brand AS brand,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM rev)
+    SELECT brand, revenue,
+           ROW_NUMBER() OVER (ORDER BY revenue DESC, brand) AS rank,
+           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, brand)
+                 / total, 6) + 0.0 AS cum_share
+    FROM rev CROSS JOIN tot
+    """,
+)
+def agg_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve points over brand revenue: rank brands by revenue and
+    report each rank's cumulative share of the total — the
+    concentration curve behind ``agg_pareto_share``'s single 80/20
+    number. Ranking keys on the cents-ROUNDED revenue (the multiset
+    both engines agree on bit-for-bit) with a brand tie-break.
+
+    Scale: the global window runs over the PRE-AGGREGATED brand frame —
+    |brands| rows (25 in TPC-H), not facts — so the single-partition
+    stage is bounded by dimension cardinality regardless of table size;
+    the fact table contributes one broadcast-dim join + one hash agg.
+    For high-cardinality keys (customers), the histogram/threshold
+    machinery of ``operators/quantiles.py`` is the scalable form.
+    """
+    from pyspark.sql import Window
+
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    rev = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.col("revenue").desc(), "brand")
+    cum = Window.orderBy(F.col("revenue").desc(), "brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "brand",
+        "revenue",
+        F.row_number().over(w).cast("long").alias("rank"),
+        (
+            F.round(F.sum("revenue").over(cum) / F.col("total"), 6)
+            + F.lit(0.0)
+        ).alias("cum_share"),
+    )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS first_week
+      FROM events GROUP BY 1
+    ),
+    weekly AS (
+      SELECT DISTINCT date_trunc('week', ts) AS week, user_id FROM events
+    )
+    SELECT w.week,
+           COUNT(*) FILTER (WHERE f.first_week = w.week) AS new_users,
+           COUNT(*) FILTER (WHERE f.first_week <> w.week)
+               AS returning_users
+    FROM weekly w JOIN first_seen f USING (user_id)
+    GROUP BY 1
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new-vs-returning user mix — the growth-accounting split
+    every product dashboard leads with: a user is "new" in the week of
+    their first event and "returning" in any later active week
+    (week grain because the shared events table spans ~one month;
+    ``date_trunc('week')`` agrees across both engines — the graph2
+    precedent).
+
+    Scale: first-seen is one hash agg on the user key; the weekly
+    active set dedups to (week, user) grain before joining (so the
+    join carries user-weeks, not raw events); both sides shuffle on
+    ``user_id`` once and the final rollup is |weeks| rows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("first_week")
+    )
+    weekly = ev.select(week.alias("week"), "user_id").distinct()
+    return (
+        weekly.join(first_seen, "user_id")
+        .groupBy("week")
+        .agg(
+            F.count_if(F.col("first_week") == F.col("week")).alias(
+                "new_users"
+            ),
+            F.count_if(F.col("first_week") != F.col("week")).alias(
+                "returning_users"
+            ),
+        )
+    )
