@@ -960,3 +960,35 @@ def test_theta_churn_matches_exact_set_algebra(spark):
         assert r.churned == len(now - nxt)
         assert r.new_users == len(nxt - now)
         assert r.either_week == len(now | nxt)
+
+
+def test_portable_minhash_candidates_recall_high_jaccard(spark):
+    """The oracle-proven portable-MinHash banding must actually FIND the
+    corpus's near-duplicates, not just match DuckDB: every exact-Jaccard
+    pair >= 0.9 should surface as a candidate (4 bands of 2 make a miss
+    at that similarity ~(1-.81)^4 ~ 0.1% per pair; deterministic hashes
+    make this exact corpus's outcome reproducible, so the assertion is
+    stable), and overall recall at >= 0.7 stays useful."""
+    from concurrent_etl_go_spark.llm.dedup import dedup_ngram_jaccard
+    from concurrent_etl_go_spark.llm.dedup3 import dedup_minhash_candidates
+    from concurrent_etl_go_spark.operators.registry import release_caches
+    from tests.conftest import SF_CORRECTNESS
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, SF_CORRECTNESS).collect()
+    }
+    release_caches()
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup_minhash_candidates(spark, SF_CORRECTNESS).collect()
+    }
+    release_caches()
+    hi = {p for p, j in exact.items() if j >= 0.9}
+    assert hi, "corpus should contain planted >=0.9-Jaccard pairs"
+    assert hi <= cands, f"missed high-sim pairs: {sorted(hi - cands)[:5]}"
+    mid = {p for p, j in exact.items() if j >= 0.7}
+    recalled = len(mid & cands)
+    assert recalled >= 0.8 * len(mid), (
+        f"portable-LSH recall too low: {recalled}/{len(mid)}"
+    )
