@@ -227,6 +227,44 @@ def asof_join_merge(
     return parts.mapInPandas(merge_partition, schema=out_schema)
 
 
+def exact_money_sum(
+    col: Column, scale: int = 2, round_to: int | None = None
+) -> Column:
+    """Order-independent sum of an exact-decimal-valued double column.
+
+    ``ROUND(SUM(double), 4)`` on a >= 1e9-magnitude sum is a latent
+    cross-engine flake: summation-order variance (~sqrt(n) * ulp(S))
+    approaches the rounding granularity, so a total landing near a
+    .00005 boundary can round differently between Spark's partial-agg
+    order and DuckDB's — and testdata regenerates, so any refresh can
+    land there. Money columns are EXACT k-decimal values, so casting
+    each row to DECIMAL and summing is exact and order-independent on
+    both engines; the final double cast is exact while the sum's
+    smallest units stay under 2^53 — pass ``round_to`` to round the
+    DECIMAL first when they could exceed it (e.g. the 6-decimal Q1
+    charge at large scale).
+
+    ``exact_money_sum_sql`` is the identical expression as SQL text —
+    valid in BOTH dialects, so oracle strings and Spark SQL queries can
+    share it verbatim.
+    """
+    s = F.sum(col.cast(f"decimal(22,{scale})"))
+    if round_to is not None:
+        s = F.round(s, round_to)
+    return s.cast("double")
+
+
+def exact_money_sum_sql(
+    expr: str, scale: int = 2, round_to: int | None = None
+) -> str:
+    """SQL-text twin of ``exact_money_sum`` (same semantics, both
+    dialects)."""
+    s = f"SUM(CAST({expr} AS DECIMAL(22,{scale})))"
+    if round_to is not None:
+        s = f"ROUND({s}, {round_to})"
+    return f"CAST({s} AS DOUBLE)"
+
+
 def band_join(
     facts: DataFrame, bands: DataFrame, value_col: str, lo_col: str, hi_col: str
 ) -> DataFrame:

@@ -10,6 +10,12 @@ Convention for oracle safety (see SURVEY §7.4.6):
   deterministic ORDER BY with explicit tie-breaks),
 - every computed double column is ROUND(x, 4) on BOTH sides so engine
   summation-order differences cannot flip the hash,
+- EXCEPT money sums whose magnitude can reach ~1e9+: there the 4dp
+  rounding granularity sits inside summation-order variance
+  (~sqrt(n) * ulp(S)) and a total near a .00005 boundary flakes across
+  engines/runs — those accumulate as exact DECIMAL instead
+  (``operators/lib.py::exact_money_sum`` / ``exact_money_sum_sql``,
+  order-independent and bit-identical on both engines),
 - timestamps compare under the session timezone pinned to UTC.
 """
 

@@ -67,12 +67,17 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           {lib.exact_money_sum_sql("l_extendedprice")} AS sum_base_price,
+           {lib.exact_money_sum_sql(
+               "l_extendedprice * (1 - l_discount)", scale=4
+           )} AS sum_disc_price,
+           {lib.exact_money_sum_sql(
+               "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+               scale=6, round_to=4,
+           )} AS sum_charge,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -84,7 +89,12 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: partial (map-side) aggregation, one
-    shuffle on the two low-cardinality group keys."""
+    shuffle on the two low-cardinality group keys. The three money sums
+    accumulate as exact DECIMAL (``lib.exact_money_sum``) — billion-scale
+    double sums rounded to 4 decimals sit inside summation-order
+    variance, the cross-engine/cross-run flake the decimal path
+    eliminates; quantity and the averages stay double (integer-valued /
+    small-magnitude, far from the hazard)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -92,9 +102,13 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            lib.exact_money_sum(F.col("l_extendedprice")).alias(
+                "sum_base_price"
+            ),
+            lib.exact_money_sum(disc_price, scale=4).alias("sum_disc_price"),
+            lib.exact_money_sum(
+                disc_price * (1 + F.col("l_tax")), scale=6, round_to=4
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -172,9 +186,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cube",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice), 4) AS sum_price, COUNT(*) AS n
+           {lib.exact_money_sum_sql("l_extendedprice")} AS sum_price,
+           COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -183,7 +198,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            lib.exact_money_sum(F.col("l_extendedprice")).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -191,19 +206,23 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(SUM(o_totalprice), 4) AS sum_price, COUNT(*) AS n
+           {lib.exact_money_sum_sql("o_totalprice")} AS sum_price,
+           COUNT(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the exact_money_sum_sql fragment is valid in BOTH dialects, so the
+    # Spark SQL text shares it with the oracle verbatim
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__ceg_orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
-               ROUND(SUM(o_totalprice), 4) AS sum_price, COUNT(*) AS n
+               {lib.exact_money_sum_sql("o_totalprice")} AS sum_price,
+               COUNT(*) AS n
         FROM __ceg_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -217,8 +236,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_inner_broadcast",
-    oracle="""
-    SELECT n_name, ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+    oracle=f"""
+    SELECT n_name, {lib.exact_money_sum_sql("o_totalprice")} AS revenue,
+           COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -238,7 +258,7 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            lib.exact_money_sum(F.col("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -304,8 +324,9 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_right",
-    oracle="""
-    SELECT c_mktsegment, ROUND(SUM(o_totalprice), 4) AS revenue,
+    oracle=f"""
+    SELECT c_mktsegment,
+           {lib.exact_money_sum_sql("o_totalprice")} AS revenue,
            COUNT(o_orderkey) AS n_orders
     FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
@@ -318,7 +339,7 @@ def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "right")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            lib.exact_money_sum(F.col("o_totalprice")).alias("revenue"),
             F.count("o_orderkey").alias("n_orders"),
         )
     )
@@ -387,12 +408,13 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_band",
-    oracle="""
+    oracle=f"""
     WITH bands(band, lo, hi) AS (VALUES
         ('xs', 0.0, 50000.0), ('s', 50000.0, 100000.0),
         ('m', 100000.0, 200000.0), ('l', 200000.0, 300000.0),
         ('xl', 300000.0, 1000000000.0))
-    SELECT band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    SELECT band, COUNT(*) AS n,
+           {lib.exact_money_sum_sql("o_totalprice")} AS total
     FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
     """,
@@ -414,7 +436,7 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            lib.exact_money_sum(F.col("o_totalprice")).alias("total"),
         )
     )
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators import lib
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -360,8 +361,10 @@ def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter_q19_disjunctive",
-    oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    oracle=f"""
+    SELECT {lib.exact_money_sum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)", scale=4
+           )} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
@@ -399,8 +402,8 @@ def filter_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "ECONOMY") & (F.col("l_quantity") < 5)
     )
     return joined.where(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        lib.exact_money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )

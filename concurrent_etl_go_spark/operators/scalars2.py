@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators import lib
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -121,11 +122,12 @@ def scalar_map_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_conditional",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus,
            COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-           ROUND(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 4)
-               AS returned_value,
+           {lib.exact_money_sum_sql(
+               "CASE WHEN l_returnflag = 'R' THEN l_extendedprice END"
+           )} AS returned_value,
            ROUND(AVG(l_quantity) FILTER (WHERE l_quantity > 25), 4)
                AS avg_large_qty
     FROM lineitem GROUP BY l_linestatus
@@ -136,9 +138,8 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
-        F.round(
-            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))),
-            4,
+        lib.exact_money_sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
         ).alias("returned_value"),
         F.round(
             F.avg(F.when(F.col("l_quantity") > 25, F.col("l_quantity"))), 4

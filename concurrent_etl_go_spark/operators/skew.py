@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators import lib
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -80,10 +81,12 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_salted_skew",
-    oracle="""
+    oracle=f"""
     SELECT o.o_orderpriority AS priority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           {lib.exact_money_sum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)", scale=4
+           )} AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -116,8 +119,8 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     ).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        lib.exact_money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
         ).alias("revenue"),
     )
 

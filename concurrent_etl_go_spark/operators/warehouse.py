@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators import lib
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -209,7 +210,7 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_pit_scd2",
-    oracle="""
+    oracle=f"""
     WITH hist AS (
       SELECT c_custkey, c_mktsegment,
              TIMESTAMP '1992-01-01' AS valid_from,
@@ -221,7 +222,7 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey % 7 = 0
     )
     SELECT h.c_mktsegment AS segment, COUNT(*) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 4) AS revenue
+           {lib.exact_money_sum_sql("o.o_totalprice")} AS revenue
     FROM orders o JOIN hist h
       ON o.o_custkey = h.c_custkey
      AND o.o_orderdate >= h.valid_from
@@ -273,5 +274,5 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pit.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        lib.exact_money_sum(F.col("o_totalprice")).alias("revenue"),
     )
