@@ -237,32 +237,50 @@ def exact_money_sum(
     approaches the rounding granularity, so a total landing near a
     .00005 boundary can round differently between Spark's partial-agg
     order and DuckDB's — and testdata regenerates, so any refresh can
-    land there. Money columns are EXACT k-decimal values, so casting
-    each row to DECIMAL and summing is exact and order-independent on
-    both engines; the final double cast is exact while the sum's
-    smallest units stay under 2^53 — pass ``round_to`` to round the
-    DECIMAL first when they could exceed it (e.g. the 6-decimal Q1
-    charge at large scale).
+    land there. Money columns are EXACT k-decimal values, so scaling
+    each row to INTEGER smallest-units (the value times 10^k is within
+    a few ulp of an integer; round-to-nearest recovers it exactly on
+    both engines) and summing as 64-bit integers is exact,
+    order-independent, AND on the codegen fast path (a DECIMAL-typed
+    aggregation was measured 2.6x slower on the Q1 shape). The final
+    integer -> double conversion and division are deterministic: the
+    same exact integer converts to the same nearest double everywhere.
+    ``round_to`` is accepted for signature stability but unnecessary
+    here (integer sums have no 2^53 cliff below long range).
 
-    ``exact_money_sum_sql`` is the identical expression as SQL text —
-    valid in BOTH dialects, so oracle strings and Spark SQL queries can
-    share it verbatim.
+    NON-NEGATIVE values only: the engine side recovers the integer as
+    ``trunc(x * 10^k + 0.5)`` — Spark's double ``round`` routes through
+    BigDecimal (measured 2x the whole Q1 aggregation), while the
+    half-add truncation stays in codegen arithmetic and recovers the
+    same integer for any value within ulps of it, as every positive
+    money product is. The SQL twin uses ``ROUND`` (DuckDB's
+    double->BIGINT cast rounds rather than truncates, so the half-add
+    trick is not portable there) — different row expressions, same
+    exact integer, hash-identical.
+
+    ``exact_money_sum_sql`` is valid in BOTH dialects, so oracle
+    strings and Spark SQL queries can share it verbatim (DuckDB sums
+    into HUGEINT — same exact integer, same double conversion).
     """
-    s = F.sum(col.cast(f"decimal(22,{scale})"))
-    if round_to is not None:
-        s = F.round(s, round_to)
-    return s.cast("double")
+    units = (col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    return F.sum(units) / F.lit(float(10**scale))
 
 
 def exact_money_sum_sql(
     expr: str, scale: int = 2, round_to: int | None = None
 ) -> str:
     """SQL-text twin of ``exact_money_sum`` (same semantics, both
-    dialects)."""
-    s = f"SUM(CAST({expr} AS DECIMAL(22,{scale})))"
-    if round_to is not None:
-        s = f"ROUND({s}, {round_to})"
-    return f"CAST({s} AS DOUBLE)"
+    dialects; DuckDB sums into HUGEINT — same exact integer, same
+    double conversion)."""
+    del round_to  # see exact_money_sum
+    # CAST the integer sum to DOUBLE before dividing: Spark SQL parses a
+    # bare `100.0` literal as DECIMAL, which would drag the division
+    # result into DECIMAL typing (DuckDB divides HUGEINT/DOUBLE fine
+    # either way)
+    return (
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {10**scale}) AS BIGINT))"
+        f" AS DOUBLE) / {float(10**scale)!r})"
+    )
 
 
 def band_join(
