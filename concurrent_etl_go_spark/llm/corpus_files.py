@@ -40,7 +40,7 @@ _DEDUP_DOCS = 200
 _BINARY_DOCS = 100
 
 
-def _write_files(df: DataFrame, out_dir: str, binary: bool) -> None:
+def _write_files(df: DataFrame, out_dir: str) -> None:
     """Write one loose file per (fname, text) row, executor-side.
 
     ``foreachPartition`` keeps the materialization distributed (each task
@@ -48,13 +48,15 @@ def _write_files(df: DataFrame, out_dir: str, binary: bool) -> None:
     driver) — the same shape a real exporter uses against shared
     storage, which local-mode temp dirs stand in for here.
     """
-    mode = "wb" if binary else "w"
-
+    # Always write BYTES: a text-mode open without encoding= uses the
+    # locale's preferred encoding on the executor, so non-ASCII document
+    # text would raise UnicodeEncodeError (or round-trip wrongly) on a
+    # POSIX/C-locale host while read_text_corpus decodes UTF-8.  Encoding
+    # explicitly once covers both the text and binary fixture shapes.
     def write_partition(rows) -> None:
         for row in rows:
-            payload = row.text.encode("utf-8") if binary else row.text
-            with open(os.path.join(out_dir, row.fname), mode) as f:
-                f.write(payload)
+            with open(os.path.join(out_dir, row.fname), "wb") as f:
+                f.write(row.text.encode("utf-8"))
 
     os.makedirs(out_dir, exist_ok=True)
     df.foreachPartition(write_partition)
@@ -125,7 +127,7 @@ def corpus_file_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tmp = tempfile.mkdtemp(prefix="cetl_corpus_files_")
-    _write_files(named, tmp, binary=False)
+    _write_files(named, tmp)
 
     corpus = read_text_corpus(spark, tmp, pattern="*.txt")
     deduped = (
@@ -180,7 +182,7 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     tmp = tempfile.mkdtemp(prefix="cetl_binary_ingest_")
-    _write_files(named, tmp, binary=True)
+    _write_files(named, tmp)
 
     blobs = read_binary_files(spark, tmp, pattern="*.bin")
     features = blobs.select(

@@ -241,14 +241,21 @@ def build_ivfpq_index(
             for m in range(PQ_SUBSPACES)
         ],
     )
+    codes_root = os.path.join(root, "codes")
     try:
-        vt.write_table(codes, os.path.join(root, "codes"), mode="overwrite")
+        snap = vt.write_table(codes, codes_root, mode="overwrite")
     except vt.CommitConflictError:
         # a concurrent builder won the commit race; builds are
         # deterministic, so its index is byte-equivalent — just use it
-        pass
+        snap = vt.snapshot(codes_root)
     meta = {
         "fingerprint": _source_fingerprint(sf_dir),
+        # Atomic meta<->codes linkage: meta names the EXACT codes-table
+        # version its centroids/codebooks were fit with, and loads pin
+        # the read to it.  Without this a concurrent rebuild could
+        # overwrite the codes table under a reader holding the old meta
+        # — old centroids silently scored against new codes.
+        "codes_version": snap.version,
         "dim": dim,
         "centroids": centroids,
         "codebooks": codebooks,
@@ -272,18 +279,28 @@ def load_ivfpq_index(
     ``rebuild=True`` forces a refit (the tests' escape hatch)."""
     root = root or _default_index_root(sf_dir)
     if not rebuild:
+        # ANY load failure falls through to a rebuild (rebuilds are
+        # deterministic, hence always safe): that includes a valid
+        # meta.json whose codes directory is missing/corrupt/vacuumed —
+        # previously a raise from read_table_version escaped this block.
+        # The codes read is PINNED to meta's codes_version, so a reader
+        # racing a rebuild gets the old (meta, codes) pair consistently
+        # rather than old centroids against new codes.
         try:
             with open(os.path.join(root, "meta.json")) as f:
                 meta = json.load(f)
             if meta["fingerprint"] == _source_fingerprint(sf_dir):
                 codes = vt.read_table_version(
-                    spark, os.path.join(root, "codes")
+                    spark, os.path.join(root, "codes"),
+                    version=meta["codes_version"],
                 )
                 return codes, meta
-        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        except Exception:
             pass
     meta = build_ivfpq_index(spark, sf_dir, root)
-    codes = vt.read_table_version(spark, os.path.join(root, "codes"))
+    codes = vt.read_table_version(
+        spark, os.path.join(root, "codes"), version=meta["codes_version"]
+    )
     return codes, meta
 
 

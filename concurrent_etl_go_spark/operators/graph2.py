@@ -238,7 +238,8 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (
         SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY 1
     )
-    SELECT CAST(floor(ln(degree) / ln(2)) AS BIGINT) AS log2_bucket,
+    SELECT CAST(length(format('{{:b}}', degree)) - 1 AS BIGINT)
+             AS log2_bucket,
            COUNT(*) AS n_nodes,
            MIN(degree) AS min_degree,
            MAX(degree) AS max_degree
@@ -263,8 +264,15 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+    # Exact INTEGER bucketing: bit_length(degree) - 1, via the binary
+    # string form on both engines.  floor(ln(d)/ln 2) is a latent
+    # cross-engine flake for integer degrees — exact powers of two land
+    # exactly on bucket boundaries, where a 1-ulp libm difference
+    # between JVM Math.log and DuckDB's libm flips the floor (unlike
+    # agg_log2_histogram's continuous prices, power-of-two degrees are
+    # common).  length(bin(d)) - 1 is pure integer arithmetic.
     return deg.groupBy(
-        F.floor(F.log("degree") / F.log(F.lit(2.0)))
+        (F.length(F.bin(F.col("degree"))) - 1)
         .cast("long")
         .alias("log2_bucket")
     ).agg(

@@ -261,9 +261,31 @@ def exact_money_sum(
     ``exact_money_sum_sql`` is valid in BOTH dialects, so oracle
     strings and Spark SQL queries can share it verbatim (DuckDB sums
     into HUGEINT — same exact integer, same double conversion).
+
+    OVERFLOW HEADROOM — why the accumulator type depends on ``scale``.
+    A long-SUM overflow kills the query under Spark 4's ANSI default
+    (ARITHMETIC_OVERFLOW) and wraps SILENTLY with ANSI off, while the
+    DuckDB twin sums into HUGEINT — a crashed or silently-wrong total
+    either way, and an oracle divergence.  At scale=2 the headroom is
+    real: ~6e11 lineitem rows (100 TB-class) x ~4e6 avg units ~ 2.4e18
+    vs int64 max 9.2e18 — ~4x margin, and the margin grows as row
+    counts shrink.  At scale>=4 it is NOT: sum_charge-style units are
+    ~4e10/row, so the long sum crosses int64 max near sf~40 (~2.4e8
+    rows), far below the target scale.  Therefore scale>=4 accumulates
+    in DECIMAL(38,0): per-row units still come from the codegen-fast
+    half-add long cast (exact — |units| < 2^53 per row by construction),
+    only the SUM runs in decimal (order-independent, 38 digits ~ 1e38
+    headroom, mirroring DuckDB's HUGEINT).  The decimal-agg cost lands
+    only on the high-scale columns; scale<=3 keeps the measured-fast
+    long path.  Same exact integer either way -> same nearest-double
+    conversion -> hash-identical output at any sf where both fit.
     """
     units = (col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
-    return F.sum(units) / F.lit(float(10**scale))
+    if scale >= 4:
+        total = F.sum(units.cast("decimal(38,0)")).cast("double")
+    else:
+        total = F.sum(units).cast("double")
+    return total / F.lit(float(10**scale))
 
 
 def exact_money_sum_sql(
@@ -271,14 +293,21 @@ def exact_money_sum_sql(
 ) -> str:
     """SQL-text twin of ``exact_money_sum`` (same semantics, both
     dialects; DuckDB sums into HUGEINT — same exact integer, same
-    double conversion)."""
+    double conversion).  Mirrors the scale>=4 DECIMAL(38,0)
+    accumulation (see ``exact_money_sum``'s overflow-headroom note):
+    the fragment must stay valid as SPARK SQL too, where a bare
+    SUM(BIGINT) wraps silently at the row counts high-scale units
+    reach."""
     del round_to  # see exact_money_sum
     # CAST the integer sum to DOUBLE before dividing: Spark SQL parses a
     # bare `100.0` literal as DECIMAL, which would drag the division
     # result into DECIMAL typing (DuckDB divides HUGEINT/DOUBLE fine
     # either way)
+    units = f"CAST(ROUND(({expr}) * {10**scale}) AS BIGINT)"
+    if scale >= 4:
+        units = f"CAST({units} AS DECIMAL(38,0))"
     return (
-        f"(CAST(SUM(CAST(ROUND(({expr}) * {10**scale}) AS BIGINT))"
+        f"(CAST(SUM({units})"
         f" AS DOUBLE) / {float(10**scale)!r})"
     )
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators import lib
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -114,11 +115,11 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT channel, month,
-           ROUND(SUM(val), 2) + 0.0 AS total,
+           {total_sql} AS total,
            COUNT(*) AS n_rows
     FROM unioned
     GROUP BY ROLLUP (channel, month)
-    """,
+    """.format(total_sql=lib.exact_money_sum_sql("val")),
 )
 def agg_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-channel monthly rollup: union two revenue/activity channels
@@ -128,11 +129,13 @@ def agg_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the union is free (no shuffle); the rollup is one hash
     aggregation with map-side partials over <= channels x months + 1
-    grouping keys. ROUND(sum, 2) keeps the hash stable across engine
-    summation orders (the grand total sums every order in the table —
-    at 4 decimals the float error envelope of a ~1e10 sum would sit too
-    close to the rounding granularity); ``+ 0.0`` is the signed-zero
-    canonicalization every oracle float column carries.
+    grouping keys. The total accumulates via ``lib.exact_money_sum``
+    (exact smallest-unit integers): the grand-total row sums EVERY
+    order in the table, and by the repo's own error model a
+    ROUND(SUM(double), 2) there sits inside cross-engine
+    summation-order variance at sf1+ (~sqrt(n)*ulp(S) ~ 0.04 vs the
+    0.005 rounding granularity) — the exact flake exact_money_sum
+    eliminates for the ten converted TPC-H money queries.
     """
     orders = read_table(spark, sf_dir, "orders").select(
         F.lit("orders").alias("channel"),
@@ -148,7 +151,7 @@ def agg_cross_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.unionByName(events)
         .rollup("channel", "month")
         .agg(
-            (F.round(F.sum("val"), 2) + F.lit(0.0)).alias("total"),
+            lib.exact_money_sum(F.col("val")).alias("total"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

@@ -218,3 +218,51 @@ def test_partitioned_fact_join_gets_dynamic_partition_pruning(spark, tmp_path):
 
     expected = li.where(F.col("ship_month") == 3).count()
     assert joined.count() == expected > 0
+
+
+def test_exact_money_sum_high_scale_survives_int64_overflow(spark):
+    """The scale>=4 decimal accumulator must survive totals where a long
+    SUM cannot: sum_charge-style units (~4e10/row at scale=6) cross
+    int64 max near sf~40, where a long sum hard-fails under Spark 4's
+    ANSI default (and wraps SILENTLY with ANSI off) while the DuckDB
+    oracle sums into HUGEINT — a crashed or silently-wrong total either
+    way.  Three rows of 5e12 at scale=6 are 1.5e19 units, past int64
+    max (9.2e18); the decimal path recovers the exact total, and the
+    SQL twin agrees in BOTH dialects."""
+    import duckdb
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ArithmeticException
+
+    from concurrent_etl_go_spark.operators.lib import (
+        exact_money_sum,
+        exact_money_sum_sql,
+    )
+
+    df = spark.createDataFrame([(5e12,), (5e12,), (5e12,)], "val double")
+    got = df.agg(exact_money_sum(F.col("val"), scale=6).alias("s")).first().s
+    assert got == 1.5e13  # exact: 1.5e13 is an integer < 2^53
+
+    # the long path DOES overflow here (guards the test's own premise —
+    # under this session's ANSI default that is a query-killing
+    # ARITHMETIC_OVERFLOW; with ANSI off it would be a silent wrap)
+    with pytest.raises((ArithmeticException, Py4JJavaError)):
+        df.agg(
+            F.sum((F.col("val") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        ).first()
+
+    # SQL twin: identical fragment, both dialects, same exact answer
+    frag = exact_money_sum_sql("val", scale=6)
+    df.createOrReplaceTempView("money_overflow_t")
+    spark_sql = spark.sql(
+        f"SELECT {frag} AS s FROM money_overflow_t"
+    ).first().s
+    duck = duckdb.sql(
+        f"SELECT {frag} AS s FROM (VALUES (5e12), (5e12), (5e12)) t(val)"
+    ).fetchone()[0]
+    assert spark_sql == duck == 1.5e13
+
+    # scale<=3 keeps the measured-fast long path and matches its twin
+    small = spark.createDataFrame([(1.23,), (4.56,)], "val double")
+    got2 = small.agg(exact_money_sum(F.col("val")).alias("s")).first().s
+    assert got2 == 5.79

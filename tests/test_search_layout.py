@@ -114,12 +114,27 @@ def test_ivfpq_index_persists_and_survives_rebuild(spark, tmp_path):
     assert codes2.orderBy("vec_id").collect() == built
     release_caches()
 
-    # forced rebuild reproduces the same index bit-for-bit
+    # forced rebuild reproduces the same index bit-for-bit (the codes
+    # table version advances — it's a fresh overwrite commit — and meta
+    # tracks it, which is exactly the meta<->codes linkage)
     codes3, meta3 = ivfpq.load_ivfpq_index(
         spark, SF_SMOKE, root=root, rebuild=True
     )
-    assert meta3 == meta1
+    assert meta3["codes_version"] > meta1["codes_version"]
+    drop = lambda m: {k: v for k, v in m.items() if k != "codes_version"}
+    assert drop(meta3) == drop(meta1)
     assert codes3.orderBy("vec_id").collect() == built
+    release_caches()
+
+    # a valid meta with a missing/corrupt codes directory must fall
+    # through to a rebuild, not raise (load failures are always
+    # recoverable because builds are deterministic)
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "codes"))
+    codes_r, meta_r = ivfpq.load_ivfpq_index(spark, SF_SMOKE, root=root)
+    assert codes_r.orderBy("vec_id").collect() == built
+    assert drop(meta_r) == drop(meta1)
     release_caches()
 
     # staleness: a fingerprint mismatch triggers a rebuild (observable as
