@@ -17,50 +17,56 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: The driver's per-round correctness snapshot covers the FIRST 50 entries
 #: of ``queries()`` (insertion order).  Coverage therefore accumulates as
 #: the union of per-round snapshots, and we rotate which queries occupy
-#: the window each round.  Rounds 1-5 proved every query registered
-#: through round 5 EXCEPT ``embeddings_pq_codes`` (r5 driver ERROR: its
-#: ``array<int>`` output column crashed the driver's pandas
-#: canonicalization — fixed this round with scalar ``code_0..code_3``
-#: columns at llm/kmeans.py).  Round 6 therefore front-loads the fixed
-#: pq-codes query plus every round-6 addition (the CDC hash-proof pair,
-#: the loose-file front-door pair, the TPC-DS retail shapes, ...);
-#: additions stay capped well under 50 so the window clears its own
-#: backlog within the round.  Queries not named here slot in between:
-#: never-proven first, already-proven at the back.
-#: ROUND-7 TODO: fold the r06 greens into a ``_PROVEN_R06`` frozenset
-#: (all 23 window names below are locally verified via
-#: ``scripts/driver_dryrun.py`` at sf0.01, the 22 oracle-backed ones at
-#: sf0.1 too — expect green; ``embeddings_pq_codes`` is rows-only),
-#: rename the window list, and front-load only round-7 additions
-#: (cap ~49).
+#: the window each round.  Rounds 1-6 proved every query registered
+#: through round 6 (CORRECTNESS_r06: 48 hash-green + 2 expected
+#: rows-only, zero errors).  Round 7 front-loads (a) the round-7
+#: additions (the portable IVF-PQ serving twins, BFS, and the new
+#: surface queries) and (b) a re-proof block for queries whose code or
+#: oracle text changed this round (ADVICE fixes: decimal accumulation
+#: for scale>=4 money sums, exact integer log2 bucketing, UTF-8 fixture
+#: writes, pinned-version index loads).  Queries not named here slot in
+#: between: never-proven first, already-proven at the back.
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
-_ROUND6_WINDOW = [
-    "embeddings_pq_codes",
-    "cdc_table_changes", "cdc_apply_changes", "cdc_mirror_replicate",
+_ROUND7_WINDOW = [
+    # --- round-7 additions ---
+    "embeddings_pq_assign_portable", "similarity_ivfpq_portable",
+    "graph_bfs_hops",
+    # --- re-proof block: outputs identical by design, but the Spark
+    # expression and/or oracle SQL changed (ADVICE r6 fixes), so the
+    # r1-r6 proofs no longer bind byte-for-byte ---
+    "agg_pricing_summary", "join_salted_skew", "filter_q19_disjunctive",
+    "agg_cross_channel_rollup", "graph_degree_distribution",
     "corpus_file_dedup", "multimodal_binary_ingest",
-    "agg_market_basket", "agg_cross_channel_rollup",
-    "dedup_minhash_signature", "dedup_minhash_candidates",
-    "ivm_incremental_rollup", "versioned_time_travel",
-    "agg_customer_rfm", "window_top_movers",
+    "similarity_ivfpq_topk",
+]
+
+#: Proven green in CORRECTNESS_r06 (48 hash_match + 2 expected
+#: rows-only; zero errors — the full 50-slot window).
+_PROVEN_R06 = frozenset({
+    "embeddings_pq_codes", "cdc_table_changes", "cdc_apply_changes",
+    "cdc_mirror_replicate", "corpus_file_dedup",
+    "multimodal_binary_ingest", "agg_market_basket",
+    "agg_cross_channel_rollup", "dedup_minhash_signature",
+    "dedup_minhash_candidates", "ivm_incremental_rollup",
+    "versioned_time_travel", "agg_customer_rfm", "window_top_movers",
     "dedup_simhash_portable", "profile_freshness",
     "text_countmin_portable", "ivm_rollup_after_compact",
     "join_asof_nearest", "text_keywords_tfidf", "agg_pareto_share",
     "graph_degree_distribution", "agg_benford_check",
-    "agg_revenue_lorenz", "agg_new_vs_returning",
-    # re-proof block: these ten switched their big money sums from
-    # ROUND(SUM(double), 4) to exact-DECIMAL accumulation
-    # (lib.exact_money_sum) — billion-scale double sums rounded to 4dp
-    # sit inside cross-engine summation-order variance (caught by an
-    # sf0.1 full-registry dry run: join_pit_scd2 flipped a 4th decimal
-    # between runs).  Values changed at most in the last rounded digit,
-    # so the r1-r5 proofs no longer bind and they rotate back in.
-    "agg_pricing_summary", "agg_cube", "agg_grouping_sets",
-    "join_inner_broadcast", "join_right", "join_range_band",
-    "join_pit_scd2", "join_salted_skew", "filter_q19_disjunctive",
-    "agg_conditional",
-]
+    "agg_revenue_lorenz", "agg_new_vs_returning", "agg_pricing_summary",
+    "agg_cube", "agg_grouping_sets", "join_inner_broadcast",
+    "join_right", "join_range_band", "join_pit_scd2", "join_salted_skew",
+    "filter_q19_disjunctive", "agg_conditional",
+    "join_attribution_last_touch", "agg_window_funnel",
+    "scalar_float_canary", "etl_transform_flat",
+    "etl_explode_indicators", "etl_worker_route", "etl_micro_batch",
+    "graph_pagerank", "graph_components_copurchase",
+    "graph_pagerank_copurchase", "graph_triangles_copurchase",
+    "layout_zorder", "profile_table_stats", "agg_daily_zscore",
+    "window_gap_fill",
+})
 
 #: Proven green in CORRECTNESS_r01-r05 (hash_match, or rows-only queries
 #: the driver ran with plausible row counts).  The single r05 non-green
@@ -139,12 +145,12 @@ _PROVEN_R01_R04 = frozenset({
 })
 
 
-_PROVEN = _PROVEN_R01_R04 | _PROVEN_R05
+_PROVEN = _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND6_WINDOW if n in set(names)]
+    window = [n for n in _ROUND7_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

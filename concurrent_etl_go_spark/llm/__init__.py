@@ -17,6 +17,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     dedup2,
     dedup3,
     ivfpq,
+    ivfpq2,
     kmeans,
     multimodal,
     negatives,

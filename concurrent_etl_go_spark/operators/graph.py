@@ -87,3 +87,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return pagerank(edges)
+
+
+def bfs_hops(edges: DataFrame, source: int, max_hops: int = 6) -> DataFrame:
+    """Bounded-hop BFS from ``source`` over an UNDIRECTED edge list
+    ``(src, dst)`` — ``(id, dist)`` for every node within ``max_hops``.
+
+    Frontier-propagation form: each round expands only the nodes first
+    reached LAST round (one equi-join keyed by node + one anti-join
+    against the settled set), so a node enters the result exactly once,
+    with its minimal hop count — the textbook distributed BFS.  Per
+    round the shuffle is O(frontier x avg-degree), not O(nodes): on a
+    100 TB graph the early rounds move tiny frontiers and the loop never
+    re-touches settled nodes, unlike a min-fold over the full distance
+    table.  ``localCheckpoint`` truncates lineage per round (the
+    PageRank/components discipline); the loop stops early when a round
+    adds nothing, so ``max_hops`` is a ceiling, not a fixed cost.
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long")
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        newf = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(k).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        track_cache(newf)
+        if newf.isEmpty():
+            break
+        dist = dist.unionByName(newf)
+        frontier = newf
+    return dist

@@ -280,3 +280,60 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("degree").alias("min_degree"),
         F.max("degree").alias("max_degree"),
     )
+
+
+#: BFS hop ceiling — matches the unrolled oracle below.
+_BFS_HOPS = 6
+
+
+def _bfs_oracle() -> str:
+    """Unrolled bounded-hop BFS as a plain CTE chain (the PageRank
+    technique: fixed-iteration loops become provable by unrolling).
+    Round k min-folds the previous distance table with its one-hop
+    expansion — mathematically identical to the engine's
+    frontier-propagation loop (a node's first reach IS its minimal
+    hop), stated in the fold form SQL can express without recursion."""
+    steps = [
+        "d0 AS (SELECT MIN(src) AS id, 0 AS dist FROM sym)",
+    ]
+    for k in range(1, _BFS_HOPS + 1):
+        steps.append(
+            f"""d{k} AS (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d{k - 1}
+            UNION ALL
+            SELECT s.dst AS id, d.dist + 1 AS dist
+            FROM sym s JOIN d{k - 1} d ON s.src = d.id
+        ) GROUP BY id
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_EDGE_SQL},
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    {chain}
+    SELECT id, CAST(dist AS BIGINT) AS dist FROM d{_BFS_HOPS}
+    """
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (single-source shortest hop counts) from the
+    smallest customer in the co-purchase graph — the fourth hash-proven
+    iterative kernel (after components, PageRank, triangles), and the
+    reachability primitive under "within N hops of X" audience queries.
+
+    The engine runs ``operators/graph.py::bfs_hops`` — frontier
+    propagation, one join + one anti-join per round, O(frontier x
+    degree) not O(nodes) per round, early exit on an empty frontier.
+    The oracle evaluates the same recurrence as an unrolled min-fold
+    chain; pure integer ids and hop counts, so the driver hash is
+    bit-exact with no float discipline needed.  Source choice (MIN of
+    the edge list's src — the smallest connected customer, src < dst
+    orientation makes it the global min node) is derived identically
+    by both engines, never hard-coded to a data value."""
+    from concurrent_etl_go_spark.operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir)
+    source = edges.agg(F.min("src")).first()[0]
+    return bfs_hops(edges.select("src", "dst"), source, _BFS_HOPS)

@@ -992,3 +992,32 @@ def test_portable_minhash_candidates_recall_high_jaccard(spark):
     assert recalled >= 0.8 * len(mid), (
         f"portable-LSH recall too low: {recalled}/{len(mid)}"
     )
+
+
+def test_bfs_hops_distances_ceiling_and_early_exit(spark):
+    """bfs_hops returns minimal hop counts, honors the max_hops ceiling,
+    never escapes the source's component, and exits early on an empty
+    frontier.  Graph: an 8-path (1-..-8) with a shortcut 1-4, plus a
+    disconnected edge (100, 101)."""
+    from concurrent_etl_go_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (1, 4),
+         (100, 101)],
+        "src long, dst long",
+    )
+    got = {r.id: r.dist for r in bfs_hops(edges, 1, max_hops=6).collect()}
+    # shortcut 1-4 makes dist(4)=1, so dist(8)=5; other component absent
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5}
+
+    # ceiling: with max_hops=2 only nodes within 2 hops appear
+    capped = {r.id: r.dist for r in bfs_hops(edges, 1, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    # early exit: a ceiling far beyond the diameter changes nothing
+    wide = {r.id: r.dist for r in bfs_hops(edges, 1, max_hops=50).collect()}
+    assert wide == got
+
+    # a source in the small component stays there
+    small = {r.id: r.dist for r in bfs_hops(edges, 100, max_hops=6).collect()}
+    assert small == {100: 0, 101: 1}
