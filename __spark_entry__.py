@@ -33,6 +33,8 @@ _ROUND7_WINDOW = [
     # --- round-7 additions ---
     "embeddings_pq_assign_portable", "similarity_ivfpq_portable",
     "graph_bfs_hops",
+    "agg_rollup_revenue_rank", "agg_repeat_purchase_intervals",
+    "text_vocab_growth", "embeddings_norm_histogram",
     # --- re-proof block: outputs identical by design, but the Spark
     # expression and/or oracle SQL changed (ADVICE r6 fixes), so the
     # r1-r6 proofs no longer bind byte-for-byte ---

@@ -97,3 +97,64 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recon_err"),
     )
+
+
+#: Norm-histogram constants: the ivfpq2 integer quantization scale and
+#: the squared-norm bucket width.  Shared verbatim with the oracle.
+NORM_QUANT_SCALE = 1024
+NORM_BUCKET_WIDTH = 1_000_000
+
+
+@query(
+    "embeddings_norm_histogram",
+    oracle=f"""
+    WITH iv AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {NORM_QUANT_SCALE}) AS BIGINT)
+              for x in embedding] AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id,
+             list_sum([v[i] * v[i] for i in range(1, 65)]) AS sq
+      FROM iv
+    )
+    SELECT CAST(sq // {NORM_BUCKET_WIDTH} AS BIGINT) AS bucket,
+           COUNT(*) AS n_vectors,
+           CAST(MIN(sq) AS BIGINT) AS min_sq,
+           CAST(MAX(sq) AS BIGINT) AS max_sq
+    FROM n GROUP BY 1
+    """,
+)
+def embeddings_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of embedding magnitudes: integer-quantized squared
+    L2 norms (the ``llm/ivfpq2.py`` floor(x*1024) rule — exact IEEE
+    widen/multiply, then pure integer squares) bucketed into a
+    fixed-width histogram — the sanity profile a vector-pipeline owner
+    reads before choosing a normalization or quantization scheme
+    (near-zero vectors, outlier magnitudes, bimodality).
+
+    Scale: map-only norm computation (per-row higher-order function,
+    no shuffle) into a <= ~20-bucket hash agg.  All-integer output:
+    bit-exact across engines, no float discipline needed — unlike a
+    double-norm histogram, whose bucket edges would sit on libm
+    boundaries."""
+    iv = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(floor(cast(x as double) * {NORM_QUANT_SCALE}) as bigint))"
+        ).alias("v"),
+    )
+    n = iv.select(
+        F.expr(
+            "aggregate(transform(v, e -> e * e), 0L, (acc, x) -> acc + x)"
+        ).alias("sq")
+    )
+    return n.groupBy(
+        F.expr(f"sq div {NORM_BUCKET_WIDTH}").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("sq").cast("long").alias("min_sq"),
+        F.max("sq").cast("long").alias("max_sq"),
+    )

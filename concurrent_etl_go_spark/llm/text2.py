@@ -10,11 +10,11 @@ same partitions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.operators.registry import query
-from concurrent_etl_go_spark.llm.text import tokens
+from concurrent_etl_go_spark.llm.text import tokenized_docs, tokens
 from concurrent_etl_go_spark.sources.readers import read_table
 
 #: Context-window chunking parameters: 64-token windows every 48 tokens
@@ -269,4 +269,76 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             flagged.alias("n_boilerplate"),
             F.round(flagged / F.count(F.lit(1)), 4).alias("boilerplate_ratio"),
         )
+    )
+
+
+#: Vocabulary-growth bucket width (documents per bucket).  1 on the
+#: synthetic corpus: its 31-type vocabulary saturates within a dozen
+#: documents, so coarser buckets collapse the whole curve into one row.
+#: On a real corpus set this so vocab/width stays dimension-sized
+#: (~1e4 buckets), which keeps the running-sum window bounded.
+VOCAB_BUCKET_DOCS = 1
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok
+    ),
+    b AS (
+      SELECT CAST(first_doc // {VOCAB_BUCKET_DOCS} AS BIGINT)
+               AS doc_bucket,
+             COUNT(*) AS n_new_tokens
+      FROM first_seen GROUP BY 1
+    )
+    SELECT doc_bucket, n_new_tokens,
+           CAST(SUM(n_new_tokens) OVER (ORDER BY doc_bucket)
+                AS BIGINT) AS vocab_size
+    FROM b
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) profile: how many NEW token types
+    each 50-document slice of the corpus introduces, plus the running
+    vocabulary size — the curve a tokenizer-training pipeline reads to
+    decide how much corpus saturates a vocab budget (Heaps 1978,
+    public literature).
+
+    Scale: first-occurrence is one hash aggregation keyed by token
+    (the vocabulary key — the same shuffle class as ``text_tfidf``'s
+    document frequency), then a bucket agg over |vocab| rows and a
+    running sum over the BUCKET table — bounded by corpus_size/50
+    rows, so the single-partition window is over dimension-sized data,
+    never facts (the ``agg_revenue_lorenz`` argument) — and only
+    buckets that introduce >= 1 new type appear at all, so the window
+    input is further capped at |vocab| rows.  If a corpus/width choice
+    ever made bucket counts fact-sized, the cumulative sum has the
+    standard two-pass partial-sum form (``operators/quantiles.py``).
+    All-integer output: bit-exact across engines, no float discipline.
+    """
+    docs = tokenized_docs(spark, sf_dir)
+    first_seen = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    b = (
+        first_seen.select(
+            F.expr(f"first_doc div {VOCAB_BUCKET_DOCS}").alias("doc_bucket")
+        )
+        .groupBy("doc_bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    )
+    w = Window.orderBy("doc_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return b.select(
+        "doc_bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("vocab_size"),
     )

@@ -26,6 +26,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational9,
     relational10,
     retail,
+    retail2,
     scalars2,
     search,
     sketches,

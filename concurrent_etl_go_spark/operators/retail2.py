@@ -1,0 +1,152 @@
+"""Retail analytics pack 2: ROLLUP x window hybrid and repeat-purchase
+interval distribution (round-7 TPC-DS-adjacent shapes, per the
+``operators/retail.py`` pattern: each query is a classic retail template
+with a full DuckDB oracle and a docstring scale argument).
+
+Reference parity: the reference engine (etl/main.go) has no analytics
+surface; these extend SURVEY.md §2.B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators import lib
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+@query(
+    "agg_rollup_revenue_rank",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority AS pri,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             o_totalprice AS val
+      FROM orders
+    ),
+    r AS (
+      SELECT pri, month,
+             CAST(GROUPING(pri) AS BIGINT) AS g_pri,
+             CAST(GROUPING(month) AS BIGINT) AS g_month,
+             {total_sql} AS revenue,
+             COUNT(*) AS n_orders
+      FROM src GROUP BY ROLLUP (pri, month)
+    )
+    SELECT pri, month, g_pri, g_month, revenue, n_orders,
+           CAST(row_number() OVER (
+               PARTITION BY g_pri, g_month
+               ORDER BY revenue DESC, coalesce(pri, '~'),
+                        coalesce(month, '~')
+           ) AS BIGINT) AS rev_rank
+    FROM r
+    """.format(total_sql=lib.exact_money_sum_sql("val")),
+)
+def agg_rollup_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP x window hybrid: revenue by (priority, month) with subtotal
+    and grand-total rows, then a revenue rank WITHIN each grouping level
+    (leaf rows rank against leaves, per-priority subtotals against each
+    other, the grand total trivially rank 1) — the "rank inside each
+    rollup group" report shape TPC-DS writes with GROUPING() + RANK.
+
+    Scale: the rollup is one hash aggregation (map-side partials) over
+    <= priorities x months + priorities + 1 keys; the window then runs
+    over the AGGREGATED output — bounded by dimension cardinality, never
+    by fact rows, the same argument as ``agg_revenue_lorenz``.  Grouping
+    flags + the '~' coalesce make the rank ordering total and null-free
+    on both engines; revenue is exact (``lib.exact_money_sum``), so the
+    DESC ordering cannot flip under summation-order variance.
+    """
+    src = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").alias("val"),
+    )
+    r = src.rollup("pri", "month").agg(
+        F.grouping("pri").cast("long").alias("g_pri"),
+        F.grouping("month").cast("long").alias("g_month"),
+        lib.exact_money_sum(F.col("val")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("g_pri", "g_month").orderBy(
+        F.desc("revenue"),
+        F.coalesce("pri", F.lit("~")),
+        F.coalesce("month", F.lit("~")),
+    )
+    return r.select(
+        "pri", "month", "g_pri", "g_month", "revenue", "n_orders",
+        F.row_number().over(w).cast("long").alias("rev_rank"),
+    )
+
+
+#: Repeat-purchase gap buckets (days, upper-inclusive edges).
+_GAP_EDGES = (30, 90, 180, 365)
+
+
+def _gap_bucket_sql(col: str) -> str:
+    """Shared CASE bucketing — valid in both dialects."""
+    arms = []
+    lo = 0
+    for hi in _GAP_EDGES:
+        arms.append(
+            f"WHEN {col} <= {hi} THEN '{lo:03d}-{hi:03d}'"
+        )
+        lo = hi + 1
+    return (
+        "CASE " + " ".join(arms) + f" ELSE '{lo:03d}+' END"
+    )
+
+
+@query(
+    "agg_repeat_purchase_intervals",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                 CAST(lag(o_orderdate) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT {_gap_bucket_sql('gap_days')} AS gap_bucket,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           ROUND(AVG(gap_days), 4) + 0.0 AS avg_gap
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def agg_repeat_purchase_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase interval distribution: days between each
+    customer's consecutive orders, bucketed into retention bands
+    (0-30 / 31-90 / 91-180 / 181-365 / 366+) — the re-order cadence
+    profile behind replenishment and churn models.
+
+    Scale: one window pass partitioned by customer (the shuffle key is
+    the natural per-entity key, same as ``sessionize_events``), then a
+    5-bucket hash agg.  The lag ordering carries the o_orderkey
+    tie-break so same-day orders produce a deterministic gap sequence
+    on both engines.  Gaps are integers (day diffs), so min/max hash
+    exactly; avg is an exact-int ratio (identical division on both
+    engines) under the uniform ROUND + 0.0 idiom.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return g.groupBy(
+        F.expr(_gap_bucket_sql("gap_days")).alias("gap_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+        (F.round(F.avg("gap_days"), 4) + F.lit(0.0)).alias("avg_gap"),
+    )
