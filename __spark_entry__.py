@@ -35,6 +35,9 @@ _ROUND7_WINDOW = [
     "graph_bfs_hops",
     "agg_rollup_revenue_rank", "agg_repeat_purchase_intervals",
     "text_vocab_growth", "embeddings_norm_histogram",
+    "graph_common_neighbors", "graph_kcore",
+    "dataset_dedup_cross_split", "window_streak_lengths",
+    "multimodal_frame_sample",
     # --- re-proof block: outputs identical by design, but the Spark
     # expression and/or oracle SQL changed (ADVICE r6 fixes), so the
     # r1-r6 proofs no longer bind byte-for-byte ---

@@ -2,7 +2,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "e2e": [...], "act": [...], "cold": [...]}
+
+The printed line is COMPACT (the driver's artifact keeps only the last
+~2000 chars of stdout): "queries" names the slowest queries inline, and
+the three arrays carry every query's e2e / action-only / cold seconds in
+HEADLINE order.  The full named maps are written to BENCH_LOCAL.json
+(committed per round).
 
 Timing uses the noop sink so the full plan executes (no column pruning from
 a count) without sink overhead.
@@ -86,6 +93,14 @@ HEADLINE = (
     "join_asof_nearest",            # backward+forward cogroup composition
     "text_keywords_tfidf",          # per-doc argmax keyword
     "agg_pareto_share",             # revenue concentration report
+    # round 7: portable ANN serving twins + BFS + surface pack
+    "embeddings_pq_assign_portable",  # frozen-codebook IVF-PQ encoding
+    "similarity_ivfpq_portable",    # probe->ADC->re-rank serving twin
+    "graph_bfs_hops",               # frontier BFS over co-purchase graph
+    "agg_rollup_revenue_rank",      # ROLLUP x window hybrid
+    "agg_repeat_purchase_intervals",  # per-customer gap distribution
+    "text_vocab_growth",            # Heaps-law vocabulary profile
+    "embeddings_norm_histogram",    # integer norm histogram
 )
 
 
@@ -140,22 +155,47 @@ def main() -> None:
         release_caches()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "action_only": action_only,
-                "action_only_total": round(sum(action_only.values()), 3),
-                "cold_total": round(sum(cold.values()), 3),
-                "timing": "e2e (query build + eager coordination + action); "
-                "rounds 1-2 reported action-only",
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "action_only": action_only,
+        "action_only_total": round(sum(action_only.values()), 3),
+        "cold_total": round(sum(cold.values()), 3),
+        "timing": "e2e (query build + eager coordination + action); "
+        "rounds 1-2 reported action-only",
+        "sf": sf,
+    }
+    # Full named per-query maps — the driver's artifact records only the
+    # LAST ~2000 chars of stdout (BENCH_r05/r06 "tail"), which truncated
+    # the 3.6 KB one-line form and broke its JSON parse two rounds
+    # running.  The complete record therefore lives in a committed file,
+    # and stdout carries a COMPACT line (arrays aligned with the
+    # HEADLINE tuple above, plus the slowest queries named inline) that
+    # fits the tail whole, so the artifact's parse succeeds and both
+    # per-query maps are recoverable from the artifact alone.
+    with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
     )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(HEADLINE),
+        "queries": slowest,
+        "order": "arrays align with bench.py HEADLINE; full maps in "
+        "BENCH_LOCAL.json",
+        "e2e": [round(timings[n], 2) for n in HEADLINE],
+        "act": [round(action_only[n], 2) for n in HEADLINE],
+        "cold": [round(cold[n], 2) for n in HEADLINE],
+        "act_total": full["action_only_total"],
+        "cold_total": full["cold_total"],
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -270,3 +270,81 @@ def dataset_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@query(
+    "dataset_dedup_cross_split",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    s AS (
+      SELECT doc_id, text,
+             CASE WHEN {_SQL_BUCKET} < 80 THEN 'train'
+                  WHEN {_SQL_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM aug
+    ),
+    x AS (
+      SELECT md5(text) AS text_md5,
+             COUNT(*) FILTER (WHERE split = 'train') AS n_train,
+             COUNT(*) FILTER (WHERE split = 'val') AS n_val,
+             COUNT(*) FILTER (WHERE split = 'test') AS n_test,
+             MIN(doc_id) AS first_doc
+      FROM s GROUP BY text
+    )
+    SELECT text_md5, n_train, n_val, n_test, first_doc
+    FROM x WHERE n_train > 0 AND (n_val > 0 OR n_test > 0)
+    """,
+)
+def dataset_dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination report: exact-duplicate texts that
+    landed in BOTH the training split and an eval split under the
+    ``split_train_val_test`` hash rule — the leak a random split cannot
+    prevent when the corpus carries duplicates, and the first audit a
+    training pipeline runs after splitting (the decontamination
+    complement: ``corpus_decontaminate`` removes KNOWN eval sets; this
+    finds self-inflicted overlap).
+
+    The synthetic corpus has no duplicate texts below sf0.1, so the
+    fixture plants them deterministically (every 7th document cloned
+    under a shifted id — the ``corpus_file_dedup`` convention, applied
+    identically by both engines); the hash rule then scatters the
+    clones across splits, so the report provably FIRES rather than
+    passing vacuously on an empty frame.
+
+    Scale: one text-keyed hash aggregation with conditional counts (the
+    ``dedup_exact`` shuffle class — at 100 TB the key would be a text
+    hash, exactly as the output column already is), then a selective
+    filter; no join, no window.
+    """
+    base = read_table(spark, sf_dir, "documents")
+    docs = base.select("doc_id", "text").unionByName(
+        base.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    bucket = hash_bucket("doc_id")
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    x = (
+        docs.select("doc_id", "text", split.alias("split"))
+        .groupBy("text")
+        .agg(
+            F.count_if(F.col("split") == "train").alias("n_train"),
+            F.count_if(F.col("split") == "val").alias("n_val"),
+            F.count_if(F.col("split") == "test").alias("n_test"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+    return x.where(
+        (F.col("n_train") > 0) & ((F.col("n_val") > 0) | (F.col("n_test") > 0))
+    ).select(
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        "n_train", "n_val", "n_test", "first_doc",
+    )

@@ -641,3 +641,82 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 3).cast("long").alias("sample_sum"),
         F.element_at("feature", 4).cast("long").alias("sample_sq_sum"),
     )
+
+
+#: Frame-sampling layout: byte stride between frame starts, bytes per
+#: frame, and the per-document frame cap.  Shared with the oracle.
+FRAME_STRIDE = 64
+FRAME_BYTES = 48
+FRAME_CAP = 4
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) = length(text)
+    ),
+    c AS (
+      SELECT doc_id, text,
+             unnest(range(0, least({FRAME_CAP},
+                 CAST(ceil(length(text) / {FRAME_STRIDE}.0) AS BIGINT))))
+               AS frame_id
+      FROM d
+    )
+    SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+           md5(substring(text, CAST(frame_id * {FRAME_STRIDE} + 1
+                                    AS BIGINT), {FRAME_BYTES}))
+             AS frame_md5,
+           CAST(octet_length(encode(substring(text,
+                CAST(frame_id * {FRAME_STRIDE} + 1 AS BIGINT),
+                {FRAME_BYTES}))) AS BIGINT) AS frame_bytes
+    FROM c
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over an opaque BINARY column — the
+    Spark-side plumbing of video/audio frame extraction: every blob
+    yields up to ``FRAME_CAP`` fixed-stride byte windows, each carried
+    forward as (offset id, bytes, digest) for a downstream decoder.
+    The blob here is the document's UTF-8 bytes (the corpus stands in
+    for media payloads, as in ``multimodal_binary_ingest``); a real
+    pipeline points the same plan at image/video blobs and swaps the
+    md5 for a decode UDF (stubbed in this module's decoders).
+
+    Both engines keep only byte-transparent rows (octet_length ==
+    char length, i.e. pure ASCII) via the SAME filter, because DuckDB
+    can neither slice nor md5 BLOBs — the oracle slices and hashes
+    TEXT, which equals the byte operations exactly on the filtered rows
+    (and the filter is part of the query semantics, so a corpus refresh
+    that adds non-ASCII text cannot silently skew the compare).
+
+    Scale: the frame index explodes in place from an in-row sequence
+    (the ``text_chunk_windows`` layout — no shuffle, rows expand on
+    their partitions); slicing and hashing are per-row expressions.
+    At 100 TB this is a pure map pass whose output is ~(cap x
+    frame_bytes)/blob_size of the input."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.octet_length(F.col("text").cast("binary")) == F.length("text")
+    )
+    blob = F.col("text").cast("binary")
+    n_frames = F.least(
+        F.lit(FRAME_CAP),
+        F.ceil(F.octet_length(blob) / F.lit(float(FRAME_STRIDE))),
+    ).cast("long")
+    exploded = docs.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1)
+        ).alias("frame_id"),
+    )
+    frame = F.expr(
+        f"substring(blob, frame_id * {FRAME_STRIDE} + 1, {FRAME_BYTES})"
+    )
+    return exploded.select(
+        "doc_id",
+        "frame_id",
+        F.md5(frame).alias("frame_md5"),
+        F.octet_length(frame).cast("long").alias("frame_bytes"),
+    )

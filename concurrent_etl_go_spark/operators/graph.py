@@ -125,3 +125,39 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 6) -> DataFrame:
         dist = dist.unionByName(newf)
         frontier = newf
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame, min_degree: int = 2, rounds: int = 4
+) -> DataFrame:
+    """Fixed-round k-core peel over an UNDIRECTED edge list ``(src, dst)``
+    — ``(id, degree)`` for nodes surviving ``rounds`` removals of
+    degree-below-threshold nodes.
+
+    Fixed rounds (not a fixpoint loop) so an unrolled SQL oracle can
+    state the identical computation; when the peel converges within the
+    budget the result IS the k-core (pytest-pinned).  Per round: one
+    degree hash-agg + two semi-joins on the node key — linear in the
+    surviving edges — with ``localCheckpoint`` truncating lineage (the
+    PageRank/BFS loop discipline).
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cur = sym
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= min_degree)
+            .select(F.col("src").alias("id"))
+        )
+        cur = (
+            cur.join(keep, cur["src"] == keep["id"], "left_semi")
+            .join(keep, cur["dst"] == keep["id"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        track_cache(cur)
+    return cur.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

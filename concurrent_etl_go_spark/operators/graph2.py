@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from concurrent_etl_go_spark.operators.registry import query, scoped_persist
+from concurrent_etl_go_spark.operators.registry import (
+    query,
+    scoped_persist,
+    track_cache,
+)
 from concurrent_etl_go_spark.sources.readers import read_table
 
 #: Drop (part, week) groups larger than this before pairing — the skew
@@ -326,6 +330,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine runs ``operators/graph.py::bfs_hops`` — frontier
     propagation, one join + one anti-join per round, O(frontier x
     degree) not O(nodes) per round, early exit on an empty frontier.
+    Bench note: at toy scale the e2e time is dominated by per-round JOB
+    LATENCY (measured ~0.55 s/round on local[32] — two actions per
+    round: the eager checkpoint and the emptiness probe), not data
+    volume; at cluster scale those fixed costs amortize and the
+    per-round work is the frontier expansion itself.
     The oracle evaluates the same recurrence as an unrolled min-fold
     chain; pure integer ids and hop counts, so the driver hash is
     bit-exact with no float discipline needed.  Source choice (MIN of
@@ -337,3 +346,115 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     source = edges.agg(F.min("src")).first()[0]
     return bfs_hops(edges.select("src", "dst"), source, _BFS_HOPS)
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    cn AS (
+      SELECT s1.dst AS a, s2.dst AS b, COUNT(*) AS n_common
+      FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT cn.a, cn.b, cn.n_common
+      FROM cn LEFT JOIN edges e ON e.src = cn.a AND e.dst = cn.b
+      WHERE e.src IS NULL
+    )
+    SELECT a, b, n_common FROM nonadj
+    ORDER BY n_common DESC, a, b LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count: the top NON-adjacent
+    customer pairs sharing the most co-purchase neighbors — the
+    classic "people you may know" / complete-the-triangle score
+    (Liben-Nowell & Kleinberg 2003, public literature).
+
+    Scale: the wedge join (two sym-edge hops through a shared middle
+    node) fans out by Sum(deg^2), which the upstream ``_GROUP_CAP``
+    bounds exactly as it bounds the triangle query; candidate pairs
+    then hash-agg on (a, b) and drop existing edges with one anti-join
+    against the oriented edge list (pairs already carry a < b, so no
+    symmetrization is needed on the probe side).  Top-20 via
+    TakeOrdered, never a global sort."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    cn = (
+        s1.join(
+            s2,
+            (F.col("s1.src") == F.col("s2.src"))
+            & (F.col("s1.dst") < F.col("s2.dst")),
+        )
+        .select(F.col("s1.dst").alias("a"), F.col("s2.dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = cn.join(
+        e,
+        (cn["a"] == e["src"]) & (cn["b"] == e["dst"]),
+        "left_anti",
+    )
+    return nonadj.orderBy(
+        F.desc("n_common"), "a", "b"
+    ).limit(20)
+
+
+#: k-core parameters: degree threshold and FIXED peel rounds (both
+#: engines run exactly this many — the PageRank fixed-iteration
+#: convention; a fixpoint loop would need data-dependent round counts
+#: the unrolled oracle cannot express).
+_KCORE_MIN_DEGREE = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    steps = ["e0 AS (SELECT src, dst FROM sym)"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""k{r} AS (
+        SELECT src AS id FROM e{r - 1}
+        GROUP BY src HAVING COUNT(*) >= {_KCORE_MIN_DEGREE}
+    ),
+    e{r} AS (
+        SELECT e.src, e.dst FROM e{r - 1} e
+        JOIN k{r} a ON e.src = a.id
+        JOIN k{r} b ON e.dst = b.id
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_EDGE_SQL},
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    {chain}
+    SELECT src AS id, COUNT(*) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative 2-core peeling (fixed rounds): repeatedly remove nodes
+    with degree < 2 and the edges they carry; emit the surviving nodes
+    with their residual degree — the standard graph-cleanup kernel that
+    strips pendant chains before community/cycle analysis (Seidman
+    1983, public literature).
+
+    Both engines run EXACTLY ``_KCORE_ROUNDS`` peel rounds (the
+    fixed-iteration convention of ``graph_pagerank_copurchase``; at
+    driver scale the peel converges earlier, making the fixed form
+    equal to the fixpoint, and ``tests/test_llm_ops.py`` pins
+    convergence).  Engine rounds run ``operators/graph.py::kcore_peel``
+    — one degree hash-agg + two semi-joins on the node key, linear per
+    round, localCheckpoint lineage discipline."""
+    from concurrent_etl_go_spark.operators.graph import kcore_peel
+
+    e = _copurchase_edges(spark, sf_dir)
+    return kcore_peel(
+        e.select("src", "dst"), _KCORE_MIN_DEGREE, _KCORE_ROUNDS
+    )

@@ -334,3 +334,58 @@ def agg_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
         F.round(F.avg("n"), 4).alias("avg_per_hour"),
     )
+
+
+@query(
+    "window_streak_lengths",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, day - CAST(rn AS INTEGER) AS grp, COUNT(*) AS len
+      FROM r GROUP BY 1, 2
+    )
+    SELECT user_id,
+           MAX(len) AS max_streak,
+           COUNT(*) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def window_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (gaps-and-islands at
+    day grain): longest streak, streak count, and total active days —
+    the engagement profile behind "7-day streak" product mechanics,
+    and the day-grain complement of ``sessionize_events``' time-gap
+    islands.
+
+    The island key is the classic ``day - row_number()`` trick: within
+    an unbroken run of consecutive days the difference is constant, so
+    one window pass + two hash aggs produce every streak.  Scale: the
+    window partitions by the natural entity key (same shuffle class as
+    ``agg_user_lifetime``); day-grain dedup first caps the window input
+    at users x days.  All-integer output — bit-exact, no float
+    discipline."""
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    s = (
+        d.withColumn(
+            "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return s.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )

@@ -1021,3 +1021,40 @@ def test_bfs_hops_distances_ceiling_and_early_exit(spark):
     # a source in the small component stays there
     small = {r.id: r.dist for r in bfs_hops(edges, 100, max_hops=6).collect()}
     assert small == {100: 0, 101: 1}
+
+
+def test_kcore_fixed_rounds_reach_fixpoint_on_chain_and_cycle(spark):
+    """kcore_peel's fixed-round peel must equal the true 2-core fixpoint
+    when the peel converges within the round budget: a pendant chain
+    hanging off a cycle peels away one link per round, the cycle
+    survives with degree 2."""
+    from concurrent_etl_go_spark.operators.graph import kcore_peel
+    from concurrent_etl_go_spark.operators.graph2 import (
+        _KCORE_MIN_DEGREE,
+        _KCORE_ROUNDS,
+    )
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    # cycle 1-2-3-4-1 with chain 4-10-11-12 (3 pendant links: converges
+    # in 3 rounds < _KCORE_ROUNDS)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (4, 10), (10, 11), (11, 12)],
+        "src long, dst long",
+    )
+    got = {
+        r.id: r.degree
+        for r in kcore_peel(
+            edges, _KCORE_MIN_DEGREE, _KCORE_ROUNDS
+        ).collect()
+    }
+    release_caches()
+    # true 2-core: just the cycle, every node at degree exactly 2
+    assert got == {1: 2, 2: 2, 3: 2, 4: 2}
+
+    # one round short of convergence differs (the fixed-round contract
+    # is honest: rounds are part of the semantics, like PageRank's 8)
+    partial = {
+        r.id: r.degree for r in kcore_peel(edges, 2, rounds=1).collect()
+    }
+    release_caches()
+    assert partial != got

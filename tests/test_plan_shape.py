@@ -446,3 +446,53 @@ def test_customer_rfm_is_one_aggregation_no_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_customer_rfm")
     assert "Window" not in plan and "Join" not in plan
     assert "partial_count" in plan  # map-side combine on the agg
+
+
+def test_norm_histogram_is_map_plus_one_exchange(spark, sf_dir):
+    """embeddings_norm_histogram: per-row integer norms (no Python, no
+    join) into one small hash agg — exactly one shuffle, none broadcast."""
+    plan = plan_of(spark, sf_dir, "embeddings_norm_histogram")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_portable_pq_assign_broadcasts_codebook_sides(spark, sf_dir):
+    """embeddings_pq_assign_portable: the centroid/donor cross joins must
+    broadcast the tiny codebook side (8 and 4 rows) — a shuffled cross
+    join there would move the whole corpus for a constant-sized
+    relation.  (The cells<->codes equi-join on vec_id may legitimately
+    sort-merge: both sides are corpus-sized.)"""
+    plan = plan_of(spark, sf_dir, "embeddings_pq_assign_portable")
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_revenue_rank_windows_aggregated_output(spark, sf_dir):
+    """agg_rollup_revenue_rank: the rank window must consume the ROLLUP
+    aggregate (dimension-sized), not the fact scan — Expand (the rollup
+    row replication) appears below the Window in the plan tree, and the
+    fact table is scanned exactly once."""
+    plan = plan_of(spark, sf_dir, "agg_rollup_revenue_rank")
+    assert "Expand" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("Expand")  # Window above
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_repeat_purchase_interval_is_one_window_pass(spark, sf_dir):
+    """agg_repeat_purchase_intervals: one entity-keyed window shuffle +
+    the final 5-bucket agg; no join, no Python."""
+    plan = plan_of(spark, sf_dir, "agg_repeat_purchase_intervals")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_vocab_growth_first_seen_is_partial_agg(spark, sf_dir):
+    """text_vocab_growth: the token first-occurrence aggregation must
+    carry map-side partial aggregation (partial_min before the exchange)
+    so the token-keyed shuffle moves one row per (partition, token), not
+    one per token OCCURRENCE."""
+    plan = plan_of(spark, sf_dir, "text_vocab_growth")
+    assert "partial_min" in plan
