@@ -38,6 +38,8 @@ _ROUND7_WINDOW = [
     "graph_common_neighbors", "graph_kcore",
     "dataset_dedup_cross_split", "window_streak_lengths",
     "multimodal_frame_sample",
+    "agg_cohort_ltv_curve", "agg_shipping_delay_histogram",
+    "window_daily_backlog",
     # --- re-proof block: outputs identical by design, but the Spark
     # expression and/or oracle SQL changed (ADVICE r6 fixes), so the
     # r1-r6 proofs no longer bind byte-for-byte ---

@@ -150,3 +150,133 @@ def agg_repeat_purchase_intervals(
         F.max("gap_days").cast("long").alias("max_gap"),
         (F.round(F.avg("gap_days"), 4) + F.lit(0.0)).alias("avg_gap"),
     )
+
+
+@query(
+    "agg_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_day
+      FROM orders GROUP BY 1
+    ),
+    x AS (
+      SELECT strftime(f.first_day, '%Y-%m') AS cohort_month,
+             (year(CAST(o.o_orderdate AS DATE)) - year(f.first_day)) * 12
+             + (month(CAST(o.o_orderdate AS DATE)) - month(f.first_day))
+               AS age_months,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS units
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    cell AS (
+      SELECT cohort_month, age_months,
+             SUM(units) AS u, COUNT(*) AS n_orders
+      FROM x GROUP BY 1, 2
+    )
+    SELECT cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           n_orders,
+           (CAST(u AS DOUBLE) / 100.0) AS revenue,
+           (CAST(SUM(u) OVER (PARTITION BY cohort_month
+                              ORDER BY age_months) AS DOUBLE) / 100.0)
+             AS cum_revenue
+    FROM cell
+    """,
+)
+def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: revenue by (first-order-month cohort,
+    months since first order), with the running cumulative per cohort —
+    the LTV payback table next to ``agg_retention_cohort``'s count
+    retention.
+
+    Float discipline: revenue stays in exact smallest-unit INTEGERS all
+    the way through BOTH aggregations (per-cell sum AND the cumulative
+    window), dividing to dollars only at the edge — a double cumulative
+    over rounded cell values would re-introduce the summation-order
+    flake ``lib.exact_money_sum`` exists to kill, because 0.01 is not
+    representable in binary.  Month age is pure date-part integer
+    arithmetic (no months_between float).
+
+    Scale: first-order derivation is one customer-keyed hash agg; the
+    cell agg groups by (cohort, age) <= calendar^2 keys; the cumulative
+    window partitions by cohort over <= ~80 age rows each — dimension-
+    sized, never fact-sized."""
+    orders = read_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_day")
+    )
+    od = F.col("o_orderdate").cast("date")
+    x = orders.join(firsts, "o_custkey").select(
+        F.date_format("first_day", "yyyy-MM").alias("cohort_month"),
+        (
+            (F.year(od) - F.year("first_day")) * 12
+            + (F.month(od) - F.month("first_day"))
+        ).cast("long").alias("age_months"),
+        (F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("units"),
+    )
+    cell = x.groupBy("cohort_month", "age_months").agg(
+        F.sum("units").alias("u"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    return cell.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        (F.col("u").cast("double") / 100.0).alias("revenue"),
+        (F.sum("u").over(w).cast("double") / 100.0).alias("cum_revenue"),
+    )
+
+
+@query(
+    "agg_shipping_delay_histogram",
+    oracle=f"""
+    WITH g AS (
+      SELECT o.o_orderpriority AS pri,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT pri,
+           {_gap_bucket_sql('delay_days')} AS delay_bucket,
+           COUNT(*) AS n_items,
+           CAST(MIN(delay_days) AS BIGINT) AS min_delay,
+           CAST(MAX(delay_days) AS BIGINT) AS max_delay
+    FROM g GROUP BY 1, 2
+    """,
+)
+def agg_shipping_delay_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship delay distribution per order priority: days from
+    order placement to each line item's ship date, bucketed into the
+    shared retention bands — the fulfillment-SLA profile (does URGENT
+    actually ship faster?).
+
+    Scale: one fact-to-fact equi-join on the order key (orders side
+    pruned to two columns; at 100 TB both sides pre-bucket on
+    l_orderkey/o_orderkey, the ``write_bucketed`` co-location pattern)
+    into a priorities x 5-bucket hash agg.  Integer day diffs — exact
+    min/max/count hashing, no float discipline."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).select("o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("pri"))
+    g = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "pri",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("delay_days"),
+    )
+    return g.groupBy(
+        "pri",
+        F.expr(_gap_bucket_sql("delay_days")).alias("delay_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("delay_days").cast("long").alias("min_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+    )

@@ -389,3 +389,71 @@ def window_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+@query(
+    "window_daily_backlog",
+    oracle="""
+    WITH span AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS start_day,
+             CAST(MAX(l.l_shipdate) AS DATE) + 1 AS end_day
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT start_day AS day, 1 AS delta FROM span
+      UNION ALL
+      SELECT end_day AS day, -1 AS delta FROM span
+    ),
+    daily AS (SELECT day, SUM(delta) AS d FROM deltas GROUP BY day)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def window_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day: how many orders are placed but not
+    yet fully shipped on each calendar day — the operations dashboard's
+    headline series, computed with the SWEEP-LINE trick: +1 at each
+    order's start day, -1 the day after its last line item ships, then
+    a running sum over days.
+
+    Scale: the sweep turns interval counting (an interval join of
+    orders x days, quadratic-ish) into one order-keyed hash agg + a
+    day-grain delta agg + a running sum over the CALENDAR — the window
+    input is bounded by distinct days (~2.4k for the TPC-H range), so
+    the single-partition ordering is over dimension-sized data (the
+    ``agg_revenue_lorenz`` argument; a year-partitioned two-pass form
+    takes over if the calendar itself ever becomes large).  All-integer
+    output — bit-exact."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    span = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("start_day"),
+        )
+        .agg(
+            F.date_add(F.max("l_shipdate").cast("date"), 1).alias("end_day")
+        )
+    )
+    deltas = span.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        span.select(F.col("end_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # string day output: Spark DATE surfaces as python-object cells in
+    # pandas while DuckDB DATE becomes datetime64 — same values, dtype
+    # mismatch under the driver's exact compare
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("d").over(w).cast("long").alias("open_orders"),
+    )
