@@ -39,7 +39,11 @@ _ROUND7_WINDOW = [
     "dataset_dedup_cross_split", "window_streak_lengths",
     "multimodal_frame_sample",
     "agg_cohort_ltv_curve", "agg_shipping_delay_histogram",
-    "window_daily_backlog",
+    "window_daily_backlog", "dedup_survivor_portable",
+    # dedup_minhash_candidates' oracle TEXT changed with the shared
+    # cand-fragment refactor (identical values, hash re-verified at
+    # sf0.001/0.01/0.1) — rotate back in per the re-proof rule
+    "dedup_minhash_candidates",
     # --- re-proof block: outputs identical by design, but the Spark
     # expression and/or oracle SQL changed (ADVICE r6 fixes), so the
     # r1-r6 proofs no longer bind byte-for-byte ---

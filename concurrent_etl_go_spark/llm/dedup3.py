@@ -122,10 +122,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_candidates",
-    oracle=_ORACLE_SIGS
-    + f"""
+_ORACLE_BANDS = f"""
     , bands AS (
       {" UNION ALL ".join(
           f"SELECT doc_id, {band} AS band_id, "
@@ -133,15 +130,23 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
           f"CAST(sig_{2 * band + 1} AS VARCHAR) AS band_key FROM sigs"
           for band in range(_NUM_SIGS // _BAND_SIZE)
       )}
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_shared_bands
+      FROM bands a
+      JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           COUNT(*) AS n_shared_bands
-    FROM bands a
-    JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """,
+"""
+
+
+@query(
+    "dedup_minhash_candidates",
+    oracle=_ORACLE_SIGS + _ORACLE_BANDS
+    + "SELECT id_a, id_b, n_shared_bands FROM cand",
 )
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs from the portable signatures: 4 bands of 2,
@@ -164,6 +169,13 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     work per side (a band-per-UNION formulation re-ran the signature
     pass 8x: 4 bands x 2 join sides — measured ~10x slower at sf0.1).
     """
+    return _candidate_pairs(spark, sf_dir)
+
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, n_shared_bands) candidate pairs from the portable
+    banded LSH — shared by the candidates query and the end-to-end
+    survivor funnel below."""
     from concurrent_etl_go_spark.operators.registry import scoped_persist
 
     docs = tokenized_docs(spark, sf_dir)
@@ -270,3 +282,64 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for term in bit_terms[1:]:
         simhash = simhash + term
     return base.select("doc_id", "n_tokens", simhash.alias("simhash"))
+
+
+@query(
+    "dedup_survivor_portable",
+    oracle="WITH RECURSIVE" + _ORACLE_SIGS.lstrip().removeprefix("WITH")
+    + _ORACLE_BANDS
+    + """
+    , sym AS (
+      SELECT id_a AS s, id_b AS d FROM cand
+      UNION
+      SELECT id_b AS s, id_a AS d FROM cand
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM sym
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_survivor_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup survivor funnel, hash-proven: portable
+    MinHash signatures -> banded LSH candidate pairs -> connected
+    components (the engine's iterative pointer-jumping min-label loop)
+    -> min-id survivor flag per document.  This is the full
+    ``dedup_survivor_corpus`` pipeline with the one-ingredient base-hash
+    swap of this module, so the driver hash now pins every stage of the
+    production dedup funnel jointly — signature math, banding, join
+    semantics, the iterative closure, and survivor selection —
+    not just each stage in isolation.  Documents in no candidate pair
+    (including shingle-less ones) are their own singleton survivors on
+    both engines.
+
+    Scale: identical plan shape to the production funnel — map-side
+    signatures, narrow-key band join, O(log diameter) component rounds;
+    the oracle's recursive closure is the bounded correctness form at
+    driver scale (the ``graph_components_copurchase`` convention)."""
+    from concurrent_etl_go_spark.llm.dedup import connected_components
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    cands = _candidate_pairs(spark, sf_dir)
+    labels = connected_components(
+        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(
+        labels, docs["doc_id"] == labels["id"], "left"
+    )
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        component.alias("component"),
+        (component == F.col("doc_id")).cast("long").alias("is_survivor"),
+    )
