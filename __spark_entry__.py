@@ -40,6 +40,7 @@ _ROUND7_WINDOW = [
     "multimodal_frame_sample",
     "agg_cohort_ltv_curve", "agg_shipping_delay_histogram",
     "window_daily_backlog", "dedup_survivor_portable",
+    "sketch_bloom_membership", "text_feature_hashing",
     # dedup_minhash_candidates' oracle TEXT changed with the shared
     # cand-fragment refactor (identical values, hash re-verified at
     # sf0.001/0.01/0.1) — rotate back in per the re-proof rule

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.llm.datasets import hash_bucket
 from concurrent_etl_go_spark.llm.dedup import normalize_text
-from concurrent_etl_go_spark.llm.text import tokens
+from concurrent_etl_go_spark.llm.text import tokenized_docs, tokens
 from concurrent_etl_go_spark.sources.readers import read_table
 
 #: Epoch seed + shard fan-out for the registry entry.
@@ -347,4 +347,66 @@ def dataset_dedup_cross_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
         "n_train", "n_val", "n_test", "first_doc",
+    )
+
+
+#: Feature-hashing geometry: bucket count and the md5-prefix hash
+#: (shared verbatim with the oracle).
+FEATURE_BUCKETS = 32
+
+
+@query(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % {FEATURE_BUCKETS})
+               AS bucket,
+             CASE WHEN (('0x' || substr(md5(tok), 9, 1))::BIGINT % 2) = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tok
+    )
+    SELECT doc_id, bucket,
+           CAST(SUM(sign) AS BIGINT) AS signed_tf,
+           COUNT(*) AS abs_tf
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, public literature):
+    every token maps to one of FEATURE_BUCKETS feature slots by hash,
+    with a second hash bit supplying a +/-1 sign so collisions cancel
+    in expectation — the fixed-width featurization that needs NO
+    vocabulary pass, which is what makes it the 100 TB-friendly
+    alternative to ``text_tfidf``'s corpus-wide document-frequency
+    join.  Emits the sparse (doc, slot) -> (signed sum, raw count)
+    features.
+
+    Scale: explode + one (doc, bucket)-keyed hash agg with map-side
+    partials; no vocabulary state, no second scan, no join.  Both
+    hashes are the engine-portable md5-prefix integers, so every
+    feature value — collisions and sign cancellations included — is
+    pinned by the driver hash."""
+    docs = tokenized_docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % FEATURE_BUCKETS
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("long") % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sign").cast("long").alias("signed_tf"),
+            F.count(F.lit(1)).alias("abs_tf"),
+        )
     )
