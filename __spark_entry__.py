@@ -26,6 +26,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: for scale>=4 money sums, exact integer log2 bucketing, UTF-8 fixture
 #: writes, pinned-version index loads).  Queries not named here slot in
 #: between: never-proven first, already-proven at the back.
+#: ROUND-8 TODO: fold the r07 greens into a ``_PROVEN_R07`` frozenset
+#: (all 27 window names below are locally verified via
+#: ``scripts/driver_dryrun.py`` at sf0.01, the oracle-backed ones at
+#: sf0.1 too — expect green; ``similarity_ivfpq_topk`` is rows-only),
+#: rename the window list, and front-load only round-8 additions
+#: (cap ~49).  A query whose oracle TEXT changes must rotate back in
+#: even when its values are unchanged.
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).

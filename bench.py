@@ -101,6 +101,17 @@ HEADLINE = (
     "agg_repeat_purchase_intervals",  # per-customer gap distribution
     "text_vocab_growth",            # Heaps-law vocabulary profile
     "embeddings_norm_histogram",    # integer norm histogram
+    "graph_common_neighbors",       # wedge-join link prediction
+    "graph_kcore",                  # fixed-round 2-core peel
+    "dataset_dedup_cross_split",    # split contamination report
+    "window_streak_lengths",        # day-grain gaps-and-islands
+    "multimodal_frame_sample",      # binary frame-window sampling
+    "agg_cohort_ltv_curve",         # cohort x age LTV (integer units)
+    "agg_shipping_delay_histogram", # order->ship delay bands
+    "window_daily_backlog",         # sweep-line open-order series
+    "dedup_survivor_portable",      # end-to-end proven dedup funnel
+    "sketch_bloom_membership",      # relational Bloom filter probe
+    "text_feature_hashing",         # hashing-trick featurization
 )
 
 
