@@ -342,3 +342,73 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_tokens",
         F.sum("n_new_tokens").over(w).cast("long").alias("vocab_size"),
     )
+
+
+#: Number of top merge candidates the BPE step emits.
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t
+    ),
+    p AS (
+      SELECT doc_id, w[i] AS left_tok, w[i + 1] AS right_tok FROM c
+    )
+    SELECT left_tok, right_tok,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM p
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, left_tok, right_tok
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE inner loop's pair statistics (Sennrich et al. 2016,
+    public literature): corpus-wide counts of adjacent token pairs,
+    ranked — each training iteration merges the top pair and recounts;
+    this query is that counting step at token granularity, the missing
+    piece next to ``text_token_regex``'s BPE-ish tokenizer and
+    ``text_token_histogram``'s unigram shape.
+
+    Scale: in-row adjacent pairing (guarded ``sequence`` — Spark's
+    sequence DESCENDS for n < 2, the ``text_repetition`` convention)
+    explodes on its partitions, then ONE (left, right)-keyed hash agg
+    with map-side partials and a TakeOrdered top-{BPE_TOP_PAIRS}; the
+    distinct-doc count rides the same shuffle.  Ties rank
+    lexicographically so the top list is deterministic on both
+    engines.  All-integer/string output."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("left_tok"),
+                    F.element_at("toks", i + 1).alias("right_tok"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.left_tok", "p.right_tok")
+    return (
+        pairs.groupBy("left_tok", "right_tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_pairs"), "left_tok", "right_tok")
+        .limit(BPE_TOP_PAIRS)
+    )
