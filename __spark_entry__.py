@@ -27,7 +27,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: writes, pinned-version index loads).  Queries not named here slot in
 #: between: never-proven first, already-proven at the back.
 #: ROUND-8 TODO: fold the r07 greens into a ``_PROVEN_R07`` frozenset
-#: (all 28 window names below are locally verified via
+#: (all 29 window names below are locally verified via
 #: ``scripts/driver_dryrun.py`` at sf0.01, the oracle-backed ones at
 #: sf0.1 too — expect green; ``similarity_ivfpq_topk`` is rows-only),
 #: rename the window list, and front-load only round-8 additions
@@ -48,7 +48,7 @@ _ROUND7_WINDOW = [
     "agg_cohort_ltv_curve", "agg_shipping_delay_histogram",
     "window_daily_backlog", "dedup_survivor_portable",
     "sketch_bloom_membership", "text_feature_hashing",
-    "text_bpe_merge_candidates",
+    "text_bpe_merge_candidates", "dedup_minhash_verified_portable",
     # dedup_minhash_candidates' oracle TEXT changed with the shared
     # cand-fragment refactor (identical values, hash re-verified at
     # sf0.001/0.01/0.1) — rotate back in per the re-proof rule

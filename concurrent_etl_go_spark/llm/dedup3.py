@@ -343,3 +343,70 @@ def dedup_survivor_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         component.alias("component"),
         (component == F.col("doc_id")).cast("long").alias("is_survivor"),
     )
+
+
+#: Verify-stage threshold — matches the production
+#: ``minhash_lsh_pairs(threshold=0.5)`` convention.
+_VERIFY_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_minhash_verified_portable",
+    oracle=_ORACLE_SIGS + _ORACLE_BANDS
+    + f"""
+    , verified AS (
+      SELECT c.id_a, c.id_b, c.n_shared_bands,
+             ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(sa.sh || sb.sh)), 4) + 0.0
+               AS jaccard
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, n_shared_bands, jaccard,
+           CAST(CASE WHEN jaccard >= {_VERIFY_THRESHOLD} THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup
+    FROM verified
+    """,
+)
+def dedup_minhash_verified_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LSH VERIFY stage, hash-proven: every banded candidate pair is
+    re-checked with its EXACT shingle-set Jaccard similarity and flagged
+    against the production 0.5 threshold — the bucket-then-verify
+    discipline that makes banded LSH sound (candidates are a recall
+    device; the verify pass restores precision).  Together with
+    ``dedup_minhash_signature`` / ``dedup_minhash_candidates`` /
+    ``dedup_survivor_portable`` this pins every stage of the near-dup
+    pipeline under the driver hash, false candidates included.
+
+    Scale: the exact Jaccard touches ONLY the candidate pairs (never
+    all pairs — the entire point of banding), via two joins back to the
+    per-document shingle sets; set sizes are document-bounded, so each
+    verification is O(|doc shingles|).  The Jaccard is a ratio of two
+    exact integers — identical division on both engines — under the
+    uniform ROUND + 0.0 idiom."""
+    docs = tokenized_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", shingles_from_tokens(F.col("toks")).alias("sh")
+    )
+    cands = _candidate_pairs(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    jac = (
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+            4,
+        )
+        + F.lit(0.0)
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        jac.alias("jaccard"),
+        (jac >= _VERIFY_THRESHOLD).cast("long").alias("is_dup"),
+    )
