@@ -19,6 +19,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     ivfpq,
     ivfpq2,
     kmeans,
+    kmeans2,
     multimodal,
     negatives,
     quantize,

@@ -279,13 +279,18 @@ def load_ivfpq_index(
     ``rebuild=True`` forces a refit (the tests' escape hatch)."""
     root = root or _default_index_root(sf_dir)
     if not rebuild:
-        # ANY load failure falls through to a rebuild (rebuilds are
-        # deterministic, hence always safe): that includes a valid
-        # meta.json whose codes directory is missing/corrupt/vacuumed —
-        # previously a raise from read_table_version escaped this block.
-        # The codes read is PINNED to meta's codes_version, so a reader
-        # racing a rebuild gets the old (meta, codes) pair consistently
-        # rather than old centroids against new codes.
+        # EXPECTED load failures fall through to a rebuild (rebuilds
+        # are deterministic, hence always safe): missing/corrupt
+        # meta.json, a meta missing keys from an older layout, or a
+        # codes directory that is missing/vacuumed under a valid meta
+        # (read_table_version raises FileNotFoundError for an absent
+        # version).  The catch is deliberately NARROW — a genuine bug
+        # (bad meta schema type, Spark analysis error, permissions)
+        # must surface, not silently degrade into a full rebuild on
+        # every call.  The codes read is PINNED to meta's
+        # codes_version, so a reader racing a rebuild gets the old
+        # (meta, codes) pair consistently rather than old centroids
+        # against new codes.
         try:
             with open(os.path.join(root, "meta.json")) as f:
                 meta = json.load(f)
@@ -295,7 +300,7 @@ def load_ivfpq_index(
                     version=meta["codes_version"],
                 )
                 return codes, meta
-        except Exception:
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
             pass
     meta = build_ivfpq_index(spark, sf_dir, root)
     codes = vt.read_table_version(

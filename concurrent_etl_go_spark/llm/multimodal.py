@@ -704,12 +704,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(FRAME_CAP),
         F.ceil(F.octet_length(blob) / F.lit(float(FRAME_STRIDE))),
     ).cast("long")
+    # Guard the empty-blob edge: F.sequence(0, -1) DESCENDS to [0, -1]
+    # when n_frames == 0, emitting spurious frames the oracle's
+    # range(0, 0) (= empty) never produces — the same trap kgram_index
+    # and text_bpe_merge_candidates guard against.
+    frame_ids = F.when(
+        n_frames >= 1, F.sequence(F.lit(0).cast("long"), n_frames - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
     exploded = docs.select(
         "doc_id",
         blob.alias("blob"),
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), n_frames - 1)
-        ).alias("frame_id"),
+        F.explode(frame_ids).alias("frame_id"),
     )
     frame = F.expr(
         f"substring(blob, frame_id * {FRAME_STRIDE} + 1, {FRAME_BYTES})"

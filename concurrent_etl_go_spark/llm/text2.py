@@ -304,16 +304,17 @@ VOCAB_BUCKET_DOCS = 1
 )
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-growth (Heaps'-law) profile: how many NEW token types
-    each 50-document slice of the corpus introduces, plus the running
-    vocabulary size — the curve a tokenizer-training pipeline reads to
-    decide how much corpus saturates a vocab budget (Heaps 1978,
-    public literature).
+    each ``VOCAB_BUCKET_DOCS``-document slice of the corpus introduces,
+    plus the running vocabulary size — the curve a tokenizer-training
+    pipeline reads to decide how much corpus saturates a vocab budget
+    (Heaps 1978, public literature).
 
     Scale: first-occurrence is one hash aggregation keyed by token
     (the vocabulary key — the same shuffle class as ``text_tfidf``'s
     document frequency), then a bucket agg over |vocab| rows and a
-    running sum over the BUCKET table — bounded by corpus_size/50
-    rows, so the single-partition window is over dimension-sized data,
+    running sum over the BUCKET table — bounded by
+    corpus_size / VOCAB_BUCKET_DOCS rows, so the single-partition
+    window is over dimension-sized data,
     never facts (the ``agg_revenue_lorenz`` argument) — and only
     buckets that introduce >= 1 new type appear at all, so the window
     input is further capped at |vocab| rows.  If a corpus/width choice

@@ -248,12 +248,18 @@ def exact_money_sum(
     ``round_to`` is accepted for signature stability but unnecessary
     here (integer sums have no 2^53 cliff below long range).
 
-    NON-NEGATIVE values only: the engine side recovers the integer as
-    ``trunc(x * 10^k + 0.5)`` — Spark's double ``round`` routes through
-    BigDecimal (measured 2x the whole Q1 aggregation), while the
-    half-add truncation stays in codegen arithmetic and recovers the
-    same integer for any value within ulps of it, as every positive
-    money product is. The SQL twin uses ``ROUND`` (DuckDB's
+    Sign-aware rounding: the engine side recovers the integer as
+    ``trunc(x * 10^k + signum(x) * 0.5)`` — Spark's double ``round``
+    routes through BigDecimal (measured 2x the whole Q1 aggregation),
+    while the signed half-add truncation stays in codegen arithmetic
+    and recovers the same integer for any value within ulps of it, as
+    every exact k-decimal money product is.  The signum term makes
+    negative amounts (refunds, discounts-as-negatives) round
+    half-AWAY-FROM-ZERO — exactly what both Spark SQL's and DuckDB's
+    ``ROUND`` do on doubles — where a bare ``+ 0.5`` then truncate
+    would round them toward zero and hash-diverge from the oracle
+    (verified by tests/test_scale_patterns.py's negative-amounts
+    oracle test).  The SQL twin uses ``ROUND`` (DuckDB's
     double->BIGINT cast rounds rather than truncates, so the half-add
     trick is not portable there) — different row expressions, same
     exact integer, hash-identical.
@@ -270,19 +276,35 @@ def exact_money_sum(
     real: ~6e11 lineitem rows (100 TB-class) x ~4e6 avg units ~ 2.4e18
     vs int64 max 9.2e18 — ~4x margin, and the margin grows as row
     counts shrink.  At scale>=4 it is NOT: sum_charge-style units are
-    ~4e10/row, so the long sum crosses int64 max near sf~40 (~2.4e8
-    rows), far below the target scale.  Therefore scale>=4 accumulates
-    in DECIMAL(38,0): per-row units still come from the codegen-fast
-    half-add long cast (exact — |units| < 2^53 per row by construction),
-    only the SUM runs in decimal (order-independent, 38 digits ~ 1e38
-    headroom, mirroring DuckDB's HUGEINT).  The decimal-agg cost lands
-    only on the high-scale columns; scale<=3 keeps the measured-fast
-    long path.  Same exact integer either way -> same nearest-double
-    conversion -> hash-identical output at any sf where both fit.
+    ~4e10/row, so a single long sum crosses int64 max near sf~40
+    (~2.4e8 rows), far below the target scale.  A DECIMAL(38,0)
+    accumulator fixes that but was measured to DOUBLE the Q1
+    action-only time (0.42 -> 0.84 s — per-row BigDecimal adds in the
+    partial agg).  Therefore scale>=4 SPLITS each row's units into
+    hi = units >> 20 (arithmetic shift = floor-div, so lo stays in
+    [0, 2^20) even for negative units) and lo = units - hi * 2^20,
+    sums BOTH as plain longs (codegen fast path — two long adds per
+    row instead of one BigDecimal add), and recombines ONCE per group
+    in DECIMAL(38,0): total = sum(hi) * 2^20 + sum(lo).  Headroom of
+    the split accumulators: sum(lo) < n_group * 2^20 overflows at
+    n_group ~ 8.8e12 rows PER GROUP (~15x the entire 6e11-row 100 TB
+    lineitem landing in one group); sum(hi) < n_group * (U / 2^20)
+    overflows even later for any real money magnitude U (~4e10 units
+    -> n_group ~ 2.3e14).  The recombined total may exceed int64
+    (that is the point) but sits far inside decimal(38,0)'s 1e38.
+    Same exact integer as the decimal path -> same nearest-double
+    conversion -> hash-identical output at any sf where both fit,
+    verified by the high-scale overflow test.
     """
-    units = (col * F.lit(float(10**scale)) + F.lit(0.5)).cast("long")
+    units = (
+        col * F.lit(float(10**scale)) + F.signum(col) * F.lit(0.5)
+    ).cast("long")
     if scale >= 4:
-        total = F.sum(units.cast("decimal(38,0)")).cast("double")
+        hi = F.shiftright(units, 20)
+        lo = units - hi * F.lit(1 << 20)
+        total = (
+            F.sum(hi).cast("decimal(38,0)") * F.lit(1 << 20) + F.sum(lo)
+        ).cast("double")
     else:
         total = F.sum(units).cast("double")
     return total / F.lit(float(10**scale))
@@ -293,11 +315,14 @@ def exact_money_sum_sql(
 ) -> str:
     """SQL-text twin of ``exact_money_sum`` (same semantics, both
     dialects; DuckDB sums into HUGEINT — same exact integer, same
-    double conversion).  Mirrors the scale>=4 DECIMAL(38,0)
-    accumulation (see ``exact_money_sum``'s overflow-headroom note):
-    the fragment must stay valid as SPARK SQL too, where a bare
-    SUM(BIGINT) wraps silently at the row counts high-scale units
-    reach."""
+    double conversion).  At scale>=4 this twin sums a straight
+    DECIMAL(38,0) cast rather than the engine side's hi/lo long split
+    (see ``exact_money_sum``'s overflow-headroom note) — different
+    accumulator, same exact integer, hash-identical; the fragment must
+    stay valid as SPARK SQL too, where a bare SUM(BIGINT) wraps
+    silently at the row counts high-scale units reach.  ``ROUND`` on
+    doubles is half-away-from-zero in BOTH dialects, matching the
+    engine side's signed half-add for negative amounts."""
     del round_to  # see exact_money_sum
     # CAST the integer sum to DOUBLE before dividing: Spark SQL parses a
     # bare `100.0` literal as DECIMAL, which would drag the division

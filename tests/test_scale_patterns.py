@@ -266,3 +266,41 @@ def test_exact_money_sum_high_scale_survives_int64_overflow(spark):
     small = spark.createDataFrame([(1.23,), (4.56,)], "val double")
     got2 = small.agg(exact_money_sum(F.col("val")).alias("s")).first().s
     assert got2 == 5.79
+
+
+def test_exact_money_sum_negative_amounts_match_oracle(spark):
+    """Refund/credit-shaped NEGATIVE money values must round
+    half-AWAY-FROM-ZERO like both dialects' ROUND: the pre-r8 bare
+    ``+ 0.5`` half-add truncated negatives toward zero (e.g. -1.005 at
+    scale=2 -> -100 units instead of ROUND's -101), so any future
+    negative money expression would hash-diverge from its oracle.  The
+    signed half-add (``+ signum(x) * 0.5``) and DuckDB's ROUND must
+    agree exactly at BOTH the long and the hi/lo-split (scale>=4)
+    accumulators.  Values honor the helper's contract (EXACT k-decimal
+    money values — -1.01 scales to within ulps of integer -101, where
+    the old idiom truncated to -100): the contract never covered
+    half-boundary inputs like -1.005 at scale=2."""
+    import duckdb
+
+    from concurrent_etl_go_spark.operators.lib import (
+        exact_money_sum,
+        exact_money_sum_sql,
+    )
+
+    # exact 2-decimal values, mixed signs, so the accumulators must
+    # cancel exactly; also exact at scale=6 for the hi/lo-split path
+    vals = [(-1.01,), (2.67,), (-3.99,), (-0.01,), (7.12,)]
+    df = spark.createDataFrame(vals, "val double")
+    sql_vals = ", ".join(f"({v[0]!r})" for v in vals)
+
+    for scale in (2, 6):  # long path and hi/lo-split path
+        got = (
+            df.agg(exact_money_sum(F.col("val"), scale=scale).alias("s"))
+            .first()
+            .s
+        )
+        frag = exact_money_sum_sql("val", scale=scale)
+        want = duckdb.sql(
+            f"SELECT {frag} AS s FROM (VALUES {sql_vals}) t(val)"
+        ).fetchone()[0]
+        assert got == want, (scale, got, want)
