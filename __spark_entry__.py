@@ -17,50 +17,83 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: The driver's per-round correctness snapshot covers the FIRST 50 entries
 #: of ``queries()`` (insertion order).  Coverage therefore accumulates as
 #: the union of per-round snapshots, and we rotate which queries occupy
-#: the window each round.  Rounds 1-6 proved every query registered
-#: through round 6 (CORRECTNESS_r06: 48 hash-green + 2 expected
-#: rows-only, zero errors).  Round 7 front-loads (a) the round-7
-#: additions (the portable IVF-PQ serving twins, BFS, and the new
-#: surface queries) and (b) a re-proof block for queries whose code or
-#: oracle text changed this round (ADVICE fixes: decimal accumulation
-#: for scale>=4 money sums, exact integer log2 bucketing, UTF-8 fixture
-#: writes, pinned-version index loads).  Queries not named here slot in
-#: between: never-proven first, already-proven at the back.
-#: ROUND-8 TODO: fold the r07 greens into a ``_PROVEN_R07`` frozenset
-#: (all 29 window names below are locally verified via
-#: ``scripts/driver_dryrun.py`` at sf0.01, the oracle-backed ones at
-#: sf0.1 too — expect green; ``similarity_ivfpq_topk`` is rows-only),
-#: rename the window list, and front-load only round-8 additions
-#: (cap ~49).  A query whose oracle TEXT changes must rotate back in
-#: even when its values are unchanged.
+#: the window each round.  Rounds 1-7 proved every query registered
+#: through round 7 (CORRECTNESS_r07: 48 hash-green + 2 expected
+#: rows-only, zero errors — the second consecutive all-clean window).
+#: Round 8 front-loads (a) the round-8 additions (the hash-proven
+#: Lloyd's iteration, weighted SSSP, hierarchy rollup, block sampling)
+#: and (b) a re-proof block for queries whose Spark expression changed
+#: this round (``exact_money_sum``'s signed half-add + hi/lo split
+#: accumulator touches all 13 money-sum queries; the frame-sample
+#: empty-blob guard touches one more).  Queries not named here slot in
+#: behind: never-proven first, already-proven at the back — so the
+#: remaining ~32 slots re-verify proven queries for free.
+#: ROUND-9 TODO: fold the r08 window greens into a ``_PROVEN_R08``
+#: frozenset (all names below are locally verified via
+#: ``scripts/driver_dryrun.py`` at sf0.01, oracle-backed ones at sf0.1
+#: too — expect green), rename the window list, and front-load only
+#: round-9 additions (cap ~49).  A query whose oracle TEXT changes must
+#: rotate back in even when its values are unchanged.
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
-_ROUND7_WINDOW = [
-    # --- round-7 additions ---
-    "embeddings_pq_assign_portable", "similarity_ivfpq_portable",
-    "graph_bfs_hops",
-    "agg_rollup_revenue_rank", "agg_repeat_purchase_intervals",
-    "text_vocab_growth", "embeddings_norm_histogram",
-    "graph_common_neighbors", "graph_kcore",
-    "dataset_dedup_cross_split", "window_streak_lengths",
+_ROUND8_WINDOW = [
+    # --- round-8 additions ---
+    "similarity_kmeans_step_portable",
+    "graph_sssp_weighted",
+    "agg_hierarchy_rollup",
+    "sample_block_hash",
+    "graph_label_propagation",
+    "similarity_matryoshka_topk",
+    "text_zipf_profile",
+    "agg_basket_lift",
+    # --- re-proof block: outputs identical by design (verified at
+    # sf0.01 AND sf0.1 locally), but the Spark expression changed
+    # (exact_money_sum signed half-add + scale>=4 hi/lo accumulator;
+    # multimodal_frame_sample's empty-blob sequence guard), so the
+    # r1-r7 proofs no longer bind byte-for-byte ---
+    "agg_pricing_summary", "agg_cube", "agg_grouping_sets",
+    "join_inner_broadcast", "join_right", "join_range_band",
+    "filter_q19_disjunctive", "agg_cross_channel_rollup",
+    "agg_rollup_revenue_rank", "agg_cohort_ltv_curve",
+    "agg_conditional", "join_salted_skew", "join_pit_scd2",
     "multimodal_frame_sample",
-    "agg_cohort_ltv_curve", "agg_shipping_delay_histogram",
-    "window_daily_backlog", "dedup_survivor_portable",
-    "sketch_bloom_membership", "text_feature_hashing",
-    "text_bpe_merge_candidates", "dedup_minhash_verified_portable",
-    # dedup_minhash_candidates' oracle TEXT changed with the shared
-    # cand-fragment refactor (identical values, hash re-verified at
-    # sf0.001/0.01/0.1) — rotate back in per the re-proof rule
-    "dedup_minhash_candidates",
-    # --- re-proof block: outputs identical by design, but the Spark
-    # expression and/or oracle SQL changed (ADVICE r6 fixes), so the
-    # r1-r6 proofs no longer bind byte-for-byte ---
+    # --- re-proof block 2: oracle TEXT changed (AS MATERIALIZED hints
+    # on the shared edge CTEs + unrolled chains — DuckDB 1.0 was
+    # re-inlining every multi-referenced CTE, an exponential re-derive
+    # that cost 78 s and ~80 GB of temp spill at sf0.1 for the SSSP
+    # oracle; values identical, re-verified at sf0.01 and sf0.1) ---
+    "graph_bfs_hops", "graph_kcore", "graph_pagerank_copurchase",
+    "graph_components_copurchase", "graph_triangles_copurchase",
+    "graph_common_neighbors", "graph_degree_distribution",
+]
+
+#: Proven green in CORRECTNESS_r07 (48 hash_match + 2 expected
+#: rows-only; zero errors — the full 50-slot window).
+_PROVEN_R07 = frozenset({
+    "embeddings_pq_assign_portable", "similarity_ivfpq_portable",
+    "graph_bfs_hops", "agg_rollup_revenue_rank",
+    "agg_repeat_purchase_intervals", "text_vocab_growth",
+    "embeddings_norm_histogram", "graph_common_neighbors", "graph_kcore",
+    "dataset_dedup_cross_split", "window_streak_lengths",
+    "multimodal_frame_sample", "agg_cohort_ltv_curve",
+    "agg_shipping_delay_histogram", "window_daily_backlog",
+    "dedup_survivor_portable", "sketch_bloom_membership",
+    "text_feature_hashing", "text_bpe_merge_candidates",
+    "dedup_minhash_verified_portable", "dedup_minhash_candidates",
     "agg_pricing_summary", "join_salted_skew", "filter_q19_disjunctive",
     "agg_cross_channel_rollup", "graph_degree_distribution",
     "corpus_file_dedup", "multimodal_binary_ingest",
-    "similarity_ivfpq_topk",
-]
+    "similarity_ivfpq_topk", "join_attribution_last_touch",
+    "agg_window_funnel", "scalar_float_canary", "cdc_table_changes",
+    "cdc_apply_changes", "cdc_mirror_replicate", "etl_transform_flat",
+    "etl_explode_indicators", "etl_worker_route", "etl_micro_batch",
+    "graph_pagerank", "graph_components_copurchase",
+    "graph_pagerank_copurchase", "graph_triangles_copurchase",
+    "layout_zorder", "profile_table_stats", "agg_daily_zscore",
+    "window_gap_fill", "agg_ewma", "profile_constraint_check",
+    "profile_key_skew",
+})
 
 #: Proven green in CORRECTNESS_r06 (48 hash_match + 2 expected
 #: rows-only; zero errors — the full 50-slot window).
@@ -165,12 +198,12 @@ _PROVEN_R01_R04 = frozenset({
 })
 
 
-_PROVEN = _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06
+_PROVEN = _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND7_WINDOW if n in set(names)]
+    window = [n for n in _ROUND8_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

@@ -112,6 +112,15 @@ HEADLINE = (
     "dedup_survivor_portable",      # end-to-end proven dedup funnel
     "sketch_bloom_membership",      # relational Bloom filter probe
     "text_feature_hashing",         # hashing-trick featurization
+    # round 8: Lloyd's-step proof + weighted SSSP + hierarchy + sampling
+    "similarity_kmeans_step_portable",  # two integer Lloyd's rounds
+    "graph_sssp_weighted",          # min-plus delta relaxation
+    "agg_hierarchy_rollup",         # self-referencing subtree rollup
+    "sample_block_hash",            # deterministic block sampling
+    "graph_label_propagation",      # synchronous LPA communities
+    "similarity_matryoshka_topk",   # MRL prefix-dim funnel
+    "text_zipf_profile",            # rank-frequency vocabulary curve
+    "agg_basket_lift",              # association-rule lift scoring
 )
 
 

@@ -20,6 +20,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     ivfpq2,
     kmeans,
     kmeans2,
+    matryoshka,
     multimodal,
     negatives,
     quantize,

@@ -413,3 +413,69 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "left_tok", "right_tok")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+@query(
+    "text_zipf_profile",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rank
+      FROM cnt
+    )
+    SELECT CAST(length(format('{:b}', rank)) - 1 AS BIGINT)
+             AS rank_log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           CAST(MIN(c) AS BIGINT) AS min_count
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary: token
+    types ranked by frequency (ties broken by token — both engines rank
+    the identical multiset), then folded into power-of-two rank buckets
+    with type/occurrence counts and per-bucket frequency extrema — the
+    log-log curve a tokenizer-budget decision reads (Zipf 1949, public
+    literature; a Zipfian corpus shows n_occurrences roughly constant
+    per bucket).
+
+    Scale: one token-keyed hash agg (the ``text_vocab_growth`` shuffle
+    class) builds the frequency table; the rank window runs over the
+    VOCABULARY (dimension-sized, the ``agg_revenue_lorenz`` argument —
+    never fact rows), and the bucket fold is a <= 64-row agg.  Integer
+    bucketing via ``length(bin(rank)) - 1`` — the exact-integer log2 of
+    ``graph_degree_distribution``, immune to libm boundary flakes on
+    exact powers of two (rank 2^k is common by construction).
+    All-integer output: bit-exact, no float discipline."""
+    docs = tokenized_docs(spark, sf_dir)
+    cnt = (
+        docs.select(F.explode("toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "tok"))
+        .alias("rank"),
+    )
+    return ranked.groupBy(
+        (F.length(F.bin(F.col("rank"))) - 1)
+        .cast("long")
+        .alias("rank_log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_occurrences"),
+        F.max("c").alias("max_count"),
+        F.min("c").alias("min_count"),
+    )

@@ -25,6 +25,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational8,
     relational9,
     relational10,
+    relational11,
     retail,
     retail2,
     scalars2,

@@ -161,3 +161,109 @@ def kcore_peel(
     return cur.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Fixed-round synchronous label propagation over an UNDIRECTED edge
+    list ``(src, dst)`` — ``(id, label)`` community assignments
+    (Raghavan et al. 2007, public literature).
+
+    Init: every node labels itself.  Each round, every node adopts the
+    most frequent label among its NEIGHBORS (synchronous update from the
+    previous round's table), tie-broken to the smallest label — the
+    ``min_by`` over a ((-count), label) struct, the deterministic-argmin
+    idiom of ``llm/ivfpq2.py``.  Fixed rounds (not a fixpoint) so an
+    unrolled SQL oracle can state the identical computation; synchronous
+    + deterministic tie-break makes the result order-independent, unlike
+    the asynchronous variant in the original paper.
+
+    Scale: per round, one shuffle of (neighbor, label) pairs keyed by
+    node — O(edges) — then two hash-aggs ((id, lbl) counts, per-id
+    argmax); ``localCheckpoint`` truncates lineage (the loop discipline
+    shared by PageRank/BFS/SSSP/components).
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    for _ in range(rounds):
+        cnt = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("nid"), "lbl")
+            .groupBy("nid", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy(F.col("nid").alias("id"))
+            .agg(
+                F.min_by(
+                    "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+        track_cache(labels)
+    return labels.select("id", F.col("lbl").alias("label"))
+
+
+def sssp_weighted(
+    edges: DataFrame, source: int, rounds: int = 8
+) -> DataFrame:
+    """Bounded-round single-source shortest paths over an UNDIRECTED
+    weighted edge list ``(src, dst, len)`` — ``(id, dist)`` with the
+    minimal total length over paths of at most ``rounds`` edges, the
+    min-plus (distributed Bellman-Ford) relaxation.
+
+    Delta-relaxation form: each round relaxes only out-edges of nodes
+    whose distance IMPROVED last round, so per-round shuffle is
+    O(frontier x degree), not O(edges) — the BFS frontier argument
+    extended to weighted lengths, where a settled node can re-enter the
+    frontier when a cheaper multi-hop path arrives (that re-entry is
+    exactly what the improved-only join admits, and why the merge is a
+    min-fold over (old dist, candidate) rather than BFS's anti-join).
+    After round k the table equals the min over <= k-edge paths on any
+    engine, which is what the unrolled SQL oracle states; early exit
+    when nothing improves makes ``rounds`` a ceiling, not a fixed cost.
+    ``localCheckpoint`` truncates lineage per round (the
+    PageRank/components/BFS loop discipline).
+    """
+    sym = edges.union(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "len"
+        )
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long")
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(
+                F.col("dst").alias("id"),
+                (frontier["dist"] + F.col("len")).alias("nd"),
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        track_cache(improved)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        track_cache(dist)
+        frontier = improved
+    return dist

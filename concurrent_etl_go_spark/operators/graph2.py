@@ -49,17 +49,17 @@ _DAMPING = 0.85
 _ITERATIONS = 8
 
 _EDGE_SQL = f"""
-    pc AS (
+    pc AS MATERIALIZED (
         SELECT DISTINCT l.l_partkey AS pk,
                date_trunc('week', o.o_orderdate) AS wk,
                o.o_custkey AS ck
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
-    pc_ok AS (
+    pc_ok AS MATERIALIZED (
         SELECT pk, wk, ck FROM pc
         QUALIFY COUNT(*) OVER (PARTITION BY pk, wk) <= {_GROUP_CAP}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT DISTINCT a.ck AS src, b.ck AS dst
         FROM pc_ok a
         JOIN pc_ok b ON a.pk = b.pk AND a.wk = b.wk AND a.ck < b.ck
@@ -117,7 +117,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_components_copurchase",
     oracle=f"""
     WITH RECURSIVE {_EDGE_SQL},
-    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
     nodes AS (SELECT DISTINCT src AS id FROM sym),
     reach(node, lbl) AS (
         SELECT id, id FROM nodes
@@ -148,11 +148,11 @@ def _pagerank_oracle() -> str:
     only r{{k-1}}, exactly mirroring ``operators/graph.py::pagerank``:
     init 1.0 per node, update (1-d) + d * sum(rank/deg over in-edges)."""
     steps = [
-        "r0 AS (SELECT id, 1.0 AS rank FROM deg)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM deg)",
     ]
     for k in range(1, _ITERATIONS + 1):
         steps.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
         SELECT s.dst AS id,
                {1 - _DAMPING} + {_DAMPING} * SUM(r.rank / d.n_deg) AS rank
         FROM sym s JOIN deg d ON s.src = d.id JOIN r{k - 1} r ON s.src = r.id
@@ -162,8 +162,8 @@ def _pagerank_oracle() -> str:
     chain = ",\n    ".join(steps)
     return f"""
     WITH {_EDGE_SQL},
-    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-    deg AS (SELECT src AS id, COUNT(*) AS n_deg FROM sym GROUP BY src),
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS n_deg FROM sym GROUP BY src),
     {chain}
     SELECT id, ROUND(rank, 4) + 0.0 AS rank FROM r{_ITERATIONS}
     """
@@ -298,11 +298,11 @@ def _bfs_oracle() -> str:
     frontier-propagation loop (a node's first reach IS its minimal
     hop), stated in the fold form SQL can express without recursion."""
     steps = [
-        "d0 AS (SELECT MIN(src) AS id, 0 AS dist FROM sym)",
+        "d0 AS MATERIALIZED (SELECT MIN(src) AS id, 0 AS dist FROM sym)",
     ]
     for k in range(1, _BFS_HOPS + 1):
         steps.append(
-            f"""d{k} AS (
+            f"""d{k} AS MATERIALIZED (
         SELECT id, MIN(dist) AS dist FROM (
             SELECT id, dist FROM d{k - 1}
             UNION ALL
@@ -314,7 +314,7 @@ def _bfs_oracle() -> str:
     chain = ",\n    ".join(steps)
     return f"""
     WITH {_EDGE_SQL},
-    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
     {chain}
     SELECT id, CAST(dist AS BIGINT) AS dist FROM d{_BFS_HOPS}
     """
@@ -352,7 +352,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_common_neighbors",
     oracle=f"""
     WITH {_EDGE_SQL},
-    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
     cn AS (
       SELECT s1.dst AS a, s2.dst AS b, COUNT(*) AS n_common
       FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
@@ -414,14 +414,14 @@ _KCORE_ROUNDS = 4
 
 
 def _kcore_oracle() -> str:
-    steps = ["e0 AS (SELECT src, dst FROM sym)"]
+    steps = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
     for r in range(1, _KCORE_ROUNDS + 1):
         steps.append(
-            f"""k{r} AS (
+            f"""k{r} AS MATERIALIZED (
         SELECT src AS id FROM e{r - 1}
         GROUP BY src HAVING COUNT(*) >= {_KCORE_MIN_DEGREE}
     ),
-    e{r} AS (
+    e{r} AS MATERIALIZED (
         SELECT e.src, e.dst FROM e{r - 1} e
         JOIN k{r} a ON e.src = a.id
         JOIN k{r} b ON e.dst = b.id
@@ -430,7 +430,7 @@ def _kcore_oracle() -> str:
     chain = ",\n    ".join(steps)
     return f"""
     WITH {_EDGE_SQL},
-    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
     {chain}
     SELECT src AS id, COUNT(*) AS degree
     FROM e{_KCORE_ROUNDS} GROUP BY src
@@ -458,3 +458,201 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(
         e.select("src", "dst"), _KCORE_MIN_DEGREE, _KCORE_ROUNDS
     )
+
+
+#: SSSP round ceiling — matches the unrolled oracle below (the BFS
+#: convention: both engines compute min length over <= _SSSP_ROUNDS-edge
+#: paths, so the bound is part of the query semantics, not a fudge).
+_SSSP_ROUNDS = 8
+
+#: Edge length rule: stronger ties are shorter.  n_shared counts the
+#: DISTINCT (part, week) blocks a pair co-purchased in (>= 1 by
+#: construction); lengths are the all-integer GREATEST(1, 6 - n_shared),
+#: so repeat co-purchasers sit at distance 1 and one-off pairs at 5.
+_SSSP_LEN = "GREATEST(1, 6 - n_shared)"
+
+_WEDGE_SQL = f"""
+    wedges AS MATERIALIZED (
+        SELECT src, dst, CAST({_SSSP_LEN} AS BIGINT) AS len FROM (
+            SELECT a.ck AS src, b.ck AS dst, COUNT(*) AS n_shared
+            FROM pc_ok a
+            JOIN pc_ok b ON a.pk = b.pk AND a.wk = b.wk AND a.ck < b.ck
+            GROUP BY 1, 2
+        )
+    )
+"""
+
+
+def _copurchase_edges_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(src, dst, len): the co-purchase pairs of ``_copurchase_edges``
+    with the tie-strength length rule applied — same capped pairing
+    join, but aggregating shared-block counts instead of distinct-ing,
+    so the fan-out bound is identical."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    pc = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    pc_ok = (
+        pc.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("pk", "wk"))
+        )
+        .where(F.col("n") <= _GROUP_CAP)
+        .drop("n")
+    )
+    a, b = pc_ok.alias("a"), pc_ok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.ck") < F.col("b.ck")),
+        )
+        .select(F.col("a.ck").alias("src"), F.col("b.ck").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return scoped_persist(
+        pairs.select(
+            "src",
+            "dst",
+            F.expr(_SSSP_LEN).cast("long").alias("len"),
+        )
+    )
+
+
+def _sssp_oracle() -> str:
+    """Unrolled bounded-round min-plus relaxation (the BFS min-fold
+    chain with ``+ 1`` generalized to ``+ len``): round k min-folds the
+    previous distance table with its one-edge weighted expansion, so
+    d{k} is exactly the minimal total length over <= k-edge paths —
+    the same quantity the engine's delta-relaxation loop holds after
+    round k."""
+    steps = [
+        "d0 AS MATERIALIZED (SELECT MIN(src) AS id, 0 AS dist FROM wedges)",
+    ]
+    for k in range(1, _SSSP_ROUNDS + 1):
+        steps.append(
+            f"""d{k} AS MATERIALIZED (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d{k - 1}
+            UNION ALL
+            SELECT s.dst AS id, d.dist + s.len AS dist
+            FROM wsym s JOIN d{k - 1} d ON s.src = d.id
+        ) GROUP BY id
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_EDGE_SQL},
+    {_WEDGE_SQL},
+    wsym AS MATERIALIZED (
+        SELECT src, dst, len FROM wedges
+        UNION ALL
+        SELECT dst, src, len FROM wedges
+    ),
+    {chain}
+    SELECT id, CAST(dist AS BIGINT) AS dist FROM d{_SSSP_ROUNDS}
+    """
+
+
+@query("graph_sssp_weighted", oracle=_sssp_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted single-source shortest paths from the
+    smallest customer in the co-purchase graph, with tie-strength edge
+    lengths (``_SSSP_LEN``) — the fifth hash-proven iterative kernel
+    (after components, PageRank, triangles, BFS), and the min-plus
+    primitive under "cheapest relationship path" queries.
+
+    The engine runs ``operators/graph.py::sssp_weighted`` — delta
+    relaxation: each round relaxes only edges out of nodes whose
+    distance improved, merges by min-fold, early-exits when nothing
+    improves.  O(frontier x degree) per round, localCheckpoint lineage
+    discipline; all-integer ids, lengths, and distances, so the driver
+    hash is bit-exact with no float discipline.  The oracle evaluates
+    the identical recurrence as an unrolled min-fold chain; the source
+    is MIN(src) of the edge list, derived identically by both engines
+    (the ``graph_bfs_hops`` convention).
+
+    The _EDGE_SQL CTE is carried (unused) so the oracle shares the
+    registry's single edge-derivation fragment verbatim; wedges
+    re-derives from pc_ok with COUNT instead of DISTINCT, exactly as
+    the engine's weighted builder does beside the unweighted one."""
+    edges = _copurchase_edges_weighted(spark, sf_dir)
+    from concurrent_etl_go_spark.operators.graph import sssp_weighted
+
+    source = edges.agg(F.min("src")).first()[0]
+    return sssp_weighted(edges, source, _SSSP_ROUNDS)
+
+
+#: Label-propagation rounds — fixed on both engines (unrolled oracle).
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-round synchronous label propagation: round k
+    counts the round-(k-1) labels over each node's neighbors and keeps
+    the (max count, min label) winner — the engine's min_by((-c, lbl))
+    stated as a row_number ORDER BY c DESC, lbl."""
+    steps = [
+        "l0 AS MATERIALIZED "
+        "(SELECT DISTINCT src AS id, src AS lbl FROM sym)",
+    ]
+    for k in range(1, _LPA_ROUNDS + 1):
+        steps.append(
+            f"""n{k} AS MATERIALIZED (
+        SELECT s.dst AS id, l.lbl, COUNT(*) AS c
+        FROM sym s JOIN l{k - 1} l ON s.src = l.id
+        GROUP BY 1, 2
+    ),
+    l{k} AS MATERIALIZED (
+        SELECT id, lbl FROM (
+            SELECT id, lbl,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM n{k}
+        ) WHERE rn = 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    {chain}
+    SELECT id, CAST(lbl AS BIGINT) AS label FROM l{_LPA_ROUNDS}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous fixed-round label-propagation communities over the
+    co-purchase graph — the sixth hash-proven iterative kernel (after
+    components, PageRank, triangles, BFS, SSSP), and the cheap
+    community-detection pass curation pipelines run before per-cluster
+    sampling (Raghavan et al. 2007, public literature).
+
+    The engine runs ``operators/graph.py::label_propagation`` — per
+    round one edge-keyed shuffle + two hash-aggs, min_by((-count,
+    label)) for the deterministic (max frequency, min label) winner,
+    localCheckpoint discipline.  The oracle evaluates the identical
+    synchronous recurrence unrolled; all-integer ids/labels/counts, so
+    the driver hash is bit-exact.  Every node has >= 1 neighbor by
+    edge-list construction, so each round relabels every node."""
+    from concurrent_etl_go_spark.operators.graph import label_propagation
+
+    e = _copurchase_edges(spark, sf_dir)
+    return label_propagation(e.select("src", "dst"), _LPA_ROUNDS)

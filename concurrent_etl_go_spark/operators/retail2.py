@@ -280,3 +280,123 @@ def agg_shipping_delay_histogram(
         F.min("delay_days").cast("long").alias("min_delay"),
         F.max("delay_days").cast("long").alias("max_delay"),
     )
+
+
+#: Association-rule parameters: minimum co-order support for a pair to
+#: score, and the deterministic result cap.
+_LIFT_MIN_SUPPORT = 2
+_LIFT_TOP = 20
+
+
+@query(
+    "agg_basket_lift",
+    oracle=f"""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS MATERIALIZED (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+    ),
+    item AS MATERIALIZED (
+      SELECT l_partkey AS pk, COUNT(*) AS c FROM li GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_LIFT_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * 10000 // n.n_orders AS BIGINT) AS support_bp,
+           CAST(n_ab * 10000 // ca.c AS BIGINT) AS conf_a_to_b_bp,
+           CAST(n_ab * 10000 // cb.c AS BIGINT) AS conf_b_to_a_bp,
+           CAST((n_ab * n.n_orders * 10000) // (ca.c * cb.c) AS BIGINT)
+             AS lift_bp
+    FROM pairs
+    JOIN item ca ON ca.pk = part_a
+    JOIN item cb ON cb.pk = part_b
+    CROSS JOIN n
+    ORDER BY lift_bp DESC, part_a, part_b
+    LIMIT {_LIFT_TOP}
+    """,
+)
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule scoring (Agrawal & Srikant 1994, public
+    literature) for co-ordered part pairs: support, both directional
+    confidences, and lift, each as an INTEGER basis-point value via
+    portable floor division — `(n_ab * N * 10000) div (c_a * c_b)` in
+    DECIMAL(38,0), so the arithmetic neither overflows at 100 TB basket
+    counts (n_ab * N * 10^4 ~ 1e22 for billion-basket tables — past
+    int64, far inside decimal(38,0)/HUGEINT) nor touches a float (no
+    cross-engine division representation to reconcile).  Top pairs by
+    (lift DESC, part_a, part_b) — a fully deterministic order.
+
+    Scale: the distinct pair table, the per-item counts, and the
+    per-basket pair expansion (the ``agg_market_basket`` in-row
+    basket-array idiom — blowup quadratic in BASKET size, not table
+    size) all key on order/part hash partitions; item counts are a
+    dimension-sized table joined back to pairs (broadcast under AQE at
+    dim scale); the basket count rides along as a broadcast one-row
+    frame.  TakeOrdered for the top-20, never a global sort."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("parts"), i + 2, F.size("parts")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+    )
+    ca = item.select(F.col("pk").alias("part_a"), F.col("c").alias("c_a"))
+    cb = item.select(F.col("pk").alias("part_b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("n_ab * 10000 div n_orders").alias("support_bp"),
+            F.expr("n_ab * 10000 div c_a").alias("conf_a_to_b_bp"),
+            F.expr("n_ab * 10000 div c_b").alias("conf_b_to_a_bp"),
+            F.expr(
+                "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 10000)"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_bp"), "part_a", "part_b"
+    ).limit(_LIFT_TOP)

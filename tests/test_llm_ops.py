@@ -1058,3 +1058,110 @@ def test_kcore_fixed_rounds_reach_fixpoint_on_chain_and_cycle(spark):
     }
     release_caches()
     assert partial != got
+
+
+def test_sssp_weighted_relaxation_and_early_exit(spark):
+    """sssp_weighted returns minimal total lengths, prefers a cheap
+    multi-hop path over an expensive direct edge (the case BFS hop
+    counts cannot express), re-improves already-settled nodes, honors
+    the round ceiling, and never escapes the source's component.
+    Graph: 1-2-3-4 at length 1 each, a direct 1-4 edge at length 10,
+    plus a disconnected edge (100, 101)."""
+    from concurrent_etl_go_spark.operators.graph import sssp_weighted
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (100, 101, 2)],
+        "src long, dst long, len long",
+    )
+    got = {r.id: r.dist for r in sssp_weighted(edges, 1, rounds=8).collect()}
+    release_caches()
+    # node 4: direct edge costs 10, the 3-hop path costs 3 — min-plus
+    # must take 3, which requires round 3 to IMPROVE the round-1
+    # distance of 10 (the settled-node re-entry the frontier admits)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # one round only: the direct (expensive) edge is all that fits
+    r1 = {r.id: r.dist for r in sssp_weighted(edges, 1, rounds=1).collect()}
+    release_caches()
+    assert r1 == {1: 0, 2: 1, 4: 10}
+
+    # early exit: a ceiling far past convergence changes nothing
+    wide = {r.id: r.dist for r in sssp_weighted(edges, 1, rounds=50).collect()}
+    release_caches()
+    assert wide == got
+
+    # the small component is reachable only from inside it
+    small = {
+        r.id: r.dist for r in sssp_weighted(edges, 100, rounds=8).collect()
+    }
+    release_caches()
+    assert small == {100: 0, 101: 2}
+
+
+def test_label_propagation_converges_per_community(spark):
+    """label_propagation on two triangles joined by one bridge edge:
+    every node in a triangle ends with that triangle's minimal label
+    (synchronous rounds + (max count, min label) tie-break), and the
+    result is identical across repeated runs (determinism — the reason
+    the synchronous variant is used instead of the paper's
+    order-dependent asynchronous one)."""
+    from concurrent_etl_go_spark.operators.graph import label_propagation
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    # triangles {1,2,3} and {10,11,12}, bridge 3-10
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r.id: r.label
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    release_caches()
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+
+    again = {
+        r.id: r.label
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    release_caches()
+    assert again == got
+
+
+def test_hierarchy_rollup_subtree_invariants(spark):
+    """agg_hierarchy_rollup: every supplier appears as a node; leaf
+    rows roll up only themselves; each node's subtree equals the sum
+    over suppliers whose decimal-prefix chain passes through it —
+    checked independently with driver-side arithmetic on the tiny sf."""
+    from concurrent_etl_go_spark.operators.relational11 import (
+        agg_hierarchy_rollup,
+        _hier_dim,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.node_id: r for r in agg_hierarchy_rollup(spark, sf).collect()
+    }
+    dim = {r.id: r.units for r in _hier_dim(spark, sf).collect()}
+    assert set(rows) == set(dim)
+
+    def ancestors(i):
+        # mirror the dim rule: self always; a parent only when >= 10
+        # (suppkey 0 exists in the testdata and is its own root)
+        yield i
+        while i >= 10:
+            i //= 10
+            yield i
+
+    expect_n = {n: 0 for n in dim}
+    expect_units = {n: 0 for n in dim}
+    for i, u in dim.items():
+        for a in ancestors(i):
+            expect_n[a] += 1
+            expect_units[a] += u
+    for n, r in rows.items():
+        assert r.n_subtree == expect_n[n]
+        assert r.subtree_units == expect_units[n]
+        assert r.subtree_balance == expect_units[n] / 100
