@@ -20,14 +20,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: the window each round.  Rounds 1-7 proved every query registered
 #: through round 7 (CORRECTNESS_r07: 48 hash-green + 2 expected
 #: rows-only, zero errors — the second consecutive all-clean window).
-#: Round 8 front-loads (a) the round-8 additions (the hash-proven
-#: Lloyd's iteration, weighted SSSP, hierarchy rollup, block sampling)
-#: and (b) a re-proof block for queries whose Spark expression changed
-#: this round (``exact_money_sum``'s signed half-add + hi/lo split
-#: accumulator touches all 13 money-sum queries; the frame-sample
-#: empty-blob guard touches one more).  Queries not named here slot in
+#: Round 8 front-loads (a) the ten round-8 additions (the hash-proven
+#: Lloyd's iteration, weighted SSSP, label propagation, hierarchy
+#: rollup + BOM explosion, block sampling, Matryoshka retrieval, Zipf
+#: profile, basket lift, Pareto frontier) and (b) two re-proof blocks:
+#: queries whose Spark expression changed this round
+#: (``exact_money_sum``'s signed half-add + hi/lo split accumulator
+#: touches all 13 money-sum queries; the frame-sample empty-blob guard
+#: touches one more), and the seven graph queries whose oracle TEXT
+#: gained AS MATERIALIZED hints.  Queries not named here slot in
 #: behind: never-proven first, already-proven at the back — so the
-#: remaining ~32 slots re-verify proven queries for free.
+#: remaining slots re-verify proven queries for free.
 #: ROUND-9 TODO: fold the r08 window greens into a ``_PROVEN_R08``
 #: frozenset (all names below are locally verified via
 #: ``scripts/driver_dryrun.py`` at sf0.01, oracle-backed ones at sf0.1
@@ -47,6 +50,8 @@ _ROUND8_WINDOW = [
     "similarity_matryoshka_topk",
     "text_zipf_profile",
     "agg_basket_lift",
+    "agg_pareto_frontier",
+    "join_bom_explosion",
     # --- re-proof block: outputs identical by design (verified at
     # sf0.01 AND sf0.1 locally), but the Spark expression changed
     # (exact_money_sum signed half-add + scale>=4 hi/lo accumulator;

@@ -121,6 +121,8 @@ HEADLINE = (
     "similarity_matryoshka_topk",   # MRL prefix-dim funnel
     "text_zipf_profile",            # rank-frequency vocabulary curve
     "agg_basket_lift",              # association-rule lift scoring
+    "agg_pareto_frontier",          # skyline over supplier metrics
+    "join_bom_explosion",           # multiplicative path closure
 )
 
 

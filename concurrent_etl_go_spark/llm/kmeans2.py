@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 _SCALE = 1024
@@ -68,7 +68,12 @@ _FDIV = "({s} - (({s} % {n} + {n}) % {n})) {op} {n}"
 
 def _long_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, d, x): integer-quantized vectors in long format — the
-    in-place explode that every round's distance join keys on ``d``."""
+    in-place explode that every round's distance join keys on ``d``.
+
+    PERSISTED (scoped): every Lloyd's round reads this frame twice
+    (distance join + mean update) and the seed filter reads it once
+    more — without the persist the audit showed 7 parquet scans of
+    embeddings for the 2-round query; with it, one."""
     iv = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
@@ -76,7 +81,9 @@ def _long_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(floor(cast(x as double) * {_SCALE}) as bigint))"
         ).alias("v"),
     )
-    return iv.select("vec_id", F.posexplode("v").alias("d", "x"))
+    return scoped_persist(
+        iv.select("vec_id", F.posexplode("v").alias("d", "x"))
+    )
 
 
 def _assign(vd: DataFrame, cent: DataFrame) -> DataFrame:

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.operators import lib
-from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 
@@ -341,7 +341,10 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized table joined back to pairs (broadcast under AQE at
     dim scale); the basket count rides along as a broadcast one-row
     frame.  TakeOrdered for the top-20, never a global sort."""
-    li = (
+    # PERSISTED (scoped): the distinct pair table feeds the basket
+    # count, the item counts, AND the basket arrays — three consumers,
+    # one derivation (the _copurchase_edges precedent)
+    li = scoped_persist(
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
