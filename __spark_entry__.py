@@ -20,10 +20,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: the window each round.  Rounds 1-7 proved every query registered
 #: through round 7 (CORRECTNESS_r07: 48 hash-green + 2 expected
 #: rows-only, zero errors — the second consecutive all-clean window).
-#: Round 8 front-loads (a) the ten round-8 additions (the hash-proven
+#: Round 8 front-loads (a) the thirteen round-8 additions (the hash-proven
 #: Lloyd's iteration, weighted SSSP, label propagation, hierarchy
 #: rollup + BOM explosion, block sampling, Matryoshka retrieval, Zipf
-#: profile, basket lift, Pareto frontier) and (b) two re-proof blocks:
+#: profile, basket lift, Pareto frontier, key-islands DQ, event
+#: transition matrix, prefix-filter Jaccard join) and (b) two re-proof
+#: blocks:
 #: queries whose Spark expression changed this round
 #: (``exact_money_sum``'s signed half-add + hi/lo split accumulator
 #: touches all 13 money-sum queries; the frame-sample empty-blob guard
@@ -52,6 +54,9 @@ _ROUND8_WINDOW = [
     "agg_basket_lift",
     "agg_pareto_frontier",
     "join_bom_explosion",
+    "profile_key_islands",
+    "agg_event_transitions",
+    "dedup_prefix_filter_jaccard",
     # --- re-proof block: outputs identical by design (verified at
     # sf0.01 AND sf0.1 locally), but the Spark expression changed
     # (exact_money_sum signed half-add + scale>=4 hi/lo accumulator;

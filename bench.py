@@ -123,6 +123,9 @@ HEADLINE = (
     "agg_basket_lift",              # association-rule lift scoring
     "agg_pareto_frontier",          # skyline over supplier metrics
     "join_bom_explosion",           # multiplicative path closure
+    "profile_key_islands",          # scalable gaps-and-islands DQ
+    "agg_event_transitions",        # Markov transition matrix
+    "dedup_prefix_filter_jaccard",  # exact sub-quadratic set join
 )
 
 

@@ -398,3 +398,126 @@ def join_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "depth",
         "eff_qty",
     )
+
+
+@query(
+    "profile_key_islands",
+    oracle=f"""
+    WITH keys AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+             % {_SAMPLE_MOD}) <> 0
+    ),
+    isl AS (
+      SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM keys
+    )
+    SELECT CAST(MIN(k) AS BIGINT) AS island_start,
+           CAST(MAX(k) AS BIGINT) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM isl GROUP BY grp
+    """,
+)
+def profile_key_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap profile (gaps-and-islands over a key column): the
+    contiguous runs of surviving order keys after a simulated purge
+    (keys whose portable md5 bucket is 0 are removed — deterministically
+    planted gaps, the ``dataset_dedup_cross_split`` convention, since
+    the synthetic orderkeys are otherwise gap-free).  The DQ check that
+    finds deleted ranges, sequence-generator skips, and failed loads:
+    each output row is one unbroken island, so gaps are exactly the
+    spaces between consecutive islands.
+
+    Scale: the classic ``key − rank`` island id needs a GLOBAL rank
+    over the distinct keys — a single-partition window trap at fact
+    scale — so the engine attaches it with
+    ``operators/quantiles._global_rank`` (range-bucket on frozen
+    approx-quantile boundaries, rank within buckets, add broadcast
+    bucket offsets: no global sort, no single-partition stage), then
+    one hash-agg on the island id.  The oracle states the plain
+    row_number form; identical islands."""
+    from concurrent_etl_go_spark.llm.datasets import hash_bucket
+    from concurrent_etl_go_spark.operators.quantiles import _global_rank
+
+    keys = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .where(hash_bucket("k", _SAMPLE_MOD) != 0)
+        .distinct()
+    )
+    ranked, _ = _global_rank(keys, "k")
+    return (
+        ranked.groupBy((F.col("k") - F.col("rn")).alias("grp"))
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .drop("grp")
+        .select("island_start", "island_end", "n_keys")
+    )
+
+
+@query(
+    "agg_event_transitions",
+    oracle="""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    cnt AS MATERIALIZED (
+      SELECT event_type AS from_type, next_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_bp
+    FROM cnt
+    """,
+)
+def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (from_type -> to_type) pair of CONSECUTIVE
+    events of one user, the transition count and the row-normalized
+    probability in integer basis points (floor division — float-free
+    across engines) — the product-analytics "what do users do next"
+    operator, and the input to Markov-chain attribution.
+
+    Scale: the successor pairing is one LEAD window partitioned BY
+    USER (perfectly spread, never a global sort — the
+    ``window_streak_lengths`` argument), ordered by (ts, event_id)
+    so concurrent same-timestamp events cannot flip pairs between
+    engines; then one hash-agg on the (from, to) pair — at most
+    |event_types|^2 output rows — and a window over that
+    dimension-sized matrix for the row totals."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    cnt = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(
+        Window.partitionBy("from_type")
+    )
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 10000").cast("long").alias("_num"),
+        row_total.alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("_num div _den").alias("p_bp"),
+    )

@@ -1163,6 +1163,43 @@ def test_pareto_frontier_and_bom_invariants(spark):
     assert len(seen) == len(bom)  # no duplicate pairs
 
 
+def test_key_islands_reconstruct_planted_gaps(spark):
+    """profile_key_islands must partition the surviving keys exactly:
+    islands are disjoint, contiguous (n_keys == end - start + 1 for a
+    gap-free run of survivors), cover every surviving key, and the
+    complement inside [min, max] is exactly the md5-purged set."""
+    from concurrent_etl_go_spark.llm.datasets import hash_bucket
+    from concurrent_etl_go_spark.operators.relational11 import (
+        profile_key_islands,
+        _SAMPLE_MOD,
+    )
+    from concurrent_etl_go_spark.operators.registry import release_caches
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = profile_key_islands(spark, sf).collect()
+    release_caches()
+    keys = {
+        r.k
+        for r in read_table(spark, sf, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .where(hash_bucket("k", _SAMPLE_MOD) != 0)
+        .distinct()
+        .collect()
+    }
+    release_caches()
+    covered = set()
+    for r in rows:
+        run = set(range(r.island_start, r.island_end + 1))
+        assert r.n_keys == len(run)           # contiguity
+        assert not (covered & run)            # disjointness
+        assert run <= keys                    # islands hold only survivors
+        covered |= run
+    assert covered == keys                    # exact cover
+    # the planted gaps really exist (the operator provably fires)
+    assert len(rows) > 1
+
+
 def test_label_propagation_converges_per_community(spark):
     """label_propagation on two triangles joined by one bridge edge:
     every node in a triangle ends with that triangle's minimal label
