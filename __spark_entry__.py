@@ -20,12 +20,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: the window each round.  Rounds 1-7 proved every query registered
 #: through round 7 (CORRECTNESS_r07: 48 hash-green + 2 expected
 #: rows-only, zero errors — the second consecutive all-clean window).
-#: Round 8 front-loads (a) the thirteen round-8 additions (the hash-proven
+#: Round 8 front-loads (a) the fifteen round-8 additions (the hash-proven
 #: Lloyd's iteration, weighted SSSP, label propagation, hierarchy
 #: rollup + BOM explosion, block sampling, Matryoshka retrieval, Zipf
 #: profile, basket lift, Pareto frontier, key-islands DQ, event
-#: transition matrix, prefix-filter Jaccard join) and (b) two re-proof
-#: blocks:
+#: transition matrix, prefix-filter Jaccard join, personalized
+#: PageRank, hybrid-RRF retrieval fusion) and (b) two re-proof blocks:
 #: queries whose Spark expression changed this round
 #: (``exact_money_sum``'s signed half-add + hi/lo split accumulator
 #: touches all 13 money-sum queries; the frame-sample empty-blob guard
@@ -57,6 +57,8 @@ _ROUND8_WINDOW = [
     "profile_key_islands",
     "agg_event_transitions",
     "dedup_prefix_filter_jaccard",
+    "graph_ppr",
+    "search_hybrid_rrf",
     # --- re-proof block: outputs identical by design (verified at
     # sf0.01 AND sf0.1 locally), but the Spark expression changed
     # (exact_money_sum signed half-add + scale>=4 hi/lo accumulator;
@@ -68,6 +70,10 @@ _ROUND8_WINDOW = [
     "agg_rollup_revenue_rank", "agg_cohort_ltv_curve",
     "agg_conditional", "join_salted_skew", "join_pit_scd2",
     "multimodal_frame_sample",
+    # text_bm25_search's oracle TEXT changed with the shared
+    # _BM25_SCORED_SQL fragment refactor (identical values,
+    # re-verified at sf0.001/0.01/0.1) — re-proof rule
+    "text_bm25_search",
     # --- re-proof block 2: oracle TEXT changed (AS MATERIALIZED hints
     # on the shared edge CTEs + unrolled chains — DuckDB 1.0 was
     # re-inlining every multi-referenced CTE, an exponential re-derive

@@ -126,6 +126,8 @@ HEADLINE = (
     "profile_key_islands",          # scalable gaps-and-islands DQ
     "agg_event_transitions",        # Markov transition matrix
     "dedup_prefix_filter_jaccard",  # exact sub-quadratic set join
+    "graph_ppr",                    # personalized PageRank
+    "search_hybrid_rrf",            # lexical+semantic RRF fusion
 )
 
 

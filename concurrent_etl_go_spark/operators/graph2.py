@@ -656,3 +656,129 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _copurchase_edges(spark, sf_dir)
     return label_propagation(e.select("src", "dst"), _LPA_ROUNDS)
+
+
+#: Personalized-PageRank constants: restart probability mass returns to
+#: the SOURCE node only (not uniformly), fixed rounds, unrolled oracle.
+_PPR_DAMPING = 0.85
+_PPR_ROUNDS = 8
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized PageRank: like ``_pagerank_oracle`` but the
+    (1-d) teleport mass lands ONLY on the source node, and every node
+    keeps a row every round (LEFT JOIN + COALESCE — a node with no
+    ranked in-neighbors this round holds only its teleport term), so
+    the recurrence matches the engine's full-node-table loop exactly."""
+    d = _PPR_DAMPING
+    steps = [
+        """p0 AS MATERIALIZED (
+        SELECT n.id, CASE WHEN n.id = s0.s THEN 1.0 ELSE 0.0 END AS rank
+        FROM nodes n CROSS JOIN src0 s0
+    )"""
+    ]
+    for k in range(1, _PPR_ROUNDS + 1):
+        steps.append(
+            f"""inf{k} AS MATERIALIZED (
+        SELECT s.dst AS id, SUM(p.rank / dg.n_deg) AS inflow
+        FROM sym s
+        JOIN deg dg ON s.src = dg.id
+        JOIN p{k - 1} p ON s.src = p.id
+        GROUP BY s.dst
+    ),
+    p{k} AS MATERIALIZED (
+        SELECT n.id,
+               {1 - d} * CASE WHEN n.id = s0.s THEN 1.0 ELSE 0.0 END
+               + {d} * COALESCE(i.inflow, 0.0) AS rank
+        FROM nodes n
+        CROSS JOIN src0 s0
+        LEFT JOIN inf{k} i ON i.id = n.id
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS n_deg FROM sym GROUP BY src),
+    nodes AS MATERIALIZED (SELECT id FROM deg),
+    src0 AS MATERIALIZED (SELECT MIN(src) AS s FROM sym),
+    {chain}
+    SELECT id, ROUND(rank, 6) + 0.0 AS rank FROM p{_PPR_ROUNDS}
+    """
+
+
+@query("graph_ppr", oracle=_ppr_oracle())
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the smallest customer: the (1-d)
+    restart mass teleports to the SOURCE only, so ranks measure
+    proximity TO THAT NODE — the graph feature behind "people also
+    bought" recommendation and local-community scoring (Page et al.
+    1999 §6 personalized vector; Jeh & Widom 2003, public literature),
+    where global PageRank measures importance.  The seventh hash-proven
+    iterative kernel.
+
+    Every node keeps a row every round (nodes without ranked
+    in-neighbors hold only their teleport term, unreached nodes exactly
+    0.0), so the engine's LEFT-JOIN round and the oracle's unrolled
+    recurrence are the same total function of the edge list.  ROUND(6)
+    absorbs cross-engine summation-order jitter (~1e-16 per inflow sum
+    — five orders below the rounding grain; PPR ranks are small, so the
+    pagerank convention's ROUND(4) would flatten real structure);
+    ``+ 0.0`` canonicalizes signed zero as everywhere.
+
+    Scale: identical per-round shape to ``graph_pagerank_copurchase``
+    (one rank/deg shuffle keyed by node + a left join against the
+    static node table), localCheckpoint lineage discipline; the source
+    is MIN(src), derived identically by both engines."""
+    from concurrent_etl_go_spark.operators.registry import release_df
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_deg")
+    )
+    deg = scoped_persist(deg)
+    nodes = deg.select("id")
+    source = sym.agg(F.min("src")).first()[0]
+    is_src = F.when(F.col("id") == source, 1.0).otherwise(0.0)
+    ranks = nodes.select("id", is_src.alias("rank"))
+    storage = None
+    for _ in range(_PPR_ROUNDS):
+        inflow = (
+            sym.join(deg, sym["src"] == deg["id"])
+            .join(
+                ranks.select(
+                    F.col("id").alias("rid"), F.col("rank").alias("r")
+                ),
+                sym["src"] == F.col("rid"),
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("r") / F.col("n_deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(inflow, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1 - _PPR_DAMPING) * is_src
+                    + F.lit(_PPR_DAMPING)
+                    * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if storage is not None:
+            release_df(storage)
+        storage = new_ranks
+        ranks = new_ranks
+    if storage is not None:
+        track_cache(storage)
+    return ranks.select(
+        "id", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
+    )

@@ -57,10 +57,11 @@ def _contrib(term: str) -> Column:
     return idf * tf * (BM25_K1 + 1.0) / denom
 
 
-@query(
-    "text_bm25_search",
-    oracle=f"""
-    WITH tok AS (
+#: BM25 CTE chain through the per-document `scored` relation — shared
+#: verbatim by the text_bm25_search oracle and the hybrid-RRF fusion
+#: oracle below (one definition, two consumers, byte-identical math).
+_BM25_SCORED_SQL = f"""
+    tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
     dl AS (
@@ -102,6 +103,13 @@ def _contrib(term: str) -> Column:
       FROM joined
       GROUP BY doc_id
     )
+"""
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL}
     SELECT doc_id, ROUND(score, 4) AS bm25
     FROM scored
     ORDER BY ROUND(score, 4) DESC, doc_id
@@ -185,4 +193,179 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "term")
         .limit(HEAVY_HITTERS_K)
+    )
+
+
+#: Hybrid-retrieval fusion constants: per-arm shortlist size, the RRF
+#: smoothing constant (60 — the value from the original paper), and the
+#: fused result size.
+RRF_ARM_K = 20
+RRF_K = 60
+RRF_TOP_K = 20
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_SCORED_SQL},
+    lex AS MATERIALIZED (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id)
+               AS lex_rank
+      FROM scored
+      ORDER BY ROUND(score, 4) DESC, doc_id LIMIT {RRF_ARM_K}
+    ),
+    iv AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
+              for x in embedding] AS v
+      FROM embeddings
+    ),
+    qv AS MATERIALIZED (SELECT v AS q FROM iv WHERE vec_id = 0),
+    semd AS MATERIALIZED (
+      SELECT a.vec_id AS doc_id,
+             CAST(list_sum([(a.v[i] - qv.q[i]) * (a.v[i] - qv.q[i])
+                            for i in range(1, 65)]) AS BIGINT) AS d2
+      FROM iv a CROSS JOIN qv
+    ),
+    sem AS MATERIALIZED (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY d2, doc_id) AS sem_rank
+      FROM semd
+      ORDER BY d2, doc_id LIMIT {RRF_ARM_K}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             ROUND(
+               COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + sem.sem_rank), 0.0), 6
+             ) + 0.0 AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP_K}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    public literature): fuse the BM25 lexical top-20 with the
+    embedding-distance semantic top-20 (``RRF_ARM_K``) (integer-quantized L2
+    to the fixed query vector — the corpus aligns doc_id == vec_id) by
+    RRF score 1/(60 + rank_lex) + 1/(60 + rank_sem) — the standard
+    production hybrid-search combiner, robust to the arms' incomparable
+    score scales because it consumes only RANKS.
+
+    Determinism: each arm ranks by (rounded score DESC | integer
+    distance ASC, doc_id) — total orders; the fusion sum is TWO terms
+    added in fixed order (coalesce(lex, 0) + coalesce(sem, 0)), so
+    Spark and DuckDB perform identical IEEE additions; ROUND(6) + 0.0
+    canonicalizes the output.  Docs appearing in only one arm
+    contribute that arm's term alone (FULL OUTER join), exactly as RRF
+    defines it.
+
+    Scale: each arm is its own documented plan (the inverted-index BM25
+    pass; a brute-force integer distance scan that swaps for the IVF-PQ
+    or Matryoshka index at corpus scale — ``similarity_ivfpq_topk``,
+    ``similarity_matryoshka_topk``); fusion itself touches only the two
+    ``RRF_ARM_K``-row shortlists — a constant-size full-outer join and
+    window regardless of corpus size."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("term")).where(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.crossJoin(F.broadcast(stats.select("n_docs")))
+        .groupBy("term", "n_docs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    joined = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+    )
+    contribs = [_contrib(t) for t in BM25_TERMS]
+    score = contribs[0]
+    for c in contribs[1:]:  # fixed left-to-right addition order
+        score = score + c
+    scored = joined.groupBy("doc_id").agg(F.round(score, 4).alias("bm25"))
+    from pyspark.sql import Window
+
+    w_lex = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(RRF_ARM_K)
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+
+    iv = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("v"),
+    )
+    q = iv.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    semd = iv.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.expr(
+            "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
+            "0L, (acc, e) -> acc + e)"
+        ).alias("d2"),
+    )
+    w_sem = Window.orderBy("d2", "doc_id")
+    sem = (
+        semd.orderBy("d2", "doc_id")
+        .limit(RRF_ARM_K)
+        .select("doc_id", F.row_number().over(w_sem).alias("sem_rank"))
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rrf"),
+    )
+    w_out = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.select(
+            F.row_number().over(w_out).cast("long").alias("rank"),
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            "rrf",
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(RRF_TOP_K)
     )

@@ -1266,3 +1266,37 @@ def test_hierarchy_rollup_subtree_invariants(spark):
         assert r.n_subtree == expect_n[n]
         assert r.subtree_units == expect_units[n]
         assert r.subtree_balance == expect_units[n] / 100
+
+
+def test_graph_ppr_mass_and_source_locality(spark):
+    """graph_ppr: with symmetric edges there are no dangling nodes, so
+    the per-round recurrence sum_k = (1-d)·1 + d·sum_{k-1} with
+    sum_0 = 1 keeps TOTAL rank mass exactly 1 every round — check it to
+    the ROUND(6) grain; the teleport source (MIN src) must hold the
+    maximum rank (all restart mass returns there); ranks are in [0, 1];
+    and the fixed-round loop is deterministic across runs."""
+    from concurrent_etl_go_spark.operators.graph2 import (
+        _copurchase_edges,
+        graph_ppr,
+    )
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    rows = graph_ppr(spark, SF_SMOKE).collect()
+    release_caches()
+    assert rows
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < len(rows) * 1e-6  # ROUND(6) grain
+    assert all(0.0 <= r.rank <= 1.0 for r in rows)
+
+    src = (
+        _copurchase_edges(spark, SF_SMOKE)
+        .agg({"src": "min"})
+        .first()[0]
+    )
+    release_caches()
+    by_id = {r.id: r.rank for r in rows}
+    assert by_id[src] == max(by_id.values())
+
+    again = graph_ppr(spark, SF_SMOKE).collect()
+    release_caches()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -233,3 +233,51 @@ def test_sample_negatives_labels_differ_and_deterministic(spark):
         assert r.neg_label != labels[r.vec_id]
     again = _released(spark, sample_negatives, SF_SMOKE)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ------------------------------------------------------- hybrid RRF
+
+
+def test_hybrid_rrf_scores_recompute_from_ranks(spark):
+    """search_hybrid_rrf: the fused score must be a pure function of the
+    two arm ranks — recompute 1/(60+lex) + 1/(60+sem) driver-side and
+    compare to the emitted rrf (the property the oracle hash proves
+    cross-engine but can't explain); output is exactly RRF_TOP_K rows,
+    rrf-descending with ranks 1..k, and every row carries at least one
+    arm rank (a doc in neither shortlist can never appear)."""
+    from concurrent_etl_go_spark.operators.search import (
+        RRF_K,
+        RRF_TOP_K,
+        search_hybrid_rrf,
+    )
+
+    rows = _released(spark, search_hybrid_rrf, SF_SMOKE)
+    assert len(rows) == RRF_TOP_K
+    assert [r.rank for r in rows] == list(range(1, RRF_TOP_K + 1))
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.lex_rank is not None or r.sem_rank is not None
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (RRF_K + r.lex_rank)
+        if r.sem_rank is not None:
+            expect += 1.0 / (RRF_K + r.sem_rank)
+        assert abs(r.rrf - round(expect, 6)) < 1e-12
+
+
+def test_hybrid_rrf_lexical_arm_agrees_with_bm25(spark):
+    """The fused result's lexical ranks must agree with the standalone
+    BM25 query's ordering — the shared _BM25_SCORED_SQL fragment and the
+    shared Spark expression are one definition, so a drift between the
+    two queries would be a refactor bug."""
+    from concurrent_etl_go_spark.operators.search import (
+        search_hybrid_rrf,
+        text_bm25_search,
+    )
+
+    bm25 = _released(spark, text_bm25_search, SF_SMOKE)
+    bm25_rank = {r.doc_id: i + 1 for i, r in enumerate(bm25)}
+    for r in _released(spark, search_hybrid_rrf, SF_SMOKE):
+        if r.lex_rank is not None:
+            assert bm25_rank.get(r.doc_id) == r.lex_rank
