@@ -128,6 +128,10 @@ HEADLINE = (
     "dedup_prefix_filter_jaccard",  # exact sub-quadratic set join
     "graph_ppr",                    # personalized PageRank
     "search_hybrid_rrf",            # lexical+semantic RRF fusion
+    "graph_jaccard_neighbors",      # neighborhood-Jaccard link prediction
+    "window_cusum",                 # CUSUM change-point series
+    "agg_ab_test",                  # A/B two-proportion + SRM readout
+    "text_bpe_apply",               # frozen-merge BPE tokenizer apply
 )
 
 

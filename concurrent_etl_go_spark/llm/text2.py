@@ -479,3 +479,95 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_count"),
         F.min("c").alias("min_count"),
     )
+
+
+#: Frozen BPE merge table, applied IN ORDER.  In production these are
+#: the learned merges — the top pairs ``text_bpe_merge_candidates``
+#: surfaces each training iteration (Sennrich et al. 2016); freezing
+#: them makes the APPLY step a pure deterministic function both engines
+#: evaluate identically (the ``llm/ivfpq2.py`` frozen-codebook
+#: convention: fit offline, prove the serving algebra).  Later merges
+#: consume earlier outputs ("t h" -> "th", then "th e" -> "the"), so
+#: the chain exercises real merge composition.
+BPE_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("i", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("s", "t"),
+)
+
+#: Number of top subword tokens the apply step reports.
+BPE_APPLY_TOP = 30
+
+
+def _bpe_apply_oracle() -> str:
+    merged = "s"
+    for a, b in BPE_MERGES:
+        merged = f"replace({merged}, '{a} {b}', '{a}{b}')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+      FROM w
+    ),
+    m AS (SELECT doc_id, {merged} AS s FROM c),
+    t AS (SELECT doc_id, unnest(string_split(s, ' ')) AS tok FROM m)
+    SELECT tok, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM t WHERE tok <> ''
+    GROUP BY 1
+    ORDER BY n_tokens DESC, tok
+    LIMIT {BPE_APPLY_TOP}
+    """
+
+
+@query("text_bpe_apply", oracle=_bpe_apply_oracle())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION with a frozen merge table — the other
+    half of the BPE loop next to ``text_bpe_merge_candidates``'s pair
+    counting: words split to characters, then each learned merge
+    rewrites its pair in order, and the resulting subword vocabulary is
+    ranked by corpus frequency (the "what does the tokenizer actually
+    emit" report every training-data pipeline runs before committing a
+    vocab).
+
+    Portability of the rewrite itself: each merge is ONE sequential
+    left-to-right non-overlapping string replace — Spark ``replace``
+    and DuckDB ``replace`` share that exact semantic (verified on
+    overlapping-pair adversarial cases: 'a a a a' -> 'aa aa' on both),
+    and the char split is the same global regexp in both dialects, so
+    the full rewrite chain is engine-identical with no float anywhere.
+
+    Scale: the entire merge chain is per-row string arithmetic in
+    whole-stage codegen (k nested replaces — no join, no shuffle, no
+    Python), then ONE (token)-keyed hash agg with map-side partials
+    rides the only exchange; top-{k} via TakeOrdered with the
+    lexicographic tie-break.  A 100k-merge production vocab compiles
+    the same way (chained replaces on bounded-length words) or swaps
+    to a broadcast trie lookup in a pandas UDF; the counting plan —
+    the part under test — is unchanged."""
+    words = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    )
+    s = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    toks = words.select(
+        "doc_id", F.explode(F.split(s, " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_tokens"), "tok")
+        .limit(BPE_APPLY_TOP)
+    )

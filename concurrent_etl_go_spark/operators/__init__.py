@@ -10,6 +10,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     canary,
     cdc,
     etl_queries,
+    experiments,
     graph,
     graph2,
     layout,

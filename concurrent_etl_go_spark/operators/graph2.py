@@ -405,6 +405,90 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@query(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY 1),
+    cn AS (
+      SELECT s1.dst AS a, s2.dst AS b, COUNT(*) AS n_common
+      FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+      GROUP BY 1, 2
+    ),
+    nonadj AS (
+      SELECT cn.a, cn.b, cn.n_common
+      FROM cn LEFT JOIN edges e ON e.src = cn.a AND e.dst = cn.b
+      WHERE e.src IS NULL
+    )
+    SELECT n.a, n.b, n.n_common,
+           da.degree AS deg_a, db.degree AS deg_b,
+           (10000 * n.n_common)
+               // (da.degree + db.degree - n.n_common) AS jaccard_bp
+    FROM nonadj n
+    JOIN deg da ON da.node = n.a
+    JOIN deg db ON db.node = n.b
+    ORDER BY jaccard_bp DESC, n.a, n.b LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard — common neighbors
+    NORMALIZED by the union of the two neighborhoods (Liben-Nowell &
+    Kleinberg 2003): the canonical companion to
+    ``graph_common_neighbors``, which over-ranks high-degree hubs;
+    Jaccard surfaces pairs whose neighborhoods actually overlap
+    proportionally.  Pairs are non-adjacent (prediction targets), the
+    score is EXACT INTEGER basis points via portable floor division
+    (``10000·|∩| // (deg_a + deg_b − |∩|)``, the ``agg_basket_lift``
+    convention), so ranking can never flip on float representation.
+
+    Scale: the wedge join is the same Sum(deg²) fan-out the upstream
+    ``_GROUP_CAP`` bounds for triangles/common-neighbors; degrees are
+    ONE hash-agg on the symmetric node key, joined back to the
+    candidate pairs (node-keyed shuffles, both sides already hash-
+    partitioned); top-20 via TakeOrdered, never a global sort."""
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    cn = (
+        s1.join(
+            s2,
+            (F.col("s1.src") == F.col("s2.src"))
+            & (F.col("s1.dst") < F.col("s2.dst")),
+        )
+        .select(F.col("s1.dst").alias("a"), F.col("s2.dst").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = cn.join(
+        e,
+        (cn["a"] == e["src"]) & (cn["b"] == e["dst"]),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    scored = (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(10000 * n_common) div (deg_a + deg_b - n_common)"
+            ).alias("jaccard_bp"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_bp"), "a", "b").limit(20)
+
+
 #: k-core parameters: degree threshold and FIXED peel rounds (both
 #: engines run exactly this many — the PageRank fixed-iteration
 #: convention; a fixpoint loop would need data-dependent round counts

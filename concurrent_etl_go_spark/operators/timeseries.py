@@ -457,3 +457,136 @@ def window_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.sum("d").over(w).cast("long").alias("open_orders"),
     )
+
+
+@query(
+    "window_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
+           ROUND(
+             CAST(SUM(rev_cents) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) / 100.0
+             - CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE)
+               * ((CAST(SUM(rev_cents) OVER () AS DOUBLE) / 100.0)
+                  / CAST(COUNT(*) OVER () AS DOUBLE)),
+             4) + 0.0 AS cusum_dollars
+    FROM daily
+    """,
+)
+def window_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point series over daily revenue (Page 1954, public
+    literature): S_t = running_sum(x) − t·mean — the cumulative sum of
+    deviations from the series mean.  A regime shift (price change,
+    demand step, pipeline breakage) shows as the |S_t| peak AT the
+    change day, which per-day z-scores (``agg_daily_zscore``) smear
+    across the whole post-change period; the analyst reads the argmax
+    row straight off the returned series.
+
+    Cross-engine float discipline: daily revenue lands as EXACT integer
+    cents (the per-row signed half-add of ``lib.exact_money_sum``);
+    both engines then evaluate the IDENTICAL IEEE op sequence
+    (run/100.0 − t·((total/100.0)/n)) on integers well inside 2^53, so
+    every double matches bit-for-bit before the ROUND(…,4)+0.0
+    canonicalization even touches it.  Beyond 2^53 total cents the
+    recombination moves into decimal, the ``exact_money_sum`` scale>=4
+    discipline.
+
+    Scale: grain-first (the ``window_rolling_corr`` argument) — facts
+    collapse to one row per day in ONE combiner-friendly hash agg; all
+    three windows then run over the |days|-sized series (a few
+    thousand rows for a decade), so the unpartitioned ordering is over
+    dimension-sized data; per-metric series partition by the metric
+    key."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    units = (
+        F.col("o_totalprice") * F.lit(100.0)
+        + F.signum("o_totalprice") * F.lit(0.5)
+    ).cast("long")
+    daily = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.sum(units).alias("rev_cents"))
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = F.sum("rev_cents").over(w_run).cast("double") / F.lit(100.0)
+    t = F.row_number().over(Window.orderBy("day")).cast("double")
+    mean = (
+        F.sum("rev_cents").over(w_all).cast("double") / F.lit(100.0)
+    ) / F.count(F.lit(1)).over(w_all).cast("double")
+    return daily.select(
+        "day",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        (F.round(run - t * mean, 4) + F.lit(0.0)).alias("cusum_dollars"),
+    )
+
+
+@query(
+    "window_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(MAX(rev_cents) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS peak_cents,
+           CAST(MAX(rev_cents) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - rev_cents AS BIGINT) AS drawdown_cents
+    FROM daily
+    """,
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak deficit (drawdown) of daily revenue: each day's
+    shortfall against the best day SEEN SO FAR — the running-extreme
+    companion to ``window_cusum``'s running-sum deviation (CUSUM finds
+    WHERE the regime changed; drawdown measures how far and how long
+    the series sits below its peak — the recovery-tracking view).  The
+    max row of ``drawdown_cents`` is the max drawdown.
+
+    ALL-INTEGER output — daily revenue lands as exact cents (per-row
+    signed half-add), the running max and subtraction stay in bigint,
+    so the driver hash is bit-exact with no float discipline at all.
+
+    Scale: grain-first — one combiner-friendly hash agg to the daily
+    grain, one running-max window over the |days|-sized series (the
+    ``window_daily_backlog`` single-partition-over-dimension-sized
+    argument); per-metric series partition by the metric key."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    units = (
+        F.col("o_totalprice") * F.lit(100.0)
+        + F.signum("o_totalprice") * F.lit(0.5)
+    ).cast("long")
+    daily = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.sum(units).alias("rev_cents"))
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("rev_cents").over(w_run)
+    return daily.select(
+        "day",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        peak.cast("long").alias("peak_cents"),
+        (peak - F.col("rev_cents")).cast("long").alias("drawdown_cents"),
+    )

@@ -1300,3 +1300,134 @@ def test_graph_ppr_mass_and_source_locality(spark):
     again = graph_ppr(spark, SF_SMOKE).collect()
     release_caches()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_graph_jaccard_neighbors_formula_and_nonadjacency(spark):
+    """graph_jaccard_neighbors: every emitted pair is non-adjacent,
+    a < b, the basis-point score is exactly the integer floor-division
+    formula on its own reported counts, scores are in [0, 10000], and
+    the list is sorted by (jaccard_bp DESC, a, b)."""
+    from concurrent_etl_go_spark.operators.graph2 import (
+        _copurchase_edges,
+        graph_jaccard_neighbors,
+    )
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    rows = graph_jaccard_neighbors(spark, SF_SMOKE).collect()
+    release_caches()
+    assert rows
+    edges = {
+        (r.src, r.dst)
+        for r in _copurchase_edges(spark, SF_SMOKE).collect()
+    }
+    release_caches()
+    for r in rows:
+        assert r.a < r.b
+        assert (r.a, r.b) not in edges
+        union = r.deg_a + r.deg_b - r.n_common
+        assert union > 0
+        assert r.jaccard_bp == (10000 * r.n_common) // union
+        assert 0 <= r.jaccard_bp <= 10000
+    keys = [(-r.jaccard_bp, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_window_cusum_terminal_zero_and_drawdown_invariants(spark):
+    """window_cusum: the CUSUM of deviations from the series mean is
+    exactly 0 at the last day (run_n − n·mean = 0), so the final row
+    must round to 0 within the 1e-4 grain; window_drawdown over the
+    same daily series must satisfy peak = running max, drawdown =
+    peak − rev ≥ 0, and both queries must agree on rev_cents."""
+    from concurrent_etl_go_spark.operators.timeseries import (
+        window_cusum,
+        window_drawdown,
+    )
+
+    cusum = sorted(window_cusum(spark, SF_SMOKE).collect(),
+                   key=lambda r: r.day)
+    dd = sorted(window_drawdown(spark, SF_SMOKE).collect(),
+                key=lambda r: r.day)
+    assert cusum and len(cusum) == len(dd)
+    assert abs(cusum[-1].cusum_dollars) <= 1e-3
+    assert [r.day for r in cusum] == [r.day for r in dd]
+    assert [r.rev_cents for r in cusum] == [r.rev_cents for r in dd]
+    peak = None
+    for r in dd:
+        peak = r.rev_cents if peak is None else max(peak, r.rev_cents)
+        assert r.peak_cents == peak
+        assert r.drawdown_cents == peak - r.rev_cents
+        assert r.drawdown_cents >= 0
+
+
+def test_agg_ab_test_readout_consistency(spark):
+    """agg_ab_test: one row; units = distinct (user, day) pairs split
+    exhaustively across arms; conversions bounded by units; the
+    basis-point rates are the exact floor-division of the reported
+    counts; z's sign matches the rate difference; chi2 >= 0."""
+    from concurrent_etl_go_spark.operators.experiments import agg_ab_test
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    rows = agg_ab_test(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_units = (
+        read_table(spark, SF_SMOKE, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_units
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert r.rate_a_bp == (10000 * r.conv_a) // r.n_a
+    assert r.rate_b_bp == (10000 * r.conv_b) // r.n_b
+    assert r.srm_chi2 >= 0.0
+    p_diff = r.conv_a / r.n_a - r.conv_b / r.n_b
+    degenerate = (r.conv_a + r.conv_b) in (0, r.n_a + r.n_b)
+    if not degenerate and abs(p_diff) > 1e-9:
+        assert (r.z_score > 0) == (p_diff > 0)
+
+
+def test_text_bpe_apply_matches_python_mirror(spark):
+    """text_bpe_apply: the engine's top list equals a pure-Python BPE
+    apply over the same corpus — str.replace shares the sequential
+    left-to-right non-overlapping semantic with both engines' replace,
+    so the mirror is an independent third implementation of the frozen
+    merge chain (counts, doc frequencies, ordering, and the top-k cut
+    all reproduced exactly)."""
+    from collections import defaultdict
+
+    from concurrent_etl_go_spark.llm.text2 import (
+        BPE_APPLY_TOP,
+        BPE_MERGES,
+        text_bpe_apply,
+    )
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_tokens: dict[str, int] = defaultdict(int)
+    docs_seen: dict[str, set] = defaultdict(set)
+    for d in docs:
+        for word in d.text.split(" "):
+            s = " ".join(word)
+            for a, b in BPE_MERGES:
+                s = s.replace(f"{a} {b}", f"{a}{b}")
+            for tok in s.split(" "):
+                if tok:
+                    n_tokens[tok] += 1
+                    docs_seen[tok].add(d.doc_id)
+    expect = sorted(
+        ((tok, n, len(docs_seen[tok])) for tok, n in n_tokens.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:BPE_APPLY_TOP]
+    got = [
+        (r.tok, r.n_tokens, r.n_docs)
+        for r in text_bpe_apply(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    # merges actually fired: at least one multi-char token surfaced
+    assert any(len(t[0]) > 1 for t in got)
