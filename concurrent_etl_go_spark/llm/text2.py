@@ -571,3 +571,86 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tokens"), "tok")
         .limit(BPE_APPLY_TOP)
     )
+
+
+#: Quality buckets for the corpus-mix report: token-count floor and the
+#: English stopword-ratio floor (the ``text_langid`` confidence idiom).
+MIX_MIN_TOKENS = 20
+MIX_MIN_STOP_RATIO = 0.02
+
+
+@query(
+    "text_lang_quality_matrix",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+    ),
+    b AS MATERIALIZED (
+      SELECT lang,
+        CASE
+          WHEN len(w) < {MIX_MIN_TOKENS} THEN 'short'
+          WHEN CAST(len(list_filter(w, x -> lower(x) IN ('the','a','and',
+               'of','to','in','is','for','on','with'))) AS DOUBLE)
+               / greatest(len(w), 1) < {MIX_MIN_STOP_RATIO}
+            THEN 'low_stopword'
+          ELSE 'ok' END AS quality_bucket
+      FROM t
+    ),
+    c AS (
+      SELECT lang, quality_bucket, COUNT(*) AS n_docs
+      FROM b GROUP BY 1, 2
+    )
+    SELECT lang, quality_bucket, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * 10000 // SUM(n_docs) OVER () AS BIGINT)
+             AS share_bp
+    FROM c
+    ORDER BY lang, quality_bucket
+    """,
+)
+def text_lang_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition cross-tab: language x quality bucket with doc
+    counts and corpus share in integer basis points — the "what goes
+    into the training mix" report every pretraining pipeline signs off
+    before sampling weights are chosen (the mix views published for
+    C4/ROOTS-class corpora, public literature).  Buckets: 'short'
+    (under ``MIX_MIN_TOKENS`` tokens), 'low_stopword' (English
+    stopword ratio under ``MIX_MIN_STOP_RATIO`` — boilerplate/code
+    smell), else 'ok'; the ratio compare is one IEEE division per doc,
+    identical on both engines (the ``text_langid`` discipline).
+
+    Scale: pure scan -> per-row bucket expression -> ONE
+    (lang, bucket)-keyed hash agg with map-side partials;
+    |langs| x 3 output rows, so the share window runs on a
+    dimension-sized frame."""
+    docs = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
+    from concurrent_etl_go_spark.llm.text import EN_STOPWORDS
+
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))
+    ) / F.greatest(F.size(toks), F.lit(1))
+    bucket = (
+        F.when(F.size(toks) < MIX_MIN_TOKENS, F.lit("short"))
+        .when(stop_ratio < MIX_MIN_STOP_RATIO, F.lit("low_stopword"))
+        .otherwise(F.lit("ok"))
+    )
+    c = docs.groupBy("lang", bucket.alias("quality_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        c.select(
+            "lang",
+            "quality_bucket",
+            "n_docs",
+            F.expr("n_docs * 10000").alias("_num"),
+            total.alias("_den"),
+        )
+        .select(
+            "lang",
+            "quality_bucket",
+            "n_docs",
+            F.expr("_num div _den").cast("long").alias("share_bp"),
+        )
+        .orderBy("lang", "quality_bucket")
+    )

@@ -866,3 +866,105 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "id", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
     )
+
+
+#: HITS rounds: each round is one hub update (h = A·a) followed by one
+#: authority update (a = Aᵀ·h) over the DIRECTED (src < dst) edge list.
+#: Two rounds keep the all-integer scores far inside int64: the growth
+#: bound is n·deg^(2·rounds), so 2 rounds tolerate degrees up to ~10⁴
+#: at 10⁹ nodes before SUM(long) could overflow (and the oracle's
+#: HUGEINT accumulation would catch any excursion as a dtype mismatch).
+_HITS_ROUNDS = 2
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS: alternating hub/authority integer sums, sparse
+    intermediates (a node absent from a step has score 0 and
+    contributes nothing — the join drops it, which is arithmetically
+    identical), COALESCE to 0 only at the final projection."""
+    steps = []
+    prev_a = "a0"
+    for k in range(1, _HITS_ROUNDS + 1):
+        steps.append(
+            f"""h{k} AS MATERIALIZED (
+        SELECT e.src AS id, CAST(SUM(p.a) AS BIGINT) AS h
+        FROM edges e JOIN {prev_a} p ON p.id = e.dst GROUP BY e.src
+    ),
+    a{k} AS MATERIALIZED (
+        SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS a
+        FROM edges e JOIN h{k} h ON h.id = e.src GROUP BY e.dst
+    )"""
+        )
+        prev_a = f"a{k}"
+    chain = ",\n    ".join(steps)
+    r = _HITS_ROUNDS
+    return f"""
+    WITH {_EDGE_SQL},
+    nodes AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    a0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS a FROM nodes),
+    {chain}
+    SELECT n.id,
+           COALESCE(h.h, 0) AS hub,
+           COALESCE(a.a, 0) AS auth
+    FROM nodes n
+    LEFT JOIN h{r} h ON h.id = n.id
+    LEFT JOIN a{r} a ON a.id = n.id
+    ORDER BY auth DESC, hub DESC, n.id LIMIT 20
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public literature)
+    over the directed (src < dst) co-purchase edge list — the eighth
+    hash-proven iterative kernel: hub(u) = Σ auth(v) over out-edges,
+    auth(v) = Σ hub(u) over in-edges, alternated for ``_HITS_ROUNDS``
+    fixed rounds from the all-ones authority vector.
+
+    ALL-INTEGER by construction: per-round normalization is a global
+    scalar factor, so skipping it and ranking the raw integer sums
+    yields exactly the ranking normalized HITS produces — and turns
+    every intermediate into an exact int64 the driver hash pins
+    bit-for-bit (no float, no summation-order jitter, unlike the
+    damped PageRank family which needs ROUND(6)).  Sparse
+    intermediates are exact: a node missing from a step has score 0
+    and contributes 0 through any join.
+
+    Scale: each half-round is ONE edge-keyed equi-join + one hash-agg
+    on the opposite endpoint (identical shape to the PageRank inflow
+    round, map-side combinable); localCheckpoint after each round
+    keeps lineage flat; top-20 via TakeOrdered, never a global sort."""
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = scoped_persist(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    a = nodes.select("id", F.lit(1).cast("long").alias("a"))
+    h = None
+    for _ in range(_HITS_ROUNDS):
+        h = (
+            e.join(a, e["dst"] == a["id"])
+            .groupBy(e["src"].alias("id"))
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        a = (
+            e.join(h.select(F.col("id").alias("hid"), "h"),
+                   e["src"] == F.col("hid"))
+            .groupBy(e["dst"].alias("id"))
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        nodes.join(h.select(F.col("id").alias("id"), "h"), "id", "left")
+        .join(a.select(F.col("id").alias("id"), "a"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+    return out.orderBy(F.desc("auth"), F.desc("hub"), "id").limit(20)

@@ -534,3 +534,96 @@ def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("abs_deviation"),
     )
+
+
+#: The referential edges of the shared schema, child -> parent.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+#: Planted-fixture purge (the ``profile_key_islands`` convention): the
+#: synthetic tables are referentially PERFECT, so a parent filter that
+#: drops the md5 bucket-0 eighth of each parent key set plants a
+#: deterministic, engine-identical violation population — the report
+#: demonstrably COUNTS orphans instead of rubber-stamping zeros.
+_FK_PURGE_MOD = 8
+
+
+def _fk_oracle() -> str:
+    arms = []
+    for child, fk, parent, pk in _FK_EDGES:
+        arms.append(f"""
+    SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphans,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS orphan_bp
+    FROM {child} c
+    LEFT JOIN (
+      SELECT {pk} FROM {parent}
+      WHERE ('0x' || substr(md5(CAST({pk} AS VARCHAR)), 1, 4))::BIGINT
+            % {_FK_PURGE_MOD} != 0
+    ) p ON c.{fk} = p.{pk}""")
+    union = "\n    UNION ALL".join(arms)
+    return f"SELECT * FROM ({union}) ORDER BY fk_edge"
+
+
+@query("profile_fk_orphans", oracle=_fk_oracle())
+def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan report across every FK edge of the
+    schema — the full-schema generalization of the single FK check in
+    ``profile_constraint_check``: one row per (child.fk -> parent.pk)
+    edge with the child cardinality, the orphan count, and the orphan
+    rate in integer basis points.  The parent side drops its md5
+    bucket-0 eighth (``_FK_PURGE_MOD``, identical expression both
+    engines) so the planted orphans prove the counting path.
+
+    Scale: each edge is ONE left join probed only for parent-key
+    existence (the parent side prunes to its key column; small
+    dimensions broadcast, the lineitem->orders edge shuffles on the
+    join key) folded immediately into per-edge conditional COUNTs —
+    O(edges) rows cross the network, never the violating rows
+    themselves.  Quarantining actual orphans is the same predicate as
+    a filter."""
+    arms = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = read_table(spark, sf_dir, child).select(fk)
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(pk).cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            % _FK_PURGE_MOD
+        )
+        p = (
+            read_table(spark, sf_dir, parent)
+            .select(pk)
+            .where(bucket != 0)
+        )
+        joined = c.join(p, c[fk] == p[pk], "left")
+        arms.append(
+            joined.agg(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(
+                    F.when(F.col(pk).isNull(), 1).otherwise(0)
+                ).alias("orphans"),
+            ).select(
+                "fk_edge",
+                "child_rows",
+                "orphans",
+                F.expr("orphans * 10000 div child_rows")
+                .cast("long")
+                .alias("orphan_bp"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("fk_edge")

@@ -521,3 +521,68 @@ def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("_num div _den").alias("p_bp"),
     )
+
+
+@query(
+    "agg_event_paths",
+    oracle="""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS MATERIALIZED (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_bp
+    FROM paths
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def agg_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys as sliding event-type trigrams — the Sankey /
+    path-analysis input one order up from ``agg_event_transitions``'s
+    first-order matrix: every window of three CONSECUTIVE events of one
+    user becomes a ``a>b>c`` path, counted corpus-wide, with the share
+    of all trigrams in integer basis points (floor division —
+    float-free).
+
+    Scale: the successor pairing is one double-LEAD window partitioned
+    BY USER (perfectly spread, never a global sort), ordered (ts,
+    event_id) so same-timestamp events cannot flip paths between
+    engines; the path hash-agg output is at most |event_types|³ rows —
+    dimension-sized — so the share window and top-20 TakeOrdered run
+    on a tiny frame."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        paths.select(
+            "path",
+            "n",
+            F.expr("n * 10000").alias("_num"),
+            total.alias("_den"),
+        )
+        .select(
+            "path",
+            "n",
+            F.expr("_num div _den").cast("long").alias("share_bp"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
