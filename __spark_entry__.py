@@ -20,14 +20,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: the window each round.  Rounds 1-7 proved every query registered
 #: through round 7 (CORRECTNESS_r07: 48 hash-green + 2 expected
 #: rows-only, zero errors — the second consecutive all-clean window).
-#: Round 8 front-loads (a) the twenty round-8 additions (the hash-proven
+#: Round 8 front-loads (a) the twenty-eight round-8 additions (the hash-proven
 #: Lloyd's iteration, weighted SSSP, label propagation, hierarchy
 #: rollup + BOM explosion, block sampling, Matryoshka retrieval, Zipf
 #: profile, basket lift, Pareto frontier, key-islands DQ, event
 #: transition matrix, prefix-filter Jaccard join, personalized
 #: PageRank, hybrid-RRF retrieval fusion, neighborhood-Jaccard link
 #: prediction, CUSUM change-point, running-peak drawdown, A/B test
-#: readout, frozen-merge BPE apply) and (b) two re-proof blocks:
+#: readout, frozen-merge BPE apply, integer HITS, event-path trigrams,
+#: FK-orphan report, lang-quality matrix, temporal split,
+#: centroid drift, dup-ngram coverage, MMR re-rank) and (b) two
+#: re-proof blocks:
 #: queries whose Spark expression changed this round
 #: (``exact_money_sum``'s signed half-add + hi/lo split accumulator
 #: touches all 13 money-sum queries; the frame-sample empty-blob guard
@@ -66,6 +69,14 @@ _ROUND8_WINDOW = [
     "window_drawdown",
     "agg_ab_test",
     "text_bpe_apply",
+    "graph_hits",
+    "agg_event_paths",
+    "profile_fk_orphans",
+    "text_lang_quality_matrix",
+    "dataset_temporal_split",
+    "embeddings_centroid_drift",
+    "text_dup_ngram_coverage",
+    "search_mmr_rerank",
     # --- re-proof block: outputs identical by design (verified at
     # sf0.01 AND sf0.1 locally), but the Spark expression changed
     # (exact_money_sum signed half-add + scale>=4 hi/lo accumulator;

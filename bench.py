@@ -132,6 +132,10 @@ HEADLINE = (
     "window_cusum",                 # CUSUM change-point series
     "agg_ab_test",                  # A/B two-proportion + SRM readout
     "text_bpe_apply",               # frozen-merge BPE tokenizer apply
+    "graph_hits",                   # all-integer fixed-round HITS
+    "text_dup_ngram_coverage",      # duplicated-span coverage (Lee et al.)
+    "search_mmr_rerank",            # MMR diversified re-rank
+    "embeddings_centroid_drift",    # exact-integer domain-shift detector
 )
 
 

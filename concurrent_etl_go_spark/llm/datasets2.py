@@ -410,3 +410,130 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("abs_tf"),
         )
     )
+
+
+#: Temporal-split holdout width: the final N days of the event stream
+#: become the evaluation split.
+TEMPORAL_HOLDOUT_DAYS = 7
+
+
+@query(
+    "dataset_temporal_split",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    cut AS MATERIALIZED (
+      SELECT MAX(day) - INTERVAL {TEMPORAL_HOLDOUT_DAYS} DAY AS cutoff
+      FROM d
+    ),
+    tagged AS MATERIALIZED (
+      SELECT user_id, day,
+             CASE WHEN day < cut.cutoff THEN 'train' ELSE 'test' END
+               AS split
+      FROM d CROSS JOIN cut
+    ),
+    u AS MATERIALIZED (
+      SELECT user_id,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM tagged GROUP BY user_id
+    ),
+    us AS MATERIALIZED (
+      SELECT CAST(SUM(in_train) AS BIGINT) AS train_users,
+             CAST(SUM(in_test) AS BIGINT) AS test_users,
+             CAST(SUM(in_train * in_test) AS BIGINT) AS both_users
+      FROM u
+    ),
+    es AS MATERIALIZED (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+             strftime(MIN(day), '%Y-%m-%d') AS first_day,
+             strftime(MAX(day), '%Y-%m-%d') AS last_day
+      FROM tagged GROUP BY split
+    )
+    SELECT e.split, e.n_events,
+           CASE WHEN e.split = 'train' THEN us.train_users
+                ELSE us.test_users END AS n_users,
+           e.first_day, e.last_day,
+           CAST(us.both_users * 10000
+                // CASE WHEN e.split = 'train' THEN us.train_users
+                        ELSE us.test_users END AS BIGINT)
+             AS seen_in_other_bp
+    FROM es e CROSS JOIN us
+    ORDER BY e.split
+    """,
+)
+def dataset_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-audited TEMPORAL train/eval split over the event stream:
+    the final ``TEMPORAL_HOLDOUT_DAYS`` days become 'test', everything
+    before is 'train' — the forecasting/recsys split where random
+    row-level splits (``split_train_val_test``) silently leak the
+    future into training.  One readout row per split: event count,
+    user count, day range, and the entity-overlap rate (share of this
+    split's users also active in the other, integer basis points) —
+    the number an auditor reads to decide between user-disjoint and
+    time-disjoint evaluation.
+
+    Determinism: the cutoff derives from MAX(day) in-plan (broadcast
+    one-row join, no driver collect); day comparisons and string
+    formatting are exact under the UTC-pinned session.
+
+    Scale: one scan -> (user, day) projection; the cutoff is a one-row
+    broadcast; user flags are ONE user-keyed hash agg; the final
+    readout folds two tiny aggregates — O(1) rows cross the network."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    cut = ev.agg(
+        (F.max("day") - F.expr(f"INTERVAL {TEMPORAL_HOLDOUT_DAYS} DAYS"))
+        .alias("cutoff")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        "day",
+        F.when(F.col("day") < F.col("cutoff"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    u = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "in_test"
+        ),
+    )
+    us = u.agg(
+        F.sum("in_train").alias("train_users"),
+        F.sum("in_test").alias("test_users"),
+        F.sum(F.col("in_train") * F.col("in_test")).alias("both_users"),
+    )
+    es = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+    )
+    n_users = F.when(
+        F.col("split") == "train", F.col("train_users")
+    ).otherwise(F.col("test_users"))
+    return (
+        es.crossJoin(F.broadcast(us))
+        .select(
+            "split",
+            "n_events",
+            n_users.alias("n_users"),
+            "first_day",
+            "last_day",
+            F.expr("both_users * 10000").alias("_num"),
+            n_users.alias("_den"),
+        )
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "first_day",
+            "last_day",
+            F.expr("_num div _den").cast("long").alias("seen_in_other_bp"),
+        )
+        .orderBy("split")
+    )

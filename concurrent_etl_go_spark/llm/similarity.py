@@ -555,3 +555,102 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectors.join(dup_ids, "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+@query(
+    "embeddings_centroid_drift",
+    oracle="""
+    WITH q AS MATERIALIZED (
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ),
+    lbl AS MATERIALIZED (
+      SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS s_l,
+             CAST(COUNT(*) AS BIGINT) AS n_l
+      FROM q GROUP BY 1, 2
+    ),
+    gtot AS MATERIALIZED (
+      SELECT pos, CAST(SUM(qv) AS BIGINT) AS s_g,
+             CAST(COUNT(*) AS BIGINT) AS n_g
+      FROM q GROUP BY 1
+    ),
+    terms AS MATERIALIZED (
+      SELECT l.label, l.n_l, g.n_g,
+             (l.s_l * g.n_g - g.s_g * l.n_l)
+               * (l.s_l * g.n_g - g.s_g * l.n_l) AS num2
+      FROM lbl l JOIN gtot g ON l.pos = g.pos
+    )
+    SELECT label, CAST(n_l AS BIGINT) AS n_vecs,
+           CAST(SUM(num2) * 1000000 // ((n_l * n_g) * (n_l * n_g))
+                AS BIGINT) AS drift2_micro
+    FROM terms
+    GROUP BY label, n_l, n_g
+    ORDER BY label
+    """,
+)
+def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift detector: per-label centroid distance-squared to
+    the GLOBAL centroid, in exact integer micro-units — the health
+    check that flags when one source/domain's embeddings sit far from
+    the corpus center (domain shift, a broken encoder batch, or a
+    poisoned slice) before those vectors enter an index or a training
+    mix.
+
+    Exactness: vectors quantize to ``floor(x*1024)`` integers (the
+    ``ivfpq2`` convention); the per-position mean difference
+    ``s_l/n_l − s_g/n_g`` becomes the cross-multiplied integer
+    ``(s_l·n_g − s_g·n_l) / (n_l·n_g)``, its square summed over
+    positions in DECIMAL(38,0) (HUGEINT on the oracle side), and the
+    single division is a floor division to integer micro-units — no
+    float exists anywhere, so the driver hash is bit-exact
+    (the ``agg_basket_lift`` discipline).
+
+    Scale: one posexplode pass -> (label, pos) and (pos) hash aggs
+    (both combiner-friendly, label x dim and dim output rows) -> a
+    broadcast-sized join on pos -> one label-keyed fold.  Driver
+    traffic is |labels| rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    parallelism = spark.sparkContext.defaultParallelism
+    q = (
+        emb.repartition(parallelism, "vec_id")
+        .select(
+            "label",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, x -> "
+                    "cast(floor(cast(x as double) * 1024) as bigint))"
+                )
+            ).alias("pos", "qv"),
+        )
+    )
+    lbl = q.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s_l"), F.count(F.lit(1)).alias("n_l")
+    )
+    glob = q.groupBy("pos").agg(
+        F.sum("qv").alias("s_g"), F.count(F.lit(1)).alias("n_g")
+    )
+    terms = lbl.join(F.broadcast(glob), "pos").select(
+        "label",
+        "n_l",
+        "n_g",
+        F.expr(
+            "cast(s_l * n_g - s_g * n_l as decimal(38,0))"
+            " * cast(s_l * n_g - s_g * n_l as decimal(38,0))"
+        ).alias("num2"),
+    )
+    return (
+        terms.groupBy("label", "n_l", "n_g")
+        .agg(F.sum("num2").alias("s2"))
+        .select(
+            "label",
+            F.col("n_l").alias("n_vecs"),
+            F.expr(
+                "cast(s2 * 1000000 div "
+                "(cast(n_l * n_g as decimal(38,0))"
+                " * cast(n_l * n_g as decimal(38,0))) as bigint)"
+            ).alias("drift2_micro"),
+        )
+        .orderBy("label")
+    )

@@ -654,3 +654,117 @@ def text_lang_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "quality_bucket")
     )
+
+
+#: Duplicate-span n-gram width (the Lee et al. 2022 "Deduplicating
+#: Training Data" exact-substring grain, public literature).
+DUP_NGRAM_K = 8
+
+
+@query(
+    "text_dup_ngram_coverage",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, u.s,
+             array_to_string(w[u.s + 1 : u.s + {DUP_NGRAM_K}], ' ') AS gram
+      FROM t, unnest(range(0, len(w) - {DUP_NGRAM_K} + 1)) AS u(s)
+    ),
+    dup AS MATERIALIZED (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ds AS MATERIALIZED (
+      SELECT g.doc_id, g.s,
+             lead(g.s) OVER (PARTITION BY g.doc_id ORDER BY g.s) AS ns
+      FROM g JOIN dup ON g.gram = dup.gram
+    ),
+    cov AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(LEAST({DUP_NGRAM_K},
+                            COALESCE(ns - s, {DUP_NGRAM_K}))) AS BIGINT)
+               AS covered
+      FROM ds GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           COALESCE(cov.covered, 0) AS covered_tokens,
+           CAST(COALESCE(cov.covered, 0) * 10000 // len(t.w) AS BIGINT)
+             AS coverage_bp
+    FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage per document — the exact-substring dedup
+    METRIC of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", public literature): a token is covered
+    when it lies inside any ``DUP_NGRAM_K``-gram that also appears in
+    at least one OTHER document, and the per-doc coverage ratio (in
+    integer basis points) is the triage signal that decides between
+    dropping the doc, cutting the span, or keeping it.  Complements
+    the document-level dedup family (`dedup_*`): those ask "is this
+    DOC a duplicate"; this asks "how much of this doc is boilerplate
+    shared with others".
+
+    The interval-union sweep is exact and portable: duplicated gram
+    START positions sorted per doc; each start covers
+    ``min(K, next_start − start)`` tokens (the [s, s+K) windows merge
+    where they overlap), computed with one LEAD — no per-token
+    explosion.  All integers end-to-end.
+
+    Scale: gram construction is an in-row transform + posexplode
+    (n_tokens rows per doc, the shingling cost every MinHash pipeline
+    already pays); duplicate grams come from ONE gram-keyed hash agg;
+    the sweep windows partition BY DOCUMENT.  At 100 TB the gram agg
+    is the dominant shuffle — identical shape to
+    ``dedup_minhash_signature``'s shingle pass, and the gram key can
+    hash to a fixed-width fingerprint to cut shuffle bytes."""
+    from concurrent_etl_go_spark.llm.text import kgram_index
+
+    k = DUP_NGRAM_K
+    docs = tokenized_docs(spark, sf_dir)
+    base = docs.select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    g = base.select(
+        "doc_id",
+        F.explode(kgram_index(F.col("toks"), k)).alias("s"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "s",
+        F.array_join(F.slice("toks", F.col("s") + 1, k), " ").alias("gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    ds = g.join(dup, "gram").select(
+        "doc_id",
+        "s",
+        F.lead("s").over(
+            Window.partitionBy("doc_id").orderBy("s")
+        ).alias("ns"),
+    )
+    cov = ds.groupBy("doc_id").agg(
+        F.sum(
+            F.least(F.lit(k), F.coalesce(F.col("ns") - F.col("s"), F.lit(k)))
+        ).alias("covered")
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.expr(
+                "cast(coalesce(covered, 0) * 10000 div n_tokens as bigint)"
+            ).alias("coverage_bp"),
+        )
+        .orderBy("doc_id")
+    )

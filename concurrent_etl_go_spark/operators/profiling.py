@@ -549,10 +549,15 @@ _FK_EDGES = (
 
 #: Planted-fixture purge (the ``profile_key_islands`` convention): the
 #: synthetic tables are referentially PERFECT, so a parent filter that
-#: drops the md5 bucket-0 eighth of each parent key set plants a
+#: drops the md5 bucket-2 eighth of each parent key set plants a
 #: deterministic, engine-identical violation population — the report
 #: demonstrably COUNTS orphans instead of rubber-stamping zeros.
 _FK_PURGE_MOD = 8
+
+#: The purged bucket: 2 (not 0) — chosen so every parent key set in the
+#: shared schema, including the 5-row region dimension, loses at least
+#: one key (md5("1") lands in bucket 2; no region key lands in 0).
+_FK_PURGE_BUCKET = 2
 
 
 def _fk_oracle() -> str:
@@ -569,7 +574,7 @@ def _fk_oracle() -> str:
     LEFT JOIN (
       SELECT {pk} FROM {parent}
       WHERE ('0x' || substr(md5(CAST({pk} AS VARCHAR)), 1, 4))::BIGINT
-            % {_FK_PURGE_MOD} != 0
+            % {_FK_PURGE_MOD} != {_FK_PURGE_BUCKET}
     ) p ON c.{fk} = p.{pk}""")
     union = "\n    UNION ALL".join(arms)
     return f"SELECT * FROM ({union}) ORDER BY fk_edge"
@@ -582,7 +587,7 @@ def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``profile_constraint_check``: one row per (child.fk -> parent.pk)
     edge with the child cardinality, the orphan count, and the orphan
     rate in integer basis points.  The parent side drops its md5
-    bucket-0 eighth (``_FK_PURGE_MOD``, identical expression both
+    bucket-``_FK_PURGE_BUCKET`` eighth (identical expression both
     engines) so the planted orphans prove the counting path.
 
     Scale: each edge is ONE left join probed only for parent-key
@@ -604,7 +609,7 @@ def profile_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = (
             read_table(spark, sf_dir, parent)
             .select(pk)
-            .where(bucket != 0)
+            .where(bucket != _FK_PURGE_BUCKET)
         )
         joined = c.join(p, c[fk] == p[pk], "left")
         arms.append(

@@ -369,3 +369,167 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(RRF_TOP_K)
     )
+
+
+#: MMR re-rank constants: candidate shortlist size, picks returned.
+MMR_SHORTLIST = 20
+MMR_SELECT = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: pick 1 is pure relevance; each later pick
+    maximizes ``novelty − d2`` where novelty is the minimum pairwise
+    distance to the already-selected set — all integers, so argmax
+    ties resolve on doc_id identically in both engines."""
+    steps = [
+        f"""pick1 AS MATERIALIZED (
+      SELECT doc_id, d2, CAST(NULL AS BIGINT) AS mmr
+      FROM short ORDER BY d2, doc_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM pick1)"""
+    ]
+    for i in range(2, MMR_SELECT + 1):
+        steps.append(
+            f"""pick{i} AS MATERIALIZED (
+      SELECT c.doc_id, c.d2, MIN(p.pd) - c.d2 AS mmr
+      FROM short c
+      JOIN pd p ON p.a = c.doc_id
+                AND p.b IN (SELECT doc_id FROM sel{i - 1})
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+      GROUP BY c.doc_id, c.d2
+      ORDER BY mmr DESC, c.doc_id LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT doc_id FROM sel{i - 1} UNION SELECT doc_id FROM pick{i}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, doc_id, d2, mmr FROM pick{i}"
+        for i in range(1, MMR_SELECT + 1)
+    )
+    return f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
+              for x in embedding] AS v
+      FROM embeddings
+    ),
+    qv AS MATERIALIZED (SELECT v AS q FROM iv WHERE vec_id = 0),
+    short AS MATERIALIZED (
+      SELECT a.vec_id AS doc_id, a.v,
+             CAST(list_sum([(a.v[i] - qv.q[i]) * (a.v[i] - qv.q[i])
+                            for i in range(1, 65)]) AS BIGINT) AS d2
+      FROM iv a CROSS JOIN qv
+      ORDER BY d2, a.vec_id LIMIT {MMR_SHORTLIST}
+    ),
+    pd AS MATERIALIZED (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(list_sum([(x.v[i] - y.v[i]) * (x.v[i] - y.v[i])
+                            for i in range(1, 65)]) AS BIGINT) AS pd
+      FROM short x JOIN short y ON x.doc_id != y.doc_id
+    ),
+    {chain}
+    SELECT CAST(step AS BIGINT) AS step, doc_id, d2, mmr
+    FROM ({unions}) ORDER BY step
+    """
+
+
+@query("search_mmr_rerank", oracle=_mmr_oracle())
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein 1998, public literature) of the semantic shortlist: the
+    RAG retrieval step that stops a context window filling with five
+    near-copies of the same passage.  Pick 1 is the most relevant
+    (smallest integer L2 to the query); each later pick maximizes
+    ``novelty − relevance_cost`` = min-distance-to-selected − d2 (the
+    distance form of MMR at lambda = 1/2, scale-consistent because
+    both terms are the SAME integer metric).
+
+    All-integer determinism: quantized ``floor(x*1024)`` vectors (the
+    ``ivfpq2`` convention) make relevance, pairwise distance, and the
+    greedy argmax exact integer arithmetic with doc_id tie-breaks —
+    the oracle unrolls the selection loop step for step.
+
+    Scale: relevance is the documented brute-force arm (swaps for the
+    IVF-PQ / Matryoshka index); everything after touches only the
+    ``MMR_SHORTLIST``-row shortlist — the k x k pairwise matrix and
+    ``MMR_SELECT`` constant-size join rounds are O(k²) on ~constant
+    k, independent of corpus size."""
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    iv = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 1024) as bigint))"
+        ).alias("v"),
+    )
+    q = iv.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    d2 = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, e) -> acc + e)"
+    )
+    short = scoped_persist(
+        iv.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), "v", d2.alias("d2"))
+        .orderBy("d2", "doc_id")
+        .limit(MMR_SHORTLIST)
+    )
+    x = short.select(F.col("doc_id").alias("a"), F.col("v").alias("va"))
+    y = short.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"))
+    pdist = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, e) -> acc + e)"
+    )
+    pd = scoped_persist(
+        x.join(y, F.col("a") != F.col("b")).select(
+            "a", "b", pdist.alias("pd")
+        )
+    )
+    pick = (
+        short.orderBy("d2", "doc_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            "doc_id",
+            "d2",
+            F.lit(None).cast("long").alias("mmr"),
+        )
+    )
+    picks = [pick]
+    selected = pick.select("doc_id")
+    for i in range(2, MMR_SELECT + 1):
+        cand = short.join(selected, "doc_id", "left_anti").select(
+            "doc_id", "d2"
+        )
+        scored = (
+            cand.join(pd, F.col("doc_id") == F.col("a"))
+            .join(
+                selected.select(F.col("doc_id").alias("sid")),
+                F.col("b") == F.col("sid"),
+            )
+            .groupBy("doc_id", "d2")
+            .agg(F.min("pd").alias("novelty"))
+            .select(
+                "doc_id",
+                "d2",
+                (F.col("novelty") - F.col("d2")).alias("mmr"),
+            )
+        )
+        nxt = (
+            scored.orderBy(F.desc("mmr"), "doc_id")
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("step"),
+                "doc_id",
+                "d2",
+                F.col("mmr").cast("long").alias("mmr"),
+            )
+        )
+        picks.append(nxt)
+        selected = selected.unionByName(nxt.select("doc_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("step")
