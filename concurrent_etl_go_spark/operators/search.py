@@ -421,6 +421,7 @@ def _mmr_oracle() -> str:
              CAST(list_sum([(a.v[i] - qv.q[i]) * (a.v[i] - qv.q[i])
                             for i in range(1, 65)]) AS BIGINT) AS d2
       FROM iv a CROSS JOIN qv
+      WHERE a.vec_id != 0
       ORDER BY d2, a.vec_id LIMIT {MMR_SHORTLIST}
     ),
     pd AS MATERIALIZED (
@@ -470,8 +471,13 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), "
         "0L, (acc, e) -> acc + e)"
     )
+    # the query vector itself (vec_id 0) is excluded: self-retrieval
+    # would pin d2 = 0 AND make every candidate's min-pairwise-distance
+    # collapse to its own d2 (pd(c, query) == d2(c)), flattening the
+    # novelty term to a constant 0
     short = scoped_persist(
-        iv.crossJoin(F.broadcast(q))
+        iv.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
         .select(F.col("vec_id").alias("doc_id"), "v", d2.alias("d2"))
         .orderBy("d2", "doc_id")
         .limit(MMR_SHORTLIST)
@@ -487,6 +493,11 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a", "b", pdist.alias("pd")
         )
     )
+    # Eager localCheckpoint per pick (the iterative-loop discipline):
+    # each greedy round otherwise re-embeds every prior round's plan
+    # through the growing `selected` union — a 2^k lineage blowup the
+    # audit showed as hundreds of phantom join nodes.  The picks are
+    # one-row frames, so materializing them is free.
     pick = (
         short.orderBy("d2", "doc_id")
         .limit(1)
@@ -496,6 +507,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
             F.lit(None).cast("long").alias("mmr"),
         )
+        .localCheckpoint(eager=True)
     )
     picks = [pick]
     selected = pick.select("doc_id")
@@ -526,6 +538,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d2",
                 F.col("mmr").cast("long").alias("mmr"),
             )
+            .localCheckpoint(eager=True)
         )
         picks.append(nxt)
         selected = selected.unionByName(nxt.select("doc_id"))

@@ -276,7 +276,9 @@ def test_search_mmr_rerank_matches_greedy_mirror(spark):
         vid: sum((a - b) * (a - b) for a, b in zip(v, q))
         for vid, v in vecs.items()
     }
-    short = sorted(d2, key=lambda vid: (d2[vid], vid))[:MMR_SHORTLIST]
+    short = sorted(
+        (v for v in d2 if v != 0), key=lambda vid: (d2[vid], vid)
+    )[:MMR_SHORTLIST]
 
     def pdist(a, b):
         return sum(
