@@ -496,3 +496,30 @@ def test_vocab_growth_first_seen_is_partial_agg(spark, sf_dir):
     one per token OCCURRENCE."""
     plan = plan_of(spark, sf_dir, "text_vocab_growth")
     assert "partial_min" in plan
+
+
+def test_mmr_rerank_lineage_is_truncated(spark, sf_dir):
+    """The greedy MMR loop must eager-checkpoint each pick: without it
+    the growing selected-set union re-embeds every prior round's plan
+    (~240 phantom join nodes at MMR_SELECT=5).  The returned frame must
+    be a flat union of materialized one-row picks — no joins, no
+    nested-loop anything, single-digit plan size."""
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    plan = plan_of(spark, sf_dir, "search_mmr_rerank")
+    release_caches()
+    assert "ExistingRDD" in plan                 # checkpointed picks
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan                    # union + sort only
+    assert plan.count("\n") < 20
+
+
+def test_graph_hits_rounds_are_checkpointed(spark, sf_dir):
+    """graph_hits: both final score frames enter the output join as
+    materialized RDD leaves (the per-half-round eager localCheckpoint),
+    so plan depth is bounded regardless of _HITS_ROUNDS."""
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    plan = plan_of(spark, sf_dir, "graph_hits")
+    release_caches()
+    assert plan.count("Scan ExistingRDD") >= 2   # h and a checkpoints
