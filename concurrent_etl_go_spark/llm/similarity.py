@@ -578,8 +578,10 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS MATERIALIZED (
       SELECT l.label, l.n_l, g.n_g,
-             (l.s_l * g.n_g - g.s_g * l.n_l)
-               * (l.s_l * g.n_g - g.s_g * l.n_l) AS num2
+             (CAST(l.s_l AS HUGEINT) * g.n_g
+              - CAST(g.s_g AS HUGEINT) * l.n_l)
+               * (CAST(l.s_l AS HUGEINT) * g.n_g
+                  - CAST(g.s_g AS HUGEINT) * l.n_l) AS num2
       FROM lbl l JOIN gtot g ON l.pos = g.pos
     )
     SELECT label, CAST(n_l AS BIGINT) AS n_vecs,
@@ -631,13 +633,24 @@ def embeddings_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = q.groupBy("pos").agg(
         F.sum("qv").alias("s_g"), F.count(F.lit(1)).alias("n_g")
     )
+    # The cross-multiplied numerator is widened to decimal BEFORE the
+    # products: |s_g·n_l| <= 1024·n_g·n_l, which crosses int64 near
+    # n_g·n_l ~ 9e15 (e.g. 1e8 vectors in one label of a 1e8-row
+    # corpus) — raw long arithmetic would overflow there (ANSI throw /
+    # silent wrap), the same hazard class exact_money_sum's scale>=4
+    # path guards.  Validity envelope of the decimal(38,0) square:
+    # num² <= (2·1024·n_l·n_g)² needs n_l·n_g < ~1.5e16 — beyond that,
+    # drop the quantization scale (floor(x·256)) or split the dim sum
+    # into two decimal accumulators; both preserve the algebra.
     terms = lbl.join(F.broadcast(glob), "pos").select(
         "label",
         "n_l",
         "n_g",
         F.expr(
-            "cast(s_l * n_g - s_g * n_l as decimal(38,0))"
-            " * cast(s_l * n_g - s_g * n_l as decimal(38,0))"
+            "(cast(s_l as decimal(38,0)) * n_g"
+            " - cast(s_g as decimal(38,0)) * n_l)"
+            " * (cast(s_l as decimal(38,0)) * n_g"
+            "    - cast(s_g as decimal(38,0)) * n_l)"
         ).alias("num2"),
     )
     return (
