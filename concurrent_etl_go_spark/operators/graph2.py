@@ -870,10 +870,12 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: HITS rounds: each round is one hub update (h = A·a) followed by one
 #: authority update (a = Aᵀ·h) over the DIRECTED (src < dst) edge list.
-#: Two rounds keep the all-integer scores far inside int64: the growth
-#: bound is n·deg^(2·rounds), so 2 rounds tolerate degrees up to ~10⁴
-#: at 10⁹ nodes before SUM(long) could overflow (and the oracle's
-#: HUGEINT accumulation would catch any excursion as a dtype mismatch).
+#: Two rounds keep the all-integer scores far inside int64: each
+#: half-round multiplies the score bound by max-degree, so after
+#: 2·rounds = 4 applications scores are bounded by deg⁴ — int64-safe
+#: for degrees up to ~5·10⁴ regardless of node count (and the oracle's
+#: HUGEINT accumulation turns any excursion into a loud CAST error,
+#: not a silent wrap).
 _HITS_ROUNDS = 2
 
 

@@ -530,7 +530,7 @@ def agg_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lead(event_type, 1) OVER w AS t2,
              lead(event_type, 2) OVER w AS t3
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     paths AS MATERIALIZED (
@@ -560,7 +560,13 @@ def agg_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a tiny frame."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events")
+    # typed events only, filtered BEFORE the window on both sides: a
+    # NULL event_type would otherwise diverge — concat_ws SKIPS nulls
+    # (emitting the 2-hop "a>c") while the oracle's || propagates NULL
+    # into a NULL path row
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",
