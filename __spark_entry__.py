@@ -44,6 +44,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: too — expect green), rename the window list, and front-load only
 #: round-9 additions (cap ~49).  A query whose oracle TEXT changes must
 #: rotate back in even when its values are unchanged.
+#: Round-9 candidate families (genuinely absent after the 271-query
+#: round-8 close; each oracle-provable with the §7.6 conventions):
+#: item-item collaborative filtering (co-occurrence cosine / lift over
+#: order baskets — the recommender family), retrieval EVALUATION
+#: queries (recall@k and integer-relevance NDCG@k of IVF/Matryoshka/
+#: MMR arms vs the brute-force oracle arm), Holt double-exponential
+#: forecast (windowed power-sum form), distinctive-terms corpus diff
+#: (log-odds with Dirichlet prior, integer-count inputs), and
+#: closeness centrality from sampled sources (fixed BFS round reuse).
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
