@@ -472,9 +472,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    # deg is |nodes|-sized (dimension) while the candidate pairs are
+    # Sum(deg²)-sized (facts): broadcast the small side explicitly so
+    # the two degree attachments never shuffle the candidate set
     scored = (
-        nonadj.join(da, "a")
-        .join(db, "b")
+        nonadj.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
         .select(
             "a",
             "b",
