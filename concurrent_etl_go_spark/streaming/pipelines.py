@@ -300,6 +300,49 @@ def stream_to_http(
     )
 
 
+def ab_units_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming half of the A/B experiment readout: per
+    (day, user, arm) conversion units, maintained incrementally — the
+    streaming twin of ``operators/experiments.py::agg_ab_test``'s unit
+    derivation (the scalar z/SRM fold over these O(arms)-per-day-user
+    rows is a batch-side serving step, like the IVF index's query
+    path).
+
+    The arm is the same portable md5 bucket as the batch query (a
+    user's arm never flips mid-stream); the day key is a 1-DAY TUMBLING
+    WINDOW on the watermarked event time — epoch-aligned, so under the
+    UTC-pinned session ``window.start`` equals the batch twin's
+    ``date_trunc('day', ts)`` exactly, and the watermark bounds state
+    at O(active users x in-flight days) with eviction once a day
+    closes.  ``MAX(purchase flag)`` is the combiner-friendly any-hit
+    aggregate the state store maintains in O(1) per unit."""
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day"),
+            F.col("user_id"),
+            arm.alias("arm"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            F.col("window.start").alias("day"),
+            "user_id",
+            "arm",
+            "conv",
+        )
+    )
+
+
 def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` keeps each key only until the

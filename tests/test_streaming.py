@@ -506,3 +506,58 @@ def test_streaming_ohlc_matches_batch(spark):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b
+
+
+def test_streaming_ab_units_match_batch_and_fold_to_readout(spark):
+    """ab_units_agg: the streaming (day, user, arm) conversion-unit
+    table equals the batch derivation over the same files, and folding
+    it with the batch query's own scalar arithmetic reproduces
+    agg_ab_test's readout row exactly — streaming==batch extended to
+    the experimentation family."""
+    from concurrent_etl_go_spark.operators.experiments import agg_ab_test
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from concurrent_etl_go_spark.streaming.pipelines import ab_units_agg
+
+    stream = events_file_stream(spark, SF_SMOKE)
+    got = run_to_memory(spark, ab_units_agg(stream), "t_ab_units",
+                        mode="complete")
+    from pyspark.sql import functions as F
+
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2
+    )
+    batch_units = (
+        read_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+            arm.alias("arm"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch_units.collect()}
+    assert g == b
+    # fold the streamed units to the experiment readout and compare
+    # against the oracle-proven batch query
+    s = got.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    ).first()
+    expect = agg_ab_test(spark, SF_SMOKE).first()
+    assert (s.n_a, s.n_b, s.conv_a, s.conv_b) == (
+        expect.n_a, expect.n_b, expect.conv_a, expect.conv_b
+    )
