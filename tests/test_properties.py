@@ -434,3 +434,68 @@ def test_top_fraction_selection_equals_sql_ntile(spark, rows, frac_denom):
         .collect()
     )
     assert got == expect
+
+
+# -- round-8 algorithm identities -------------------------------------------
+
+
+@given(
+    starts=st.sets(st.integers(min_value=0, max_value=300), max_size=60),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_lead_sweep_equals_interval_union(starts, k):
+    """The text_dup_ngram_coverage LEAD sweep identity: for sorted start
+    positions, sum(min(k, next_start − start)) with the last term k
+    equals |union of [s, s+k)| — the coverage count the engine computes
+    without exploding per-token rows."""
+    ss = sorted(starts)
+    swept = sum(
+        min(k, (ss[i + 1] - ss[i]) if i + 1 < len(ss) else k)
+        for i in range(len(ss))
+    )
+    union = set()
+    for s in ss:
+        union.update(range(s, s + k))
+    assert swept == len(union)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda e: e[0] < e[1]),
+        max_size=40,
+    ),
+    rounds=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_hits_sparse_equals_dense(edges, rounds):
+    """graph_hits' sparse-intermediate claim: dropping zero-score nodes
+    from each half-round (what a join does) yields identical final
+    scores to carrying explicit zeros — and unnormalized integer HITS
+    stays exactly proportional across representations."""
+    from collections import defaultdict
+
+    nodes = {u for e in edges for u in e}
+    # dense: every node carries a score every half-round
+    a_d = {n: 1 for n in nodes}
+    h_d = {n: 0 for n in nodes}
+    for _ in range(rounds):
+        h_d = {n: sum(a_d[v] for (u, v) in edges if u == n) for n in nodes}
+        a_d = {n: sum(h_d[u] for (u, v) in edges if v == n) for n in nodes}
+    # sparse: only nonzero carriers, zeros materialized at the end
+    a_s = {n: 1 for n in nodes}
+    h_s = {}
+    for _ in range(rounds):
+        h_s = defaultdict(int)
+        for u, v in edges:
+            h_s[u] += a_s.get(v, 0)
+        nxt = defaultdict(int)
+        for u, v in edges:
+            nxt[v] += h_s.get(u, 0)
+        a_s = nxt
+    for n in nodes:
+        assert h_d[n] == h_s.get(n, 0)
+        assert a_d[n] == a_s.get(n, 0)
