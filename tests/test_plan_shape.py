@@ -523,3 +523,28 @@ def test_graph_hits_rounds_are_checkpointed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_hits")
     release_caches()
     assert plan.count("Scan ExistingRDD") >= 2   # h and a checkpoints
+
+
+def test_centroid_drift_broadcasts_global_sums(spark, sf_dir):
+    """embeddings_centroid_drift: the dim-sized global-sum table joins
+    the (label, pos) partials by broadcast — the candidate side never
+    shuffles for the attachment — and no sort-merge or nested-loop
+    join appears anywhere."""
+    plan = plan_of(spark, sf_dir, "embeddings_centroid_drift")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Pandas" not in plan  # all-JVM integer algebra
+
+
+def test_fk_orphans_all_edges_broadcast_parent_keys(spark, sf_dir):
+    """profile_fk_orphans: every one of the seven FK existence probes
+    broadcasts the pruned parent key set (each left join's build side
+    is a single key column), and each edge folds to counts via partial
+    aggregation before anything crosses the network."""
+    from concurrent_etl_go_spark.operators.profiling import _FK_EDGES
+
+    plan = plan_of(spark, sf_dir, "profile_fk_orphans")
+    assert plan.count("BroadcastHashJoin") == len(_FK_EDGES)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("partial_") >= len(_FK_EDGES)  # map-side count folds
