@@ -38,78 +38,46 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: gained AS MATERIALIZED hints.  Queries not named here slot in
 #: behind: never-proven first, already-proven at the back — so the
 #: remaining slots re-verify proven queries for free.
-#: ROUND-9 TODO: fold the r08 window greens into a ``_PROVEN_R08``
-#: frozenset (all names below are locally verified via
-#: ``scripts/driver_dryrun.py`` at sf0.01, oracle-backed ones at sf0.1
-#: too — expect green), rename the window list, and front-load only
-#: round-9 additions (cap ~49).  A query whose oracle TEXT changes must
-#: rotate back in even when its values are unchanged.
-#: Round-9 candidate families (genuinely absent after the 271-query
-#: round-8 close; each oracle-provable with the §7.6 conventions):
-#: item-item collaborative filtering (co-occurrence cosine / lift over
-#: order baskets — the recommender family), retrieval EVALUATION
-#: queries (recall@k and integer-relevance NDCG@k of IVF/Matryoshka/
-#: MMR arms vs the brute-force oracle arm), Holt double-exponential
-#: forecast (windowed power-sum form), distinctive-terms corpus diff
-#: (log-odds with Dirichlet prior, integer-count inputs), and
-#: closeness centrality from sampled sources (fixed BFS round reuse).
+#: Round 9 front-loads only the round-9 additions (retrieval
+#: evaluation recall@k / NDCG@k, item-item collaborative filtering,
+#: closeness centrality, distinctive-terms log-odds corpus diff, Holt
+#: double-exponential forecast, + whatever else lands this round), cap
+#: ~49 so unproven <= 50.  A query whose oracle TEXT or Spark
+#: expression changes must rotate back in even when values are
+#: unchanged.
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
-_ROUND8_WINDOW = [
-    # --- round-8 additions ---
-    "similarity_kmeans_step_portable",
-    "graph_sssp_weighted",
-    "agg_hierarchy_rollup",
-    "sample_block_hash",
-    "graph_label_propagation",
-    "similarity_matryoshka_topk",
-    "text_zipf_profile",
-    "agg_basket_lift",
-    "agg_pareto_frontier",
-    "join_bom_explosion",
-    "profile_key_islands",
-    "agg_event_transitions",
-    "dedup_prefix_filter_jaccard",
-    "graph_ppr",
-    "search_hybrid_rrf",
-    "graph_jaccard_neighbors",
-    "window_cusum",
-    "window_drawdown",
-    "agg_ab_test",
-    "text_bpe_apply",
-    "graph_hits",
-    "agg_event_paths",
-    "profile_fk_orphans",
-    "text_lang_quality_matrix",
-    "dataset_temporal_split",
-    "embeddings_centroid_drift",
-    "text_dup_ngram_coverage",
-    "search_mmr_rerank",
-    # --- re-proof block: outputs identical by design (verified at
-    # sf0.01 AND sf0.1 locally), but the Spark expression changed
-    # (exact_money_sum signed half-add + scale>=4 hi/lo accumulator;
-    # multimodal_frame_sample's empty-blob sequence guard), so the
-    # r1-r7 proofs no longer bind byte-for-byte ---
+_ROUND9_WINDOW = [
+    # --- round-9 additions (each lands with its oracle in the same
+    # commit; verified via scripts/driver_dryrun.py at sf0.01 before
+    # handoff, oracle-backed ones at sf0.1 too) ---
+]
+
+#: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero
+#: errors — the third consecutive all-clean window).
+_PROVEN_R08 = frozenset({
+    "similarity_kmeans_step_portable", "graph_sssp_weighted",
+    "agg_hierarchy_rollup", "sample_block_hash",
+    "graph_label_propagation", "similarity_matryoshka_topk",
+    "text_zipf_profile", "agg_basket_lift", "agg_pareto_frontier",
+    "join_bom_explosion", "profile_key_islands", "agg_event_transitions",
+    "dedup_prefix_filter_jaccard", "graph_ppr", "search_hybrid_rrf",
+    "graph_jaccard_neighbors", "window_cusum", "window_drawdown",
+    "agg_ab_test", "text_bpe_apply", "graph_hits", "agg_event_paths",
+    "profile_fk_orphans", "text_lang_quality_matrix",
+    "dataset_temporal_split", "embeddings_centroid_drift",
+    "text_dup_ngram_coverage", "search_mmr_rerank",
     "agg_pricing_summary", "agg_cube", "agg_grouping_sets",
     "join_inner_broadcast", "join_right", "join_range_band",
     "filter_q19_disjunctive", "agg_cross_channel_rollup",
     "agg_rollup_revenue_rank", "agg_cohort_ltv_curve",
     "agg_conditional", "join_salted_skew", "join_pit_scd2",
-    "multimodal_frame_sample",
-    # text_bm25_search's oracle TEXT changed with the shared
-    # _BM25_SCORED_SQL fragment refactor (identical values,
-    # re-verified at sf0.001/0.01/0.1) — re-proof rule
-    "text_bm25_search",
-    # --- re-proof block 2: oracle TEXT changed (AS MATERIALIZED hints
-    # on the shared edge CTEs + unrolled chains — DuckDB 1.0 was
-    # re-inlining every multi-referenced CTE, an exponential re-derive
-    # that cost 78 s and ~80 GB of temp spill at sf0.1 for the SSSP
-    # oracle; values identical, re-verified at sf0.01 and sf0.1) ---
-    "graph_bfs_hops", "graph_kcore", "graph_pagerank_copurchase",
+    "multimodal_frame_sample", "text_bm25_search", "graph_bfs_hops",
+    "graph_kcore", "graph_pagerank_copurchase",
     "graph_components_copurchase", "graph_triangles_copurchase",
     "graph_common_neighbors", "graph_degree_distribution",
-]
+})
 
 #: Proven green in CORRECTNESS_r07 (48 hash_match + 2 expected
 #: rows-only; zero errors — the full 50-slot window).
@@ -241,12 +209,14 @@ _PROVEN_R01_R04 = frozenset({
 })
 
 
-_PROVEN = _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
+_PROVEN = (
+    _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07 | _PROVEN_R08
+)
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND8_WINDOW if n in set(names)]
+    window = [n for n in _ROUND9_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

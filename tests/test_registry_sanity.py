@@ -54,13 +54,13 @@ def test_query_runs_with_sane_schema(spark, sf_dir, name):
 
 
 def test_driver_window_rotation():
-    """Round-8 rotation: the driver snapshots the FIRST 50 entries of
+    """Round-9 rotation: the driver snapshots the FIRST 50 entries of
     ``queries()``; those slots must hold every query without a green
-    CORRECTNESS_r01-r07 row (round-8 additions plus the changed-code
+    CORRECTNESS_r01-r08 row (round-9 additions plus any changed-code
     re-proof block), with every proven query behind slot 50."""
     names = list(entry_mod.queries())
     first50 = names[:50]
-    window = entry_mod._ROUND8_WINDOW
+    window = entry_mod._ROUND9_WINDOW
     proven = entry_mod._PROVEN
     assert first50[: len(window)] == window
     # every unproven query sits inside the 50-slot window; spare slots
