@@ -52,6 +52,9 @@ _ROUND9_WINDOW = [
     # --- round-9 additions (each lands with its oracle in the same
     # commit; verified via scripts/driver_dryrun.py at sf0.01 before
     # handoff, oracle-backed ones at sf0.1 too) ---
+    "search_eval_recall_at_k",
+    "search_eval_ndcg_at_k",
+    "search_eval_mmr_arm",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero
