@@ -55,6 +55,9 @@ _ROUND9_WINDOW = [
     "search_eval_recall_at_k",
     "search_eval_ndcg_at_k",
     "search_eval_mmr_arm",
+    "rec_item_neighbors",
+    "rec_user_items",
+    "graph_closeness_centrality",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

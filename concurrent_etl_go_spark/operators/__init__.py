@@ -13,9 +13,11 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     experiments,
     graph,
     graph2,
+    graph3,
     layout,
     profiling,
     quantiles,
+    recommender,
     relational,
     relational2,
     relational3,

@@ -1,0 +1,277 @@
+"""Item-item collaborative filtering over order baskets — the
+recommender family (Sarwar et al. 2001 / Linden et al. 2003, public
+literature), built on the ``agg_basket_lift`` co-occurrence pair
+machinery.
+
+Similarity is co-occurrence cosine: ``sim(i, j) = n_ij /
+sqrt(c_i * c_j)`` over basket sets.  The emitted score is the SQUARED
+cosine in basis points — ``cos2_bp = 10000 * n_ij^2 div (c_i * c_j)``
+— because squaring removes the sqrt: ranking by cos² is ranking by
+cosine (both non-negative), and the whole model stays pure integer
+arithmetic (SURVEY §7.6 rule 1), bit-exact under the driver hash.
+Products run in DECIMAL(38,0)/HUGEINT: at 100 TB basket counts,
+``n_ij² * 10^4`` clears int64 (~1e22) but sits far inside 38 digits.
+
+Two queries:
+
+* ``rec_item_neighbors`` — the item-item MODEL: per anchor item, its
+  top similar items (the "customers who bought X also bought Y" table
+  every retail surface serves).
+* ``rec_user_items`` — the model APPLIED: for the heaviest customers,
+  score unowned items by summing cos² over the customer's owned items
+  (the standard item-based scoring rule), excluding what they already
+  bought.
+
+Scale: the pair table derives from the same capped per-basket
+expansion as ``agg_basket_lift`` (quadratic in basket size, linear in
+table size, keyed on order/part hash partitions); item counts are a
+dimension-sized broadcast; anchors/customers are top-N selections
+(TakeOrdered, never a global sort); the user-scoring join fans out
+owned-items x their-neighbor-lists — bounded by the min-support model
+size, the exact sparsity the item-item literature exploits.
+
+Reference parity: no recommender surface exists in the reference
+(etl/main.go); extends SURVEY.md §2.B's retail family (VERDICT r8
+item 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
+from concurrent_etl_go_spark.sources.readers import read_table
+
+_MIN_SUPPORT = 2  # minimum co-basket count for a pair to enter the model
+_NBR_TOP = 5  # neighbors kept per anchor item
+_ANCHORS = 20  # anchor items (most-ordered first)
+_REC_CUSTS = 5  # customers recommended for (most orders first)
+_REC_TOP = 3  # recommendations per customer
+
+#: Shared oracle fragment: distinct basket membership, per-item counts,
+#: and the symmetric cos²-scored pair model.
+_MODEL_SQL = f"""
+    li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item AS MATERIALIZED (
+      SELECT l_partkey AS pk, COUNT(*) AS c FROM li GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    model AS MATERIALIZED (
+      SELECT s.i, s.j, s.n_ab,
+             CAST(CAST(s.n_ab AS HUGEINT) * s.n_ab * 10000
+                  // (CAST(ci.c AS HUGEINT) * cj.c) AS BIGINT) AS cos2_bp
+      FROM (
+        SELECT pa AS i, pb AS j, n_ab FROM pairs
+        UNION ALL
+        SELECT pb AS i, pa AS j, n_ab FROM pairs
+      ) s
+      JOIN item ci ON ci.pk = s.i
+      JOIN item cj ON cj.pk = s.j
+    )"""
+
+
+def _model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, n_ab, cos2_bp): the symmetric item-item cosine² model.
+
+    PERSISTED (scoped): both queries read it more than once (the
+    neighbor query joins anchors then windows; the user query fans it
+    out per owned item)."""
+    li = scoped_persist(
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _MIN_SUPPORT)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "n_ab"
+    ).unionAll(
+        pairs.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "n_ab")
+    )
+    ci = item.select(F.col("pk").alias("i"), F.col("c").alias("c_i"))
+    cj = item.select(F.col("pk").alias("j"), F.col("c").alias("c_j"))
+    return scoped_persist(
+        sym.join(ci, "i")
+        .join(cj, "j")
+        .select(
+            "i",
+            "j",
+            "n_ab",
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 10000"
+                " div (CAST(c_i AS DECIMAL(38,0)) * c_j) AS BIGINT)"
+            ).alias("cos2_bp"),
+        )
+    )
+
+
+@query(
+    "rec_item_neighbors",
+    oracle=f"""
+    WITH {_MODEL_SQL},
+    anchors AS MATERIALIZED (
+      SELECT pk FROM item ORDER BY c DESC, pk LIMIT {_ANCHORS}
+    )
+    SELECT item, neighbor, n_ab, cos2_bp, nbr_rank FROM (
+      SELECT m.i AS item, m.j AS neighbor, m.n_ab, m.cos2_bp,
+             CAST(row_number() OVER (
+               PARTITION BY m.i ORDER BY m.cos2_bp DESC, m.j
+             ) AS BIGINT) AS nbr_rank
+      FROM model m JOIN anchors an ON an.pk = m.i
+    ) WHERE nbr_rank <= {_NBR_TOP}
+    """,
+)
+def rec_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The item-item model's serving table: for each of the
+    ``_ANCHORS`` most-ordered parts, the ``_NBR_TOP`` most similar
+    parts by co-occurrence cosine² — "customers who bought X also
+    bought Y", with the co-basket count and the integer score, ranked
+    deterministically (score DESC, neighbor id).
+
+    The anchor rule (most-ordered first, id tie-break) is derived from
+    the data identically in both engines; the per-anchor window runs
+    over the anchor's neighbor list only — model-sized, not
+    corpus-sized."""
+    model = _model(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    anchors = (
+        li.groupBy(F.col("l_partkey").alias("i"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "i")
+        .limit(_ANCHORS)
+        .select("i")
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cos2_bp"), "j")
+    return (
+        model.join(F.broadcast(anchors), "i")
+        .withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("nbr_rank") <= _NBR_TOP)
+        .select(
+            F.col("i").alias("item"),
+            F.col("j").alias("neighbor"),
+            "n_ab",
+            "cos2_bp",
+            "nbr_rank",
+        )
+    )
+
+
+@query(
+    "rec_user_items",
+    oracle=f"""
+    WITH {_MODEL_SQL},
+    custs AS MATERIALIZED (
+      SELECT o_custkey AS ck FROM orders
+      GROUP BY 1 ORDER BY COUNT(*) DESC, ck LIMIT {_REC_CUSTS}
+    ),
+    owned AS MATERIALIZED (
+      SELECT DISTINCT c.ck, l.l_partkey AS pk
+      FROM custs c
+      JOIN orders o ON o.o_custkey = c.ck
+      JOIN li l ON l.l_orderkey = o.o_orderkey
+    ),
+    scored AS MATERIALIZED (
+      SELECT w.ck, m.j AS item,
+             CAST(COUNT(*) AS BIGINT) AS n_src,
+             CAST(SUM(m.cos2_bp) AS BIGINT) AS score
+      FROM owned w
+      JOIN model m ON m.i = w.pk
+      LEFT JOIN owned o2 ON o2.ck = w.ck AND o2.pk = m.j
+      WHERE o2.pk IS NULL
+      GROUP BY w.ck, m.j
+    )
+    SELECT ck AS custkey, item, n_src, score, rec_rank FROM (
+      SELECT ck, item, n_src, score,
+             CAST(row_number() OVER (
+               PARTITION BY ck ORDER BY score DESC, item
+             ) AS BIGINT) AS rec_rank
+      FROM scored
+    ) WHERE rec_rank <= {_REC_TOP}
+    """,
+)
+def rec_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based recommendations for the ``_REC_CUSTS`` heaviest
+    customers: every unowned part scored by the SUM of cos² similarity
+    to the customer's owned parts (the standard item-based CF scoring
+    rule — a neighbor reachable from several owned items accumulates
+    several contributions), top ``_REC_TOP`` per customer by
+    (score DESC, item id).
+
+    Integer score: each contribution is an int64 basis-point value and
+    the sum is order-independent, so no float discipline is needed.
+    The customer rule (most orders, id tie-break) derives from the
+    data.  Scale: owned-set x neighbor-list fan-out is bounded by the
+    min-support model's sparsity; the anti-join against owned items
+    keys on (customer, part)."""
+    model = _model(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    custs = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ck")
+        .limit(_REC_CUSTS)
+        .select("ck")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    owned = scoped_persist(
+        custs.join(orders, custs["ck"] == orders["o_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .select("ck", F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    scored = (
+        owned.join(model, owned["pk"] == model["i"])
+        .join(
+            owned.select("ck", F.col("pk").alias("j")),
+            ["ck", "j"],
+            "left_anti",
+        )
+        .groupBy("ck", F.col("j").alias("item"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+            F.sum("cos2_bp").cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("ck").orderBy(F.desc("score"), "item")
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rec_rank") <= _REC_TOP)
+        .select(
+            F.col("ck").alias("custkey"),
+            "item",
+            "n_src",
+            "score",
+            "rec_rank",
+        )
+    )
