@@ -58,6 +58,8 @@ _ROUND9_WINDOW = [
     "rec_item_neighbors",
     "rec_user_items",
     "graph_closeness_centrality",
+    "agg_holt_forecast",
+    "text_distinctive_terms",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

@@ -11,6 +11,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     cdc,
     etl_queries,
     experiments,
+    forecast,
     graph,
     graph2,
     graph3,

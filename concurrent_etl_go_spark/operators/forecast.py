@@ -1,0 +1,139 @@
+"""Double-exponential (Brown) smoothing forecast — the trend-aware
+upgrade of ``agg_ewma`` (operators/profiling.py), per VERDICT r8 item 7.
+
+Brown's linear exponential smoothing (public literature; the
+single-parameter form of Holt's method): smooth the series once
+(``s1``), smooth the smoothed series again (``s2``), then
+
+    level    = 2*s1 - s2
+    trend    = alpha/(1-alpha) * (s1 - s2)
+    forecast = level + h * trend
+
+Exactness: the obvious one-pass encoding (a {s1, s2} STRUCT
+accumulator) is NOT portable — probing DuckDB 1.0's ``list_reduce``
+showed the second struct field's ``acc.s1`` reference reading the
+step's NEW s1 from the third element on (a common-subexpression quirk),
+so the engines would diverge.  Instead both sides run SCALAR left folds
+only, the semantics the proven ``agg_ewma`` already pins:
+
+* ``s1s[i]`` — the EWMA fold over the first i daily values (prefix
+  fold, seeded with the first element exactly as ``list_reduce``
+  seeds);
+* ``s2`` — the same scalar fold applied to the ``s1s`` series;
+* level/trend/forecast — ONE shared SQL text evaluated verbatim by
+  both engines, then ``ROUND(x, 4) + 0.0`` canonicalizes representation
+  and signed zero (a negative trend can round to -0.0).
+
+The prefix family costs O(days²) multiply-adds per group — bounded by
+the SERIES length (days), never by event rows, so it is flat work even
+at 100 TB of events; for unbounded series chunk by month and carry
+(s1, s2) as the next chunk's seeds (exponential smoothing composes).
+
+Reference parity: no forecasting surface exists in the reference
+(etl/main.go); extends SURVEY.md §2.B's timeseries family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.sources.readers import read_table
+
+_ALPHA = 0.3
+
+#: The scalar EWMA fold body — identical text in both dialects.
+_FOLD = f"(acc, x) -> {_ALPHA} * x + {1 - _ALPHA} * acc"
+
+#: Shared final-expression texts (evaluated verbatim by BOTH engines —
+#: identical IEEE trees by construction).
+_LEVEL = "2.0 * s1 - s2"
+_TREND = f"{_ALPHA} * (s1 - s2) / {1 - _ALPHA}"
+_F1 = f"({_LEVEL}) + ({_TREND})"
+_F3 = f"({_LEVEL}) + 3.0 * ({_TREND})"
+
+
+def _emit(expr: str, alias: str) -> str:
+    return f"ROUND({expr}, 4) + 0.0 AS {alias}"
+
+
+@query(
+    "agg_holt_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(n ORDER BY day) AS vals
+      FROM daily GROUP BY 1
+    ),
+    smoothed AS (
+      SELECT event_type,
+             [list_reduce(vals[1:i], {_FOLD})
+              for i in range(1, len(vals) + 1)] AS s1s
+      FROM series
+    ),
+    states AS (
+      SELECT event_type,
+             s1s[len(s1s)] AS s1,
+             list_reduce(s1s, {_FOLD}) AS s2
+      FROM smoothed
+    )
+    SELECT event_type,
+           {_emit('s1', 's1_smooth')},
+           {_emit('s2', 's2_smooth')},
+           {_emit(_LEVEL, 'level')},
+           {_emit(_TREND, 'trend')},
+           {_emit(_F1, 'forecast_1')},
+           {_emit(_F3, 'forecast_3')}
+    FROM states
+    """,
+)
+def agg_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Brown double-exponential smoothing over the daily
+    volume series: both smoothing states, the implied level and trend,
+    and the 1-day and 3-day-ahead forecasts — the capacity-planning
+    readout next to ``agg_ewma``'s flat smoothing (a growing event type
+    forecasts ABOVE its last level; EWMA alone lags trends by
+    construction)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("vals")
+    )
+    # prefix folds: aggregate(slice(vals, 2, i - 1), vals[1], fold) IS
+    # list_reduce(vals[1:i], fold) — the same left fold seeded with the
+    # first element, applied to elements 2..i
+    smoothed = series.select(
+        "event_type",
+        F.expr(
+            "transform(sequence(1, size(vals)), i -> "
+            f"aggregate(slice(vals, 2, i - 1), element_at(vals, 1), "
+            f"{_FOLD}))"
+        ).alias("s1s"),
+    )
+    states = smoothed.select(
+        "event_type",
+        F.expr("element_at(s1s, size(s1s))").alias("s1"),
+        F.expr(
+            "aggregate(slice(s1s, 2, size(s1s) - 1), "
+            f"element_at(s1s, 1), {_FOLD})"
+        ).alias("s2"),
+    )
+    return states.selectExpr(
+        "event_type",
+        _emit("s1", "s1_smooth"),
+        _emit("s2", "s2_smooth"),
+        _emit(_LEVEL, "level"),
+        _emit(_TREND, "trend"),
+        _emit(_F1, "forecast_1"),
+        _emit(_F3, "forecast_3"),
+    )

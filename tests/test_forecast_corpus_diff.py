@@ -1,0 +1,76 @@
+"""Invariants for Brown double-exponential smoothing
+(operators/forecast.py) and the log-odds distinctive-terms corpus diff
+(llm/corpus_diff.py)."""
+
+from __future__ import annotations
+
+import math
+
+from concurrent_etl_go_spark.llm.corpus_diff import (
+    _TOP,
+    text_distinctive_terms,
+)
+from concurrent_etl_go_spark.operators.forecast import (
+    _ALPHA,
+    agg_holt_forecast,
+)
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+def test_holt_matches_reference_recurrence(spark, sf_dir):
+    """The query's prefix-fold form must equal the textbook sequential
+    recurrence computed in plain Python over the same daily series."""
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r.n)
+
+    got = {r.event_type: r for r in agg_holt_forecast(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        s1 = s2 = xs[0]
+        for x in xs[1:]:
+            s1 = _ALPHA * x + (1 - _ALPHA) * s1
+            s2 = _ALPHA * s1 + (1 - _ALPHA) * s2
+        r = got[et]
+        assert math.isclose(r.s1_smooth, round(s1, 4), abs_tol=1e-9)
+        assert math.isclose(r.s2_smooth, round(s2, 4), abs_tol=1e-9)
+        level = 2.0 * s1 - s2
+        trend = _ALPHA * (s1 - s2) / (1 - _ALPHA)
+        assert math.isclose(r.level, round(level, 4), abs_tol=1e-9)
+        assert math.isclose(r.trend, round(trend, 4), abs_tol=1e-9)
+        # forecasts extrapolate linearly from (level, trend)
+        assert math.isclose(
+            r.forecast_1, round(level + trend, 4), abs_tol=1e-9
+        )
+        assert math.isclose(
+            r.forecast_3, round(level + 3.0 * trend, 4), abs_tol=1e-9
+        )
+
+
+def test_distinctive_terms_shape_and_direction(spark, sf_dir):
+    rows = text_distinctive_terms(spark, sf_dir).collect()
+    a = [r for r in rows if r.side == "a"]
+    b = [r for r in rows if r.side == "b"]
+    assert len(a) == _TOP and len(b) == _TOP
+    assert not {r.term for r in a} & {r.term for r in b}
+    # side-a terms skew toward half A and vice versa; the z-score sign
+    # must agree with the direction
+    for r in a:
+        assert r.z_score > 0
+    for r in b:
+        assert r.z_score < 0
+    # ranks are 1.._TOP and ordered by the emitted rounded score
+    for side_rows, sign in ((a, -1), (b, 1)):
+        side_rows.sort(key=lambda r: r.drank)
+        assert [r.drank for r in side_rows] == list(range(1, _TOP + 1))
+        zs = [sign * r.z_score for r in side_rows]
+        assert zs == sorted(zs)
