@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""One measured decade of scaling: run the slowest headline queries at
+two builder-generated scales (mimic sf0.1 and sf1, scripts/gen_sf.py —
+SAME generator at both points, so the ratio isolates data-volume
+scaling from distribution differences) and record per-query scaling
+exponents in BENCH_SF1.json.
+
+exponent = log10(e2e_sf1 / e2e_sf01); 1.0 = linear, and anything up to
+~1.15 is linear x log-ish at one decade.  Iterative kernels carry a
+large FIXED per-round job-latency cost at these scales, so their
+exponents undershoot (fixed cost amortizes; that direction is fine).
+Action-only exponents are recorded alongside: at toy scale e2e is
+dominated by planning + job latency, so action-only is the honest
+volume-scaling signal.
+
+    python scripts/scale_stress.py [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+#: The 15 slowest BENCH_r08 headline queries + the round-9 additions.
+QUERIES = (
+    "graph_ppr",
+    "graph_bfs_hops",
+    "graph_sssp_weighted",
+    "graph_kcore",
+    "dedup_prefix_filter_jaccard",
+    "dedup_survivor_corpus",
+    "graph_jaccard_neighbors",
+    "graph_label_propagation",
+    "join_fuzzy_names",
+    "dedup_survivor_portable",
+    "graph_common_neighbors",
+    "graph_hits",
+    "agg_basket_lift",
+    "cdc_apply_changes",
+    "profile_table_stats",
+    # round-9 additions
+    "search_eval_recall_at_k",
+    "search_eval_ndcg_at_k",
+    "search_eval_mmr_arm",
+    "rec_item_neighbors",
+    "rec_user_items",
+    "graph_closeness_centrality",
+    "agg_holt_forecast",
+    "text_distinctive_terms",
+)
+
+SF_DIRS = {
+    "sf0.1": os.path.join(REPO_ROOT, "localdata", "sf0.1"),
+    "sf1": os.path.join(REPO_ROOT, "localdata", "sf1"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from concurrent_etl_go_spark.operators.registry import release_caches
+    from concurrent_etl_go_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-stress", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    def run_once(name: str, sf_dir: str) -> tuple[float, float]:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.perf_counter()
+        release_caches()
+        return t2 - t0, t2 - t1
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        row: dict = {}
+        for tag, sf_dir in SF_DIRS.items():
+            best_e2e, best_act = math.inf, math.inf
+            run_once(name, sf_dir)  # warm-up (codegen, footers)
+            for _ in range(args.runs):
+                e2e, act = run_once(name, sf_dir)
+                best_e2e, best_act = min(best_e2e, e2e), min(best_act, act)
+            row[tag] = {"e2e": round(best_e2e, 3), "act": round(best_act, 3)}
+            print(f"{name:32s} {tag:6s} e2e={best_e2e:7.2f}s "
+                  f"act={best_act:7.2f}s", flush=True)
+        row["exp_e2e"] = round(
+            math.log10(max(row["sf1"]["e2e"], 1e-3)
+                       / max(row["sf0.1"]["e2e"], 1e-3)), 3
+        )
+        row["exp_act"] = round(
+            math.log10(max(row["sf1"]["act"], 1e-3)
+                       / max(row["sf0.1"]["act"], 1e-3)), 3
+        )
+        results[name] = row
+
+    out = {
+        "metric": "scale_stress_decade",
+        "generator": "scripts/gen_sf.py seed=42 (builder mimic data; "
+        "same generator at both points)",
+        "points": {k: v for k, v in SF_DIRS.items()},
+        "runs": args.runs,
+        "timing": "best-of-n after one warm-up, serialized",
+        "queries": results,
+        "worst_exp_act": max(r["exp_act"] for r in results.values()),
+    }
+    with open(os.path.join(REPO_ROOT, "BENCH_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "worst_exp_act": out["worst_exp_act"],
+        "worst_exp_e2e": max(r["exp_e2e"] for r in results.values()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
