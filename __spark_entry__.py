@@ -60,6 +60,10 @@ _ROUND9_WINDOW = [
     "graph_closeness_centrality",
     "agg_holt_forecast",
     "text_distinctive_terms",
+    "search_eval_mrr",
+    "agg_time_decay_score",
+    "rec_next_part",
+    "graph_betweenness_sampled",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

@@ -136,6 +136,19 @@ HEADLINE = (
     "text_dup_ngram_coverage",      # duplicated-span coverage (Lee et al.)
     "search_mmr_rerank",            # MMR diversified re-rank
     "embeddings_centroid_drift",    # exact-integer domain-shift detector
+    # round 9: retrieval evaluation + recommender + centrality + forecast
+    "search_eval_recall_at_k",      # recall@k of all ANN arms vs truth
+    "search_eval_ndcg_at_k",        # integer-relevance NDCG@k
+    "search_eval_mrr",              # reciprocal rank per arm
+    "search_eval_mmr_arm",          # MMR arm recall+NDCG (unrolled picks)
+    "rec_item_neighbors",           # item-item cosine^2 neighbor table
+    "rec_user_items",               # item-based user recommendations
+    "rec_next_part",                # sequential next-purchase table
+    "graph_closeness_centrality",   # sampled-source closeness+harmonic
+    "graph_betweenness_sampled",    # Brandes sampled betweenness
+    "agg_holt_forecast",            # Brown double-exponential forecast
+    "agg_time_decay_score",         # hyperbolic time-decayed spend
+    "text_distinctive_terms",       # log-odds corpus diff
 )
 
 

@@ -512,6 +512,55 @@ def search_eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "search_eval_mrr",
+    oracle=_COMMON_SQL + _ARMS_SQL + f"""
+    SELECT r.arm, r.qid,
+           CAST(COALESCE(MIN(CASE WHEN t.vec_id IS NOT NULL
+                                  THEN r.r_rank END), 0) AS BIGINT)
+             AS first_hit_rank,
+           CAST(COALESCE(10000 // MIN(CASE WHEN t.vec_id IS NOT NULL
+                                           THEN r.r_rank END), 0)
+                AS BIGINT) AS rr_bp
+    FROM retrieved r
+    LEFT JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+                      AND t.truth_rank <= {_K}
+    GROUP BY r.arm, r.qid
+    """,
+)
+def search_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank per (arm, qid): the rank of the FIRST retrieved
+    document that belongs to the exact top-k, and ``10000 div rank`` in
+    basis points (0 when no retrieved document is relevant) — the third
+    standard IR metric beside recall@k and NDCG@k, the one that scores
+    "how fast does the user hit something right".  Integer floor
+    division keeps it hash-exact; averaging across queries is the
+    reader's one division away (emitting per-qid keeps the result
+    auditable)."""
+    truth, retrieved = _retrieved(spark, sf_dir)
+    truth_k = truth.where(F.col("truth_rank") <= _K).select(
+        "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        retrieved.join(truth_k, ["qid", "vec_id"], "left")
+        .groupBy("arm", "qid")
+        .agg(
+            F.min(F.when(F.col("hit").isNotNull(), F.col("r_rank")))
+            .alias("fr")
+        )
+        .select(
+            "arm",
+            "qid",
+            F.coalesce(F.col("fr"), F.lit(0))
+            .cast("long")
+            .alias("first_hit_rank"),
+            F.coalesce(F.expr("10000 div fr"), F.lit(0))
+            .cast("long")
+            .alias("rr_bp"),
+        )
+    )
+
+
 # --- MMR arm (own query: the selection loop unrolls per pick) -----------
 
 def _mmr_oracle() -> str:

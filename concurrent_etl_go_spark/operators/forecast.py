@@ -58,6 +58,76 @@ def _emit(expr: str, alias: str) -> str:
     return f"ROUND({expr}, 4) + 0.0 AS {alias}"
 
 
+_DECAY_TOP = 25
+
+
+@query(
+    "agg_time_decay_score",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT MAX(o_orderdate) AS mx FROM orders
+    ),
+    scored AS (
+      SELECT o_custkey AS custkey,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      * 1000
+                      // (1 + date_diff('day', o_orderdate, a.mx)))
+                  AS BIGINT) AS decay_score
+      FROM orders CROSS JOIN anchor a
+      GROUP BY 1
+    )
+    SELECT custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           total_cents, decay_score
+    FROM scored
+    ORDER BY decay_score DESC, custkey LIMIT {_DECAY_TOP}
+    """,
+)
+def agg_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed customer spend score with HYPERBOLIC decay: each
+    order contributes ``cents * 1000 div (1 + age_days)`` relative to
+    the newest order date — the "recent revenue counts more" ranking
+    signal behind churn/LTV triage, kept PURE INTEGER (the exponential
+    half-life form needs ``pow``, whose last-ulp differences could flip
+    a floor across engines; the hyperbolic kernel is a rational
+    function of integer inputs, so the score is exact and
+    order-independent).  Top ``_DECAY_TOP`` customers by
+    (score DESC, custkey).
+
+    Overflow envelope: cents <= 5e7 per order, x1000 = 5e10; a
+    customer with a million orders reaches ~5e16 — inside int64 with
+    two orders of magnitude to spare.  Scale: one hash agg keyed on
+    customer with three integer accumulators; the anchor date is a
+    broadcast one-row frame; TakeOrdered for the top-N."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    cents = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+    scored = (
+        orders.crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.expr(cents).alias("cents"),
+            F.expr(
+                f"{cents} * 1000"
+                " div (1 + datediff(mx, o_orderdate))"
+            ).alias("contrib"),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum("contrib").cast("long").alias("decay_score"),
+        )
+    )
+    return scored.orderBy(F.desc("decay_score"), "custkey").limit(
+        _DECAY_TOP
+    )
+
+
 @query(
     "agg_holt_forecast",
     oracle=f"""

@@ -162,3 +162,198 @@ def graph_closeness_centrality(
             "harmonic",
         )
     )
+
+
+#: Betweenness sampling parameters (same source rule as closeness).
+_BC_SOURCES = 5
+_BC_HOPS = 4
+_BC_TOP = 20
+
+
+def _betweenness_oracle() -> str:
+    """Unrolled sampled-source Brandes: forward level/path-count chain
+    (integer sigma), then the backward dependency accumulation
+    ``delta(v) = sum_w sigma_v/sigma_w * (1 + delta(w))`` over
+    level-(k+1) successors — each step ``AS MATERIALIZED``."""
+    h = _BC_HOPS
+    fwd = [
+        f"""srcs AS MATERIALIZED (
+      SELECT DISTINCT src AS sid FROM sym ORDER BY sid LIMIT {_BC_SOURCES}
+    ),
+    l0 AS MATERIALIZED (
+      SELECT sid, sid AS id, CAST(1 AS BIGINT) AS sigma FROM srcs
+    ),
+    settled0 AS MATERIALIZED (SELECT sid, id FROM l0)"""
+    ]
+    for k in range(1, h + 1):
+        fwd.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT f.sid, s.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM sym s
+      JOIN l{k - 1} f ON s.src = f.id
+      LEFT JOIN settled{k - 1} e ON e.sid = f.sid AND e.id = s.dst
+      WHERE e.id IS NULL
+      GROUP BY f.sid, s.dst
+    ),
+    settled{k} AS MATERIALIZED (
+      SELECT sid, id FROM settled{k - 1}
+      UNION ALL SELECT sid, id FROM l{k}
+    )"""
+        )
+    bwd = [
+        f"""d{h} AS MATERIALIZED (
+      SELECT sid, id, 0.0 AS delta FROM l{h}
+    )"""
+    ]
+    for k in range(h - 1, 0, -1):
+        bwd.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT v.sid, v.id,
+             COALESCE(c.contrib, 0.0) AS delta
+      FROM l{k} v
+      LEFT JOIN (
+        SELECT v2.sid, v2.id,
+               SUM((CAST(v2.sigma AS DOUBLE) / wl.sigma)
+                   * (1.0 + wd.delta)) AS contrib
+        FROM l{k} v2
+        JOIN sym s ON s.src = v2.id
+        JOIN l{k + 1} wl ON wl.sid = v2.sid AND wl.id = s.dst
+        JOIN d{k + 1} wd ON wd.sid = wl.sid AND wd.id = wl.id
+        GROUP BY v2.sid, v2.id
+      ) c ON c.sid = v.sid AND c.id = v.id
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT sid, id, delta FROM d{k}" for k in range(1, h + 1)
+    )
+    fwd_chain = ",\n    ".join(fwd)
+    bwd_chain = ",\n    ".join(bwd)
+    return f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    {fwd_chain},
+    {bwd_chain},
+    alldeltas AS MATERIALIZED ({unions}),
+    bc AS (
+      SELECT id, ROUND(SUM(delta), 6) + 0.0 AS bc
+      FROM alldeltas GROUP BY id
+    )
+    SELECT id, bc FROM bc ORDER BY bc DESC, id LIMIT {_BC_TOP}
+    """
+
+
+@query("graph_betweenness_sampled", oracle=_betweenness_oracle())
+def graph_betweenness_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001 exact
+    algorithm over a ``_BC_SOURCES``-source sample, Brandes & Pich 2007
+    for the sampling estimator; public literature) — the eleventh
+    hash-proven iterative kernel, and the "who brokers the network"
+    score closeness can't give (a node can be CLOSE to everyone yet on
+    nobody's shortest path).
+
+    Forward: the multi-source BFS loop extended with PATH COUNTS —
+    sigma(v) sums predecessor sigmas the round v is first reached
+    (integer, exact).  Backward: Brandes' dependency accumulation per
+    level, ``delta(v) = sum over next-level successors w of
+    sigma_v/sigma_w * (1 + delta(w))`` — ONE shared float expression
+    per engine pair; per-node successor sums and the final cross-source
+    sum carry ~1e-14 summation-order jitter, absorbed by ROUND(6) (the
+    PageRank convention).  Ranking is on the ROUNDED score with id
+    tie-break.  Top ``_BC_TOP`` nodes.
+
+    Scale: forward rounds shuffle O(frontier x degree) keyed by node
+    (one job for all sources — the ``multi_source_bfs`` argument);
+    backward rounds join each level to its successor level along
+    edges, the same O(level-size x degree) bound in reverse;
+    ``localCheckpoint`` truncates lineage per round in BOTH sweeps."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym_nodes = (
+        edges.select(F.col("src").alias("sid"))
+        .unionAll(edges.select(F.col("dst").alias("sid")))
+        .distinct()
+    )
+    sources = sym_nodes.orderBy("sid").limit(_BC_SOURCES)
+    lvl = (
+        sources.select(
+            "sid",
+            F.col("sid").alias("id"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    track_cache(lvl)
+    levels = [lvl]
+    settled = lvl.select("sid", "id")
+    for _ in range(1, _BC_HOPS + 1):
+        nxt = (
+            levels[-1].join(sym, levels[-1]["id"] == sym["src"])
+            .select("sid", F.col("dst").alias("id"), "sigma")
+            .groupBy("sid", "id")
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(settled, ["sid", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        track_cache(nxt)
+        levels.append(nxt)
+        settled = settled.unionByName(nxt.select("sid", "id"))
+    deltas = [
+        levels[_BC_HOPS].select(
+            "sid", "id", F.lit(0.0).alias("delta")
+        ).localCheckpoint(eager=True)
+    ]
+    track_cache(deltas[0])
+    d_next = deltas[0]
+    for k in range(_BC_HOPS - 1, 0, -1):
+        v = levels[k]
+        succ = (
+            levels[k + 1]
+            .join(d_next, ["sid", "id"])
+            .select(
+                "sid",
+                F.col("id").alias("wid"),
+                F.col("sigma").alias("sigma_w"),
+                F.col("delta").alias("delta_w"),
+            )
+        )
+        contrib = (
+            v.join(sym, v["id"] == sym["src"])
+            .select("sid", "id", "sigma", F.col("dst").alias("wid"))
+            .join(succ, ["sid", "wid"])
+            .select(
+                "sid",
+                "id",
+                (
+                    (F.col("sigma").cast("double") / F.col("sigma_w"))
+                    * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("c"),
+            )
+            .groupBy("sid", "id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        d_k = (
+            v.select("sid", "id")
+            .join(contrib, ["sid", "id"], "left")
+            .select(
+                "sid",
+                "id",
+                F.coalesce(F.col("contrib"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        track_cache(d_k)
+        deltas.append(d_k)
+        d_next = d_k
+    alldeltas = deltas[0]
+    for d in deltas[1:]:
+        alldeltas = alldeltas.unionByName(d)
+    bc = alldeltas.groupBy("id").agg(
+        (F.round(F.sum("delta"), 6) + F.lit(0.0)).alias("bc")
+    )
+    return bc.orderBy(F.desc("bc"), "id").limit(_BC_TOP)

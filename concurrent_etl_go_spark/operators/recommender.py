@@ -48,6 +48,8 @@ _NBR_TOP = 5  # neighbors kept per anchor item
 _ANCHORS = 20  # anchor items (most-ordered first)
 _REC_CUSTS = 5  # customers recommended for (most orders first)
 _REC_TOP = 3  # recommendations per customer
+_NEXT_ANCHORS = 20  # source parts in the next-purchase table
+_NEXT_TOP = 3  # next-part rows kept per source part
 
 #: Shared oracle fragment: distinct basket membership, per-item counts,
 #: and the symmetric cos²-scored pair model.
@@ -273,5 +275,120 @@ def rec_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_src",
             "score",
             "rec_rank",
+        )
+    )
+
+
+@query(
+    "rec_next_part",
+    oracle=f"""
+    WITH seq AS MATERIALIZED (
+      SELECT o_custkey AS ck, o_orderkey AS okey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    trans AS MATERIALIZED (
+      SELECT a.l_partkey AS src_part, b.l_partkey AS next_part,
+             COUNT(*) AS n_trans
+      FROM seq s1
+      JOIN seq s2 ON s2.ck = s1.ck AND s2.rn = s1.rn + 1
+      JOIN li a ON a.l_orderkey = s1.okey
+      JOIN li b ON b.l_orderkey = s2.okey
+      WHERE a.l_partkey != b.l_partkey
+      GROUP BY 1, 2
+    ),
+    anchors AS MATERIALIZED (
+      SELECT src_part FROM trans
+      GROUP BY 1 ORDER BY SUM(n_trans) DESC, src_part
+      LIMIT {_NEXT_ANCHORS}
+    )
+    SELECT src_part, next_part, n_trans, nxt_rank FROM (
+      SELECT t.src_part, t.next_part, CAST(t.n_trans AS BIGINT) AS n_trans,
+             CAST(row_number() OVER (
+               PARTITION BY t.src_part
+               ORDER BY t.n_trans DESC, t.next_part
+             ) AS BIGINT) AS nxt_rank
+      FROM trans t JOIN anchors an ON an.src_part = t.src_part
+    ) WHERE nxt_rank <= {_NEXT_TOP}
+    """,
+)
+def rec_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential next-purchase table: for each anchor part, the parts
+    most often bought in the customer's NEXT order (consecutive orders
+    by date, first-order Markov transition over baskets) — the
+    "bought X, next time bought Y" signal that is directional and
+    temporal where ``rec_item_neighbors``' co-occurrence cosine is
+    symmetric and order-free.  Anchors are the sources with the most
+    outgoing transitions (derived rule), top ``_NEXT_TOP`` successors
+    each by (count DESC, part id).
+
+    Scale: the order-sequence window partitions by customer (per-group
+    rows = that customer's orders); consecutive-pair expansion is one
+    equi-join on (customer, seq+1); the basket x basket fan-out is
+    bounded by basket-size² (~16 rows per order pair, independent of
+    table size); transition counts shuffle once on the (src, next)
+    pair key.  Pure integer counts — no float discipline needed."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("okey"),
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    s1 = seq.alias("s1")
+    s2 = seq.select(
+        F.col("ck"), (F.col("rn") - 1).alias("rn"),
+        F.col("okey").alias("okey2"),
+    ).alias("s2")
+    pairs = s1.join(s2, ["ck", "rn"])
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("src_part")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey2"),
+        F.col("l_partkey").alias("next_part"),
+    )
+    trans = (
+        pairs.join(a, "okey")
+        .join(b, "okey2")
+        .where(F.col("src_part") != F.col("next_part"))
+        .groupBy("src_part", "next_part")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    trans = scoped_persist(trans)
+    anchors = (
+        trans.groupBy("src_part")
+        .agg(F.sum("n_trans").alias("out"))
+        .orderBy(F.desc("out"), "src_part")
+        .limit(_NEXT_ANCHORS)
+        .select("src_part")
+    )
+    w = Window.partitionBy("src_part").orderBy(
+        F.desc("n_trans"), "next_part"
+    )
+    return (
+        trans.join(F.broadcast(anchors), "src_part")
+        .withColumn("nxt_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("nxt_rank") <= _NEXT_TOP)
+        .select(
+            "src_part",
+            "next_part",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            "nxt_rank",
         )
     )

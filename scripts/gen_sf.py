@@ -55,6 +55,18 @@ VOCAB = [
     "order", "fast", "slow", "big", "a", "dedup", "sample", "shuffle",
 ]
 
+
+def _vocab(sf: float) -> list[str]:
+    """Corpus vocabulary, Heaps-law grown: the driver's sf0.1 corpus
+    holds 31 terms; real corpora grow vocabulary ~n^0.5, and holding it
+    FIXED while scaling 10x makes shingle document frequencies grow
+    linearly — which degenerates any df-sparsity-dependent plan
+    (prefix-filter joins) for a reason no real corpus exhibits.  At
+    sf<=0.1 this returns exactly the driver's 31 terms."""
+    target = max(len(VOCAB), round(len(VOCAB) * (sf / 0.1) ** 0.5))
+    extra = [f"tok{i}" for i in range(target - len(VOCAB))]
+    return VOCAB + extra
+
 DAY_US = 86_400_000_000
 
 
@@ -232,7 +244,7 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
 
     nd = n["documents"]
     lens = rng.integers(8, 105, nd)
-    vocab = np.array(VOCAB)
+    vocab = np.array(_vocab(sf))
     texts = [
         " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens
     ]

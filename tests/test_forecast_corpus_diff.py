@@ -74,3 +74,22 @@ def test_distinctive_terms_shape_and_direction(spark, sf_dir):
         assert [r.drank for r in side_rows] == list(range(1, _TOP + 1))
         zs = [sign * r.z_score for r in side_rows]
         assert zs == sorted(zs)
+
+
+def test_time_decay_score_favors_recency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.operators.forecast import (
+        _DECAY_TOP,
+        agg_time_decay_score,
+    )
+
+    rows = agg_time_decay_score(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _DECAY_TOP
+    scores = [r.decay_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # every order contributes at most cents*1000 (age 0) and more
+        # than 0 (hyperbolic decay never hits zero in-range)
+        assert 0 < r.decay_score <= r.total_cents * 1000
+        assert r.n_orders >= 1

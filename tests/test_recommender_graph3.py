@@ -78,3 +78,38 @@ def test_closeness_bounds(spark, sf_dir):
         assert r.sum_dist >= r.n_reached
         assert 0 < r.closeness_bp <= 10000
         assert 0 < r.harmonic <= 10000 * r.n_reached
+
+
+def test_next_part_ranked_and_capped(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.recommender import (
+        _NEXT_TOP,
+        rec_next_part,
+    )
+
+    rows = rec_next_part(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[int, list] = {}
+    for r in rows:
+        assert r.src_part != r.next_part
+        assert r.n_trans >= 1
+        assert 1 <= r.nxt_rank <= _NEXT_TOP
+        by_src.setdefault(r.src_part, []).append(r)
+    for rs in by_src.values():
+        rs.sort(key=lambda r: r.nxt_rank)
+        counts = [r.n_trans for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_betweenness_nonnegative_and_ranked(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.graph3 import (
+        _BC_TOP,
+        graph_betweenness_sampled,
+    )
+
+    rows = graph_betweenness_sampled(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _BC_TOP
+    scores = [r.bc for r in rows]
+    assert all(s >= 0.0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # somebody must actually broker paths in a connected co-purchase graph
+    assert scores[0] > 0.0
