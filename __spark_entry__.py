@@ -64,6 +64,10 @@ _ROUND9_WINDOW = [
     "agg_time_decay_score",
     "rec_next_part",
     "graph_betweenness_sampled",
+    "agg_funnel_latency",
+    "join_attribution_position",
+    "profile_column_entropy",
+    "window_wma",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

@@ -30,6 +30,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational9,
     relational10,
     relational11,
+    relational12,
     retail,
     retail2,
     scalars2,

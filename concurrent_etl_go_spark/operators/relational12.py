@@ -1,0 +1,349 @@
+"""Relational pack 12 (round 9): funnel latency distribution,
+position-based multi-touch attribution, categorical-column entropy
+profile, and an all-integer weighted moving average.
+
+Each is a classic analytics template the surface lacked, with the §7.6
+exactness discipline: integer counts/credits/averages wherever algebra
+allows; the one float family (entropy's ``ln``) is a single shared
+expression over integer counts with ROUND(4)+0.0 emission.
+
+Reference parity: the reference engine (etl/main.go) has no analytics
+surface; these extend SURVEY.md §2.B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
+from concurrent_etl_go_spark.sources.readers import read_table
+
+#: Funnel latency bands (minutes, upper-exclusive); the last band is
+#: open-ended.  Shared between both dialects via the CASE text below.
+_LAT_BANDS = ((5, "lt_5m"), (60, "lt_1h"), (360, "lt_6h"), (1440, "lt_1d"))
+_LAT_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN delay_min < {m} THEN '{lbl}'" for m, lbl in _LAT_BANDS
+    )
+    + " ELSE 'ge_1d' END"
+)
+_LAT_ORDER = (
+    "CASE "
+    + " ".join(
+        f"WHEN delay_min < {m} THEN {i}"
+        for i, (m, _) in enumerate(_LAT_BANDS)
+    )
+    + f" ELSE {len(_LAT_BANDS)} END"
+)
+
+
+@query(
+    "agg_funnel_latency",
+    oracle=f"""
+    WITH fv AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS MATERIALIZED (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+      GROUP BY 1
+    ),
+    delays AS MATERIALIZED (
+      SELECT fv.user_id,
+             (epoch_us(fp.p_ts) - epoch_us(fv.v_ts)) // 60000000
+               AS delay_min
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+    ),
+    n AS (SELECT COUNT(*) AS n_conv FROM delays)
+    SELECT {_LAT_CASE} AS band,
+           CAST({_LAT_ORDER} AS BIGINT) AS band_order,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) * 10000 // n.n_conv AS BIGINT) AS share_bp
+    FROM delays CROSS JOIN n
+    GROUP BY 1, 2, n.n_conv
+    """,
+)
+def agg_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes between each user's FIRST
+    view and their first purchase AFTER it, banded — the latency
+    histogram behind "how long does the funnel take", where
+    ``agg_funnel`` counts only who converts.  Delay is integer minutes
+    (microsecond epoch difference floor-divided), bands and shares are
+    integers, so the driver hash needs no float discipline.
+
+    Scale: two user-keyed hash aggs (first view, first qualifying
+    purchase) + one broadcast scalar count; the histogram is a
+    five-row fold."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    delays = fv.join(fp, "user_id").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(p_ts) - unix_micros(v_ts)) div 60000000"
+        ).alias("delay_min"),
+    )
+    n = delays.agg(F.count(F.lit(1)).alias("n_conv"))
+    return (
+        delays.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(_LAT_CASE).alias("band"),
+            F.expr(_LAT_ORDER).cast("long").alias("band_order"),
+            "n_conv",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "band",
+            "band_order",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.expr("n_users * 10000 div n_conv").alias("share_bp"),
+        )
+    )
+
+
+_ATTR_LOOKBACK_DAYS = 7
+
+
+@query(
+    "join_attribution_position",
+    oracle=f"""
+    WITH conv AS MATERIALIZED (
+      SELECT event_id AS conv_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS MATERIALIZED (
+      SELECT t.event_id AS touch_id, t.event_type, c.conv_id,
+             row_number() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.ts, t.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS n
+      FROM events t
+      JOIN conv c ON c.user_id = t.user_id
+                 AND t.ts < c.c_ts
+                 AND t.ts >= c.c_ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY
+      WHERE t.event_type IN ('view', 'click')
+    ),
+    credited AS MATERIALIZED (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 10000
+                  WHEN n = 2 THEN 5000
+                  WHEN pos = 1 OR pos = n THEN 4000
+                  ELSE 2000 // (n - 2) END AS credit_bp
+      FROM touch
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY 1
+    """,
+)
+def join_attribution_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every
+    purchase distributes 10000 basis points of credit over the user's
+    view/click touches in the prior ``_ATTR_LOOKBACK_DAYS`` days —
+    40% to the first touch, 40% to the last, the middle 20% split
+    evenly (integer floor per middle touch; the sub-basis-point
+    remainder is deliberately dropped, identically in both engines) —
+    the standard U-shaped model beside ``join_attribution_last_touch``'s
+    winner-takes-all.  Credit per channel summed as integers.
+
+    Scale: one time-banded equi-join keyed by user (the last-touch
+    query's shape), a per-conversion window over that conversion's
+    touches only, then a channel-keyed hash agg."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    joined = touches.join(conv, "user_id").where(
+        (F.col("t_ts") < F.col("c_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("c_ts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("t_ts", "touch_id")
+    wn = Window.partitionBy("conv_id")
+    credited = (
+        joined.withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "event_type",
+            F.when(F.col("n") == 1, F.lit(10000))
+            .when(F.col("n") == 2, F.lit(5000))
+            .when(
+                (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+                F.lit(4000),
+            )
+            .otherwise(F.expr("2000 div (n - 2)"))
+            .alias("credit_bp"),
+        )
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit_bp").cast("long").alias("credit_bp"),
+    )
+
+
+#: (report label, table, column) triples profiled by the entropy query.
+_ENTROPY_COLS = (
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("orders.o_orderstatus", "orders", "o_orderstatus"),
+    ("customer.c_mktsegment", "customer", "c_mktsegment"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ("events.event_type", "events", "event_type"),
+)
+
+#: Shannon entropy in nats from integer category counts —
+#: H = ln(n) - sum(c*ln(c))/n, ONE shared expression text (the
+#: ``text_tfidf`` pinned-``ln`` convention, applied to aggregated
+#: columns n_rows and s); the category fold is <= a few dozen terms, so
+#: summation-order jitter sits ~10 orders below the ROUND(4) grain.
+_ENTROPY_EXPR = "ROUND(ln(1.0 * n_rows) - s / n_rows, 4) + 0.0"
+
+
+@query(
+    "profile_column_entropy",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT column_name, n_distinct, n_rows, {_ENTROPY_EXPR} AS entropy
+    FROM (
+      SELECT '{label}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             SUM(c * ln(1.0 * c)) AS s
+      FROM (SELECT {col} AS v, COUNT(*) AS c FROM {tbl} GROUP BY 1)
+    )
+    """
+        for label, tbl, col in _ENTROPY_COLS
+    ),
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the schema's categorical columns — the
+    profiling signal behind "is this column informative / skewed /
+    constant" (0 = constant column; ln(k) = perfectly uniform over k
+    values).  Computed from integer category counts as
+    ``ln(n) − Σ c·ln(c) / n`` — one shared expression; the per-column
+    fold runs over the CATEGORY dictionary (≤ dozens of rows), so
+    summation order cannot reach the ROUND(4) grain.
+
+    Scale: one hash agg per column (dictionary-sized output), a scalar
+    fold each, and a 5-row union — the ``profile_constraint_check``
+    report shape."""
+    out = None
+    for label, tbl, col in _ENTROPY_COLS:
+        counts = (
+            read_table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = counts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.sum(F.expr("c * ln(1.0 * c)")).alias("s"),
+        ).select(
+            F.lit(label).alias("column_name"),
+            "n_distinct",
+            "n_rows",
+            F.expr(_ENTROPY_EXPR).alias("entropy"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_WMA_DAYS = 7  # window width: today + the 6 prior days
+
+
+@query(
+    "window_wma",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT a.day, a.cents,
+           CAST(SUM(({_WMA_DAYS} - date_diff('day', b.day, a.day))
+                    * b.cents)
+                // SUM({_WMA_DAYS} - date_diff('day', b.day, a.day))
+                AS BIGINT) AS wma_cents
+    FROM daily a
+    JOIN daily b ON b.day <= a.day
+                AND b.day > a.day - INTERVAL {_WMA_DAYS} DAY
+    GROUP BY a.day, a.cents
+    """,
+)
+def window_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted moving average of daily order revenue: over
+    each day's trailing 7-day window, weight w = 7 for today
+    down to 1 for six days back, ``WMA = Σ w·cents div Σ w`` — ALL
+    INTEGER (exact cents in, integer weights, one floor division), so
+    unlike float WMAs there is no summation-order discipline at all.
+    The trend-responsive smoother between the flat ``agg_ewma`` and the
+    trend-extrapolating ``agg_holt_forecast``.
+
+    Scale: grain-first — facts collapse to |days| rows in one hash agg;
+    the weighted window is a days x 7 self-join over the
+    dimension-sized series (a RANGE frame cannot carry position-
+    dependent weights, so the join IS the standard formulation)."""
+    daily = scoped_persist(
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = daily.select(F.col("day").alias("day"), F.col("cents").alias("cents"))
+    b = daily.select(
+        F.col("day").alias("b_day"), F.col("cents").alias("b_cents")
+    )
+    joined = a.join(
+        b,
+        (F.col("b_day") <= F.col("day"))
+        & (
+            F.col("b_day")
+            > F.col("day") - F.expr(f"INTERVAL {_WMA_DAYS} DAY")
+        ),
+    )
+    w = F.lit(_WMA_DAYS) - F.datediff("day", "b_day")
+    return (
+        joined.groupBy("day", "cents")
+        .agg(
+            F.sum(w * F.col("b_cents")).alias("num"),
+            F.sum(w).alias("den"),
+        )
+        .select(
+            "day",
+            "cents",
+            F.expr("num div den").cast("long").alias("wma_cents"),
+        )
+    )
