@@ -68,6 +68,9 @@ _ROUND9_WINDOW = [
     "join_attribution_position",
     "profile_column_entropy",
     "window_wma",
+    "window_stock_clamp",
+    "rec_eval_hit_rate",
+    "agg_forecast_backtest",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

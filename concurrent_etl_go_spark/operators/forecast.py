@@ -207,3 +207,127 @@ def agg_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emit(_F1, "forecast_1"),
         _emit(_F3, "forecast_3"),
     )
+
+
+_BT_HOLDOUT = 3  # backtest horizon (last N days of each series)
+_BT_SEASON = 7  # seasonal-naive lag (positions, weekly)
+_BT_MIN_LEN = _BT_HOLDOUT + _BT_SEASON + 1  # shortest eligible series
+
+
+def _bt_exprs(engine: str, h: int) -> list[str]:
+    """The six backtest output expressions for horizon ``h`` — the SAME
+    fragment strings feed both dialects; only the list-index function
+    differs (``vals[i]`` vs ``element_at(vals, i)``)."""
+    fc = f"({_LEVEL}) + {float(h)} * ({_TREND})"
+    a_idx = f"n - {_BT_HOLDOUT} + {h}"
+    nv_idx = f"n - {_BT_HOLDOUT} + {h} - {_BT_SEASON}"
+    if engine == "duckdb":
+        actual, naive = f"vals[{a_idx}]", f"vals[{nv_idx}]"
+    else:
+        actual = f"element_at(vals, CAST({a_idx} AS INT))"
+        naive = f"element_at(vals, CAST({nv_idx} AS INT))"
+    return [
+        "event_type",
+        f"CAST({h} AS BIGINT) AS h",
+        f"ROUND({fc}, 4) + 0.0 AS forecast",
+        f"CAST({actual} AS BIGINT) AS actual",
+        f"ROUND(ABS(({fc}) - {actual}), 4) + 0.0 AS abs_err",
+        f"CAST(ABS({naive} - {actual}) AS BIGINT) AS naive_abs_err",
+    ]
+
+
+def _bt_rows_sql() -> str:
+    return "\n    UNION ALL\n    ".join(
+        "SELECT " + ", ".join(_bt_exprs("duckdb", h)) + " FROM states"
+        for h in range(1, _BT_HOLDOUT + 1)
+    )
+
+
+@query(
+    "agg_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(n ORDER BY day) AS vals,
+             len(list(n)) AS n
+      FROM daily GROUP BY 1
+      HAVING len(list(n)) >= {_BT_MIN_LEN}
+    ),
+    smoothed AS (
+      SELECT event_type, vals, n,
+             [list_reduce(vals[1:i], {_FOLD})
+              for i in range(1, n - {_BT_HOLDOUT} + 1)] AS s1s
+      FROM series
+    ),
+    states AS (
+      SELECT event_type, vals, n,
+             s1s[len(s1s)] AS s1,
+             list_reduce(s1s, {_FOLD}) AS s2
+      FROM smoothed
+    )
+    {_bt_rows_sql()}
+    """,
+)
+def agg_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout backtest of the Brown forecaster: per event type, fit on
+    the series MINUS its last ``_BT_HOLDOUT`` days, forecast each
+    held-out position, and report the absolute error next to the
+    seasonal-naive baseline (the value ``_BT_SEASON`` positions
+    earlier) — the forecast family's measured-not-claimed query,
+    sibling of ``rec_eval_hit_rate`` and ``search_eval_*``.  A Holt
+    row beating naive_abs_err is the model earning its keep; the MASE
+    denominator is exactly this baseline (Hyndman & Koehler 2006).
+
+    The fit reuses the scalar prefix-fold discipline of
+    ``agg_holt_forecast`` on the TRAIN slice; actual/naive values are
+    list indexing over the same ordered series, so the only float
+    surface is the pinned fold + one shared forecast expression,
+    ROUND(4)+0.0 at every emission.  Series shorter than
+    ``_BT_MIN_LEN`` days are excluded by the identical HAVING rule on
+    both sides."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "n"))),
+                lambda s: s["n"],
+            ).alias("vals")
+        )
+        .withColumn("n", F.size("vals"))
+        .where(F.col("n") >= _BT_MIN_LEN)
+    )
+    smoothed = series.select(
+        "event_type",
+        "vals",
+        "n",
+        F.expr(
+            f"transform(sequence(1, size(vals) - {_BT_HOLDOUT}), i -> "
+            f"aggregate(slice(vals, 2, i - 1), element_at(vals, 1), "
+            f"{_FOLD}))"
+        ).alias("s1s"),
+    )
+    states = smoothed.select(
+        "event_type",
+        "vals",
+        "n",
+        F.expr("element_at(s1s, size(s1s))").alias("s1"),
+        F.expr(
+            "aggregate(slice(s1s, 2, size(s1s) - 1), "
+            f"element_at(s1s, 1), {_FOLD})"
+        ).alias("s2"),
+    )
+    out = None
+    for h in range(1, _BT_HOLDOUT + 1):
+        row = states.selectExpr(*_bt_exprs("spark", h))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+

@@ -392,3 +392,232 @@ def rec_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nxt_rank",
         )
     )
+
+
+_EVAL_CUSTS = 20  # leave-last-basket-out evaluation customers
+_EVAL_K = 5  # recommendations scored per customer
+
+
+@query(
+    "rec_eval_hit_rate",
+    oracle=f"""
+    WITH custs AS MATERIALIZED (
+      SELECT o_custkey AS ck FROM orders
+      GROUP BY 1 HAVING COUNT(*) >= 2
+      ORDER BY COUNT(*) DESC, ck LIMIT {_EVAL_CUSTS}
+    ),
+    held AS MATERIALIZED (
+      SELECT ck, o_orderkey AS held_okey FROM (
+        SELECT c.ck, o.o_orderkey,
+               row_number() OVER (PARTITION BY c.ck
+                                  ORDER BY o.o_orderdate DESC,
+                                           o.o_orderkey DESC) AS rn
+        FROM custs c JOIN orders o ON o.o_custkey = c.ck
+      ) WHERE rn = 1
+    ),
+    li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    train AS MATERIALIZED (
+      SELECT l.l_orderkey, l.l_partkey FROM li l
+      LEFT JOIN held h ON h.held_okey = l.l_orderkey
+      WHERE h.held_okey IS NULL
+    ),
+    item AS MATERIALIZED (
+      SELECT l_partkey AS pk, COUNT(*) AS c FROM train GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+      FROM train a
+      JOIN train b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    model AS MATERIALIZED (
+      SELECT s.i, s.j,
+             CAST(CAST(s.n_ab AS HUGEINT) * s.n_ab * 10000
+                  // (CAST(ci.c AS HUGEINT) * cj.c) AS BIGINT) AS cos2_bp
+      FROM (
+        SELECT pa AS i, pb AS j, n_ab FROM pairs
+        UNION ALL
+        SELECT pb AS i, pa AS j, n_ab FROM pairs
+      ) s
+      JOIN item ci ON ci.pk = s.i
+      JOIN item cj ON cj.pk = s.j
+    ),
+    owned AS MATERIALIZED (
+      SELECT DISTINCT c.ck, t.l_partkey AS pk
+      FROM custs c
+      JOIN orders o ON o.o_custkey = c.ck
+      JOIN train t ON t.l_orderkey = o.o_orderkey
+    ),
+    recs AS MATERIALIZED (
+      SELECT ck, item FROM (
+        SELECT w.ck, m.j AS item,
+               row_number() OVER (
+                 PARTITION BY w.ck
+                 ORDER BY SUM(m.cos2_bp) DESC, m.j
+               ) AS rn
+        FROM owned w
+        JOIN model m ON m.i = w.pk
+        LEFT JOIN owned o2 ON o2.ck = w.ck AND o2.pk = m.j
+        WHERE o2.pk IS NULL
+        GROUP BY w.ck, m.j
+      ) WHERE rn <= {_EVAL_K}
+    ),
+    test AS MATERIALIZED (
+      SELECT h.ck, l.l_partkey AS pk
+      FROM held h JOIN li l ON l.l_orderkey = h.held_okey
+    )
+    SELECT h.ck AS custkey,
+           CAST((SELECT COUNT(*) FROM test t WHERE t.ck = h.ck)
+                AS BIGINT) AS n_test,
+           CAST(COUNT(t2.pk) AS BIGINT) AS hits,
+           CAST(COUNT(t2.pk) * 10000 // {_EVAL_K} AS BIGINT) AS prec_bp,
+           CAST(CASE WHEN COUNT(t2.pk) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS hit_flag
+    FROM held h
+    LEFT JOIN recs r ON r.ck = h.ck
+    LEFT JOIN test t2 ON t2.ck = r.ck AND t2.pk = r.item
+    GROUP BY h.ck
+    """,
+)
+def rec_eval_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-basket-out evaluation of the item-item recommender
+    (the standard offline CF protocol): for the ``_EVAL_CUSTS``
+    heaviest multi-order customers, hold out each one's LAST order,
+    rebuild the cosine² model on everything else, recommend top
+    ``_EVAL_K`` unowned items, and score hits against the held-out
+    basket — precision@k in basis points plus the hit flag, per
+    customer.  The recommender family's analogue of the retrieval
+    family's ``search_eval_*``: the model's usefulness measured, not
+    claimed, under the driver hash.
+
+    All integers (counts, the cos² model, floor-divided precision);
+    held-out selection is a deterministic (date DESC, key DESC)
+    argmax.  Scale: the train-set model is the ``_model`` plan with
+    one extra anti-join on the held-out order keys (a broadcast-sized
+    list); evaluation joins touch |custs| x k rows."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    custs = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .orderBy(F.desc("n"), "ck")
+        .limit(_EVAL_CUSTS)
+        .select("ck")
+    )
+    w_last = Window.partitionBy("ck").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    held = (
+        custs.join(orders, custs["ck"] == orders["o_custkey"])
+        .withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("ck", F.col("o_orderkey").alias("held_okey"))
+    )
+    held = scoped_persist(held)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    train = scoped_persist(
+        li.join(
+            F.broadcast(held.select(F.col("held_okey").alias("l_orderkey"))),
+            "l_orderkey",
+            "left_anti",
+        )
+    )
+    item = train.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a, b = train.alias("a"), train.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _MIN_SUPPORT)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "n_ab"
+    ).unionAll(
+        pairs.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "n_ab")
+    )
+    model = (
+        sym.join(item.select(F.col("pk").alias("i"),
+                             F.col("c").alias("c_i")), "i")
+        .join(item.select(F.col("pk").alias("j"),
+                          F.col("c").alias("c_j")), "j")
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 10000"
+                " div (CAST(c_i AS DECIMAL(38,0)) * c_j) AS BIGINT)"
+            ).alias("cos2_bp"),
+        )
+    )
+    owned = scoped_persist(
+        custs.join(orders, custs["ck"] == orders["o_custkey"])
+        .join(train, F.col("o_orderkey") == train["l_orderkey"])
+        .select("ck", F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    scored = (
+        owned.join(model, owned["pk"] == model["i"])
+        .join(
+            owned.select("ck", F.col("pk").alias("j")),
+            ["ck", "j"],
+            "left_anti",
+        )
+        .groupBy("ck", F.col("j").alias("item"))
+        .agg(F.sum("cos2_bp").alias("score"))
+    )
+    w_rec = Window.partitionBy("ck").orderBy(F.desc("score"), "item")
+    recs = (
+        scored.withColumn("rn", F.row_number().over(w_rec))
+        .where(F.col("rn") <= _EVAL_K)
+        .select("ck", F.col("item").alias("pk"))
+    )
+    test = held.join(
+        li, held["held_okey"] == li["l_orderkey"]
+    ).select("ck", F.col("l_partkey").alias("pk"))
+    test = scoped_persist(test)
+    n_test = test.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test")
+    )
+    hits = (
+        recs.join(test, ["ck", "pk"], "left_semi")
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        held.select("ck")
+        .join(n_test, "ck", "left")
+        .join(hits, "ck", "left")
+        .select(
+            F.col("ck").alias("custkey"),
+            F.coalesce(F.col("n_test"), F.lit(0))
+            .cast("long")
+            .alias("n_test"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(
+                f"CAST(coalesce(hits, 0) * 10000 div {_EVAL_K} AS BIGINT)"
+            ).alias("prec_bp"),
+            F.when(F.coalesce(F.col("hits"), F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hit_flag"),
+        )
+    )

@@ -347,3 +347,106 @@ def window_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("num div den").cast("long").alias("wma_cents"),
         )
     )
+
+
+_STOCK_PARTS = 10  # anchor parts simulated (highest-volume first)
+
+
+@query(
+    "window_stock_clamp",
+    oracle=f"""
+    WITH flows AS MATERIALIZED (
+      SELECT l_partkey AS pk, date_trunc('day', l_shipdate) AS day,
+             CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_quantity AS BIGINT)
+                           ELSE -CAST(l_quantity AS BIGINT) END)
+                  AS BIGINT) AS delta
+      FROM lineitem GROUP BY 1, 2
+    ),
+    anchors AS MATERIALIZED (
+      SELECT pk FROM flows
+      GROUP BY 1
+      ORDER BY SUM(CASE WHEN delta >= 0 THEN delta ELSE -delta END)
+               DESC, pk
+      LIMIT {_STOCK_PARTS}
+    ),
+    series AS (
+      SELECT f.pk,
+             list(f.delta ORDER BY f.day) AS deltas,
+             CAST(SUM(CASE WHEN f.delta > 0 THEN f.delta ELSE 0 END)
+                  AS BIGINT) AS total_in,
+             CAST(SUM(CASE WHEN f.delta < 0 THEN -f.delta ELSE 0 END)
+                  AS BIGINT) AS total_out,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM flows f JOIN anchors an ON an.pk = f.pk
+      GROUP BY 1
+    )
+    SELECT pk, n_days, total_in, total_out,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT), deltas),
+             (acc, x) -> GREATEST(CAST(0 AS BIGINT), acc + x)
+           ) AS BIGINT) AS on_hand
+    FROM series
+    """,
+)
+def window_stock_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running inventory: per high-volume part, fold the
+    daily net flow (returns restock +qty, shipments draw -qty) through
+    ``on_hand = max(0, on_hand + delta)`` — the stock-simulation
+    recurrence a window running-sum CANNOT express (the clamp makes it
+    non-linear: once the balance floors at zero, history before the
+    floor stops mattering).  The ``agg_ewma`` ordered-array fold idiom
+    with an INTEGER accumulator and an explicit zero seed (prepended,
+    so DuckDB's seed-with-first-element ``list_reduce`` runs the
+    identical fold); whole-unit quantities keep every step exact.
+
+    Scale: grain-first — facts collapse to (part, day) in one hash
+    agg; folds run over per-part day-count arrays; anchors are a
+    derived top-N.  For unbounded series, chunk by month and carry the
+    clamped balance as the next chunk's seed (the clamp recurrence
+    composes left-to-right exactly like EWMA)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_returnflag"
+    )
+    delta = F.when(
+        F.col("l_returnflag") == "R",
+        F.col("l_quantity").cast("long"),
+    ).otherwise(-F.col("l_quantity").cast("long"))
+    flows = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.date_trunc("day", "l_shipdate").alias("day"),
+    ).agg(F.sum(delta).cast("long").alias("delta"))
+    flows = scoped_persist(flows)
+    anchors = (
+        flows.groupBy("pk")
+        .agg(F.sum(F.abs(F.col("delta"))).alias("vol"))
+        .orderBy(F.desc("vol"), "pk")
+        .limit(_STOCK_PARTS)
+        .select("pk")
+    )
+    series = (
+        flows.join(F.broadcast(anchors), "pk")
+        .groupBy("pk")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "delta"))),
+                lambda s: s["delta"],
+            ).alias("deltas"),
+            F.sum(
+                F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)
+            ).cast("long").alias("total_in"),
+            F.sum(
+                F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)
+            ).cast("long").alias("total_out"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    on_hand = F.aggregate(
+        F.col("deltas"),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.greatest(F.lit(0).cast("long"), acc + x),
+    )
+    return series.select(
+        "pk", "n_days", "total_in", "total_out",
+        on_hand.cast("long").alias("on_hand"),
+    )

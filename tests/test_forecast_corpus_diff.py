@@ -93,3 +93,21 @@ def test_time_decay_score_favors_recency(spark, sf_dir):
         # than 0 (hyperbolic decay never hits zero in-range)
         assert 0 < r.decay_score <= r.total_cents * 1000
         assert r.n_orders >= 1
+
+
+def test_forecast_backtest_consistency(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.forecast import (
+        _BT_HOLDOUT,
+        agg_forecast_backtest,
+    )
+
+    rows = agg_forecast_backtest(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.h <= _BT_HOLDOUT
+        assert r.actual >= 0 and r.naive_abs_err >= 0
+        assert abs(abs(r.forecast - r.actual) - r.abs_err) < 2e-4
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        assert len(rs) == _BT_HOLDOUT

@@ -113,3 +113,19 @@ def test_betweenness_nonnegative_and_ranked(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     # somebody must actually broker paths in a connected co-purchase graph
     assert scores[0] > 0.0
+
+
+def test_rec_eval_hit_rate_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.recommender import (
+        _EVAL_CUSTS,
+        _EVAL_K,
+        rec_eval_hit_rate,
+    )
+
+    rows = rec_eval_hit_rate(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _EVAL_CUSTS
+    for r in rows:
+        assert r.n_test >= 1  # every held-out order has lineitems
+        assert 0 <= r.hits <= min(_EVAL_K, r.n_test)
+        assert r.prec_bp == r.hits * 10000 // _EVAL_K
+        assert r.hit_flag == (1 if r.hits > 0 else 0)

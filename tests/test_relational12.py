@@ -63,3 +63,19 @@ def test_wma_between_min_and_max_of_window(spark, sf_dir):
             if d <= r.day and (r.day - d).days < 7
         ]
         assert min(window) - 1 <= r.wma_cents <= max(window)
+
+
+def test_stock_clamp_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational12 import (
+        _STOCK_PARTS,
+        window_stock_clamp,
+    )
+
+    rows = window_stock_clamp(spark, sf_dir).collect()
+    assert len(rows) == _STOCK_PARTS
+    for r in rows:
+        # the clamp keeps on-hand in [0, total_in]; it is also >= the
+        # unclamped net (clamping can only raise the balance)
+        assert 0 <= r.on_hand <= r.total_in
+        assert r.on_hand >= r.total_in - r.total_out
+        assert r.n_days >= 1
