@@ -290,13 +290,11 @@ _WMA_DAYS = 7  # window width: today + the 6 prior days
       FROM orders GROUP BY 1
     )
     SELECT a.day, a.cents,
-           CAST(SUM(({_WMA_DAYS} - date_diff('day', b.day, a.day))
-                    * b.cents)
-                // SUM({_WMA_DAYS} - date_diff('day', b.day, a.day))
-                AS BIGINT) AS wma_cents
+           CAST(SUM(({_WMA_DAYS} - o.o) * b.cents)
+                // SUM({_WMA_DAYS} - o.o) AS BIGINT) AS wma_cents
     FROM daily a
-    JOIN daily b ON b.day <= a.day
-                AND b.day > a.day - INTERVAL {_WMA_DAYS} DAY
+    CROSS JOIN (SELECT unnest(range(0, {_WMA_DAYS})) AS o) o
+    JOIN daily b ON b.day = a.day - o.o * INTERVAL 1 DAY
     GROUP BY a.day, a.cents
     """,
 )
@@ -310,9 +308,12 @@ def window_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend-extrapolating ``agg_holt_forecast``.
 
     Scale: grain-first — facts collapse to |days| rows in one hash agg;
-    the weighted window is a days x 7 self-join over the
-    dimension-sized series (a RANGE frame cannot carry position-
-    dependent weights, so the join IS the standard formulation)."""
+    the weighted window then EXPLODES each day into its 7 offset rows
+    and equi-joins back on the shifted date (a RANGE frame cannot
+    carry position-dependent weights, and the offset form keeps the
+    join a hash join where a band self-join would nested-loop) —
+    linear in the series either way, but hash-join-shaped at any
+    width."""
     daily = scoped_persist(
         read_table(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
@@ -322,21 +323,20 @@ def window_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    a = daily.select(F.col("day").alias("day"), F.col("cents").alias("cents"))
+    offsets = daily.select(
+        "day",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_WMA_DAYS - 1))).alias("o"),
+    ).withColumn(
+        "b_day", F.expr("day - make_dt_interval(o)")
+    )
     b = daily.select(
         F.col("day").alias("b_day"), F.col("cents").alias("b_cents")
     )
-    joined = a.join(
-        b,
-        (F.col("b_day") <= F.col("day"))
-        & (
-            F.col("b_day")
-            > F.col("day") - F.expr(f"INTERVAL {_WMA_DAYS} DAY")
-        ),
-    )
-    w = F.lit(_WMA_DAYS) - F.datediff("day", "b_day")
+    w = F.lit(_WMA_DAYS) - F.col("o")
     return (
-        joined.groupBy("day", "cents")
+        offsets.join(b, "b_day")
+        .groupBy("day", "cents")
         .agg(
             F.sum(w * F.col("b_cents")).alias("num"),
             F.sum(w).alias("den"),
