@@ -55,6 +55,17 @@ QUERIES = (
     "graph_closeness_centrality",
     "agg_holt_forecast",
     "text_distinctive_terms",
+    "search_eval_mrr",
+    "agg_time_decay_score",
+    "rec_next_part",
+    "graph_betweenness_sampled",
+    "agg_funnel_latency",
+    "join_attribution_position",
+    "profile_column_entropy",
+    "window_wma",
+    "window_stock_clamp",
+    "rec_eval_hit_rate",
+    "agg_forecast_backtest",
 )
 
 SF_DIRS = {
