@@ -71,6 +71,8 @@ _ROUND9_WINDOW = [
     "window_stock_clamp",
     "rec_eval_hit_rate",
     "agg_forecast_backtest",
+    "agg_survival_km",
+    "dataset_weighted_sample",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

@@ -149,6 +149,15 @@ HEADLINE = (
     "agg_holt_forecast",            # Brown double-exponential forecast
     "agg_time_decay_score",         # hyperbolic time-decayed spend
     "text_distinctive_terms",       # log-odds corpus diff
+    "agg_funnel_latency",           # time-to-convert bands
+    "join_attribution_position",    # U-shaped multi-touch credit
+    "profile_column_entropy",       # categorical entropy profile
+    "window_wma",                   # integer weighted moving average
+    "window_stock_clamp",           # zero-clamped inventory fold
+    "rec_eval_hit_rate",            # leave-one-out recommender eval
+    "agg_forecast_backtest",        # Holt vs seasonal-naive backtest
+    "agg_survival_km",              # Kaplan-Meier churn curve
+    "dataset_weighted_sample",      # per-row-rate deterministic sample
 )
 
 

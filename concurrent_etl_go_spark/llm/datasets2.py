@@ -537,3 +537,62 @@ def dataset_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "dataset_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(n_chars AS BIGINT) * 10000 // (n_chars + 200)
+               AS w_bp,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+              % 10000) AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w_bp) AS BIGINT) AS sum_w_bp,
+           CAST(SUM(CASE WHEN bucket < w_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < w_bp THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS kept_bp
+    FROM w GROUP BY 1
+    """,
+)
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance-weighted sampling report: every document
+    gets an integer keep-probability in basis points (a saturating
+    length weight, ``n_chars * 10000 div (n_chars + 200)`` — longer
+    documents kept more often, the quality-weighted mix shaping a
+    pretraining pipeline applies), and is kept iff its portable md5
+    bucket (mod 10000) falls below that weight — the §7.6 rule-6 idiom
+    extended from fixed-rate to PER-ROW rates.  A document's keep
+    decision never flips as the corpus grows, across engines, runs, or
+    row order; per-language counts summarize realized vs intended mass
+    (n_kept tracks sum_w_bp / 10000 by LLN — pytest-pinned at the
+    corpus level).
+
+    Scale: one map-side expression per row (no shuffle until the
+    language rollup), the same scan-level filter shape as
+    ``sample_block_hash``."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w = docs.select(
+        "lang",
+        F.expr(
+            "CAST(n_chars AS BIGINT) * 10000 div (n_chars + 200)"
+        ).alias("w_bp"),
+        (hash_bucket("doc_id", 10000)).alias("bucket"),
+    )
+    kept = F.when(F.col("bucket") < F.col("w_bp"), 1).otherwise(0)
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w_bp").cast("long").alias("sum_w_bp"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.expr(
+            "CAST(SUM(CASE WHEN bucket < w_bp THEN 1 ELSE 0 END)"
+            " * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("kept_bp"),
+    )

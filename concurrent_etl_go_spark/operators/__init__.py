@@ -38,6 +38,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     sketches,
     sketches2,
     skew,
+    survival,
     timeseries,
     vtable,
     warehouse,

@@ -66,6 +66,8 @@ QUERIES = (
     "window_stock_clamp",
     "rec_eval_hit_rate",
     "agg_forecast_backtest",
+    "agg_survival_km",
+    "dataset_weighted_sample",
 )
 
 SF_DIRS = {

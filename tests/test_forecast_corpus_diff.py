@@ -111,3 +111,39 @@ def test_forecast_backtest_consistency(spark, sf_dir):
         by_type.setdefault(r.event_type, []).append(r)
     for rs in by_type.values():
         assert len(rs) == _BT_HOLDOUT
+
+
+def test_survival_km_monotone(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.survival import agg_survival_km
+
+    rows = agg_survival_km(spark, sf_dir).orderBy("t_days").collect()
+    assert rows
+    last_s, last_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert r.n_events >= 1
+        assert r.n_risk >= r.n_events
+        # survival never increases; at-risk never increases with t
+        assert r.survival <= last_s + 1e-9
+        assert 0.0 <= r.survival < 1.0 + 1e-9
+        if last_n is not None:
+            assert r.n_risk <= last_n
+        last_s, last_n = r.survival, r.n_risk
+
+
+def test_weighted_sample_tracks_intended_mass(spark, sf_dir):
+    from concurrent_etl_go_spark.llm.datasets2 import (
+        dataset_weighted_sample,
+    )
+
+    rows = dataset_weighted_sample(spark, sf_dir).collect()
+    assert rows
+    n = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    intended = sum(r.sum_w_bp for r in rows) / 10000.0
+    # corpus-level realized mass tracks intended mass (md5 buckets are
+    # uniform; tolerance ~4 sigma of a Bernoulli sum)
+    sigma = (intended * 0.25) ** 0.5 + 1.0
+    assert abs(kept - intended) < 4 * sigma + 0.05 * n
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.kept_bp == r.n_kept * 10000 // r.n_docs
