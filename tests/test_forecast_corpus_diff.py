@@ -147,3 +147,43 @@ def test_weighted_sample_tracks_intended_mass(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_kept <= r.n_docs
         assert r.kept_bp == r.n_kept * 10000 // r.n_docs
+
+
+def test_survival_km_matches_python_replication(spark, sf_dir):
+    """Beyond cross-engine equality (the oracle) and monotonicity: the
+    query's output must equal a from-scratch Python Kaplan-Meier over
+    the same lifetimes."""
+    import duckdb
+
+    from concurrent_etl_go_spark.operators.survival import (
+        _CENSOR_DAYS,
+        agg_survival_km,
+    )
+
+    con = duckdb.connect()
+    life = con.execute(
+        f"""
+        SELECT date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS dur,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate)
+                          FROM '{sf_dir}/orders.parquet')) AS recency
+        FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey
+        """
+    ).fetchall()
+    durs = [(d, 0 if r < _CENSOR_DAYS else 1) for d, r in life]
+    event_times = sorted({d for d, ch in durs if ch == 1})
+    s, expected = 1.0, {}
+    for t in event_times:
+        n = sum(1 for d, _ in durs if d >= t)
+        d_t = sum(1 for d, ch in durs if d == t and ch == 1)
+        s = s * (1.0 - d_t / n)
+        expected[t] = (n, d_t, round(s, 6))
+    got = {
+        r.t_days: (r.n_risk, r.n_events, r.survival)
+        for r in agg_survival_km(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for t, (n, d_t, s_t) in expected.items():
+        gn, gd, gs = got[t]
+        assert (gn, gd) == (n, d_t)
+        assert abs(gs - s_t) < 1e-9
