@@ -548,3 +548,46 @@ def test_fk_orphans_all_edges_broadcast_parent_keys(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == len(_FK_EDGES)
     assert "SortMergeJoin" not in plan
     assert plan.count("partial_") >= len(_FK_EDGES)  # map-side count folds
+
+
+def test_round9_recommender_plans(spark, sf_dir):
+    # anchors/custs are broadcast into the model join; no sort-merge
+    # creeps into the dimension joins and no Python enters the row path
+    for name in ("rec_item_neighbors", "rec_next_part"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, name
+
+
+def test_round9_wma_is_hash_join_shaped(spark, sf_dir):
+    # the 7-offset rewrite must keep the weighted window an equi join —
+    # a band self-join here silently becomes a days x days nested loop
+    plan = plan_of(spark, sf_dir, "window_wma")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round9_retrieval_eval_broadcasts_query_set(spark, sf_dir):
+    # the |Q|-way corpus expansion and every LUT/probe join ride
+    # broadcasts; the only nested-loop joins are those broadcast
+    # |Q|-row expansions (never a shuffle-side cartesian)
+    plan = plan_of(spark, sf_dir, "search_eval_recall_at_k")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_round9_survival_grain_collapses_before_window(spark, sf_dir):
+    # the at-risk cumulative sum must run AFTER the per-duration hash
+    # aggregation (dimension-sized window), not over raw customers
+    plan = plan_of(spark, sf_dir, "agg_survival_km")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("RunningWindowFunction")
+    if win_pos == -1:
+        win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints top-down: the window consumes the aggregate,
+    # so the aggregate appears BELOW (after) it in the text
+    assert win_pos < plan.rfind("HashAggregate")
