@@ -73,6 +73,8 @@ _ROUND9_WINDOW = [
     "agg_forecast_backtest",
     "agg_survival_km",
     "dataset_weighted_sample",
+    "graph_clustering_coeff",
+    "profile_dup_transactions",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

@@ -158,6 +158,8 @@ HEADLINE = (
     "agg_forecast_backtest",        # Holt vs seasonal-naive backtest
     "agg_survival_km",              # Kaplan-Meier churn curve
     "dataset_weighted_sample",      # per-row-rate deterministic sample
+    "graph_clustering_coeff",       # local clustering coefficient
+    "profile_dup_transactions",     # banded duplicate-charge probe
 )
 
 

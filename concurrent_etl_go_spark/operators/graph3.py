@@ -357,3 +357,97 @@ def graph_betweenness_sampled(
         (F.round(F.sum("delta"), 6) + F.lit(0.0)).alias("bc")
     )
     return bc.orderBy(F.desc("bc"), "id").limit(_BC_TOP)
+
+
+_CC_TOP = 25
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM sym GROUP BY 1
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    ntri AS MATERIALIZED (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.id, d.degree,
+           COALESCE(t.n_tri, 0) AS n_tri,
+           CAST(COALESCE(t.n_tri, 0) * 2 * 10000
+                // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_bp
+    FROM deg d LEFT JOIN ntri t ON t.id = d.id
+    WHERE d.degree >= 2
+    ORDER BY cc_bp DESC, d.id LIMIT {_CC_TOP}
+    """,
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998, public
+    literature): per node, ``2·triangles div (deg·(deg−1))`` in integer
+    basis points — "how cliquish is this customer's purchase
+    neighborhood", the micro-scale structure metric beside the
+    centrality kernels' macro scores.  Degree-1 nodes are excluded
+    (coefficient undefined); nodes in no triangle emit 0.  Top
+    ``_CC_TOP`` by (cc_bp DESC, id) — a fully deterministic order on
+    pure integers.
+
+    Scale: reuses the oriented triangle path-join (two equi-join
+    shuffles, fan-out bounded by the capped oriented degree — the
+    ``graph_triangles_copurchase`` argument) plus one degree hash-agg;
+    the division is a per-node scalar on the joined dimension table."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    ntri = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = (
+        deg.where(F.col("degree") >= 2)
+        .join(ntri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                "CAST(coalesce(n_tri, 0) * 2 * 10000"
+                " div (degree * (degree - 1)) AS BIGINT)"
+            ).alias("cc_bp"),
+        )
+    )
+    return out.orderBy(F.desc("cc_bp"), "id").limit(_CC_TOP)

@@ -450,3 +450,71 @@ def window_stock_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pk", "n_days", "total_in", "total_out",
         on_hand.cast("long").alias("on_hand"),
     )
+
+
+_DUP_BAND_CENTS = 50000  # $500 price bands
+_DUP_WINDOW_DAYS = 180
+
+
+@query(
+    "profile_dup_transactions",
+    oracle=f"""
+    WITH o AS MATERIALIZED (
+      SELECT o_custkey AS custkey, o_orderkey AS okey, o_orderdate AS d,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               // {_DUP_BAND_CENTS} AS band
+      FROM orders
+    )
+    SELECT a.custkey, a.okey AS okey_a, b.okey AS okey_b,
+           CAST(a.band AS BIGINT) AS band,
+           CAST(abs(date_diff('day', a.d, b.d)) AS BIGINT) AS gap_days
+    FROM o a
+    JOIN o b ON b.custkey = a.custkey AND b.band = a.band
+            AND b.okey > a.okey
+    WHERE abs(date_diff('day', a.d, b.d)) <= {_DUP_WINDOW_DAYS}
+    """,
+)
+def profile_dup_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected duplicate-transaction pairs: same customer, same $500
+    price band, within ``_DUP_WINDOW_DAYS`` days — the double-charge DQ
+    probe every billing pipeline runs (exact-key duplicate checks miss
+    re-keyed resubmissions; banding + a time window is the standard
+    blocking recipe).  Pure integers: exact cents floor-divided into
+    bands, day gaps, oriented (okey_a < okey_b) so each pair emits
+    once.
+
+    Scale: one equi-join on the (customer, band) BLOCK key — the
+    ``join_fuzzy_names`` blocking argument: candidate fan-out is
+    bounded by per-block sizes (a customer's orders in one price
+    band), never all-pairs; the window predicate prunes inside the
+    block."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("d"),
+        F.expr(
+            f"CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+            f" div {_DUP_BAND_CENTS}"
+        ).alias("band"),
+    )
+    a = o.alias("a")
+    b = o.select(
+        F.col("custkey"),
+        F.col("okey").alias("okey_b"),
+        F.col("d").alias("d_b"),
+        F.col("band"),
+    ).alias("b")
+    return (
+        a.join(b, ["custkey", "band"])
+        .where(F.col("okey_b") > F.col("okey"))
+        .where(
+            F.abs(F.datediff("d", "d_b")) <= _DUP_WINDOW_DAYS
+        )
+        .select(
+            "custkey",
+            F.col("okey").alias("okey_a"),
+            "okey_b",
+            F.col("band").cast("long").alias("band"),
+            F.abs(F.datediff("d", "d_b")).cast("long").alias("gap_days"),
+        )
+    )

@@ -68,6 +68,8 @@ QUERIES = (
     "agg_forecast_backtest",
     "agg_survival_km",
     "dataset_weighted_sample",
+    "graph_clustering_coeff",
+    "profile_dup_transactions",
 )
 
 SF_DIRS = {

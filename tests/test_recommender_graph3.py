@@ -129,3 +129,20 @@ def test_rec_eval_hit_rate_bounds(spark, sf_dir):
         assert 0 <= r.hits <= min(_EVAL_K, r.n_test)
         assert r.prec_bp == r.hits * 10000 // _EVAL_K
         assert r.hit_flag == (1 if r.hits > 0 else 0)
+
+
+def test_clustering_coeff_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.graph3 import (
+        _CC_TOP,
+        graph_clustering_coeff,
+    )
+
+    rows = graph_clustering_coeff(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _CC_TOP
+    for r in rows:
+        assert r.degree >= 2
+        # cc = 2*tri / (deg*(deg-1)) is in [0, 1]
+        assert 0 <= r.cc_bp <= 10000
+        assert r.cc_bp == r.n_tri * 2 * 10000 // (r.degree * (r.degree - 1))
+    scores = [r.cc_bp for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -79,3 +79,21 @@ def test_stock_clamp_bounds(spark, sf_dir):
         assert 0 <= r.on_hand <= r.total_in
         assert r.on_hand >= r.total_in - r.total_out
         assert r.n_days >= 1
+
+
+def test_dup_transactions_pairs_are_oriented_and_banded(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational12 import (
+        _DUP_WINDOW_DAYS,
+        profile_dup_transactions,
+    )
+
+    rows = profile_dup_transactions(spark, sf_dir).collect()
+    # calibrated to be non-empty at sf0.01 and sf0.1 (the driver's
+    # correctness scales); sf0.001 may legitimately emit 1 row
+    seen = set()
+    for r in rows:
+        assert r.okey_a < r.okey_b
+        assert 0 <= r.gap_days <= _DUP_WINDOW_DAYS
+        key = (r.custkey, r.okey_a, r.okey_b)
+        assert key not in seen
+        seen.add(key)
