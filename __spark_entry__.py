@@ -38,20 +38,31 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: gained AS MATERIALIZED hints.  Queries not named here slot in
 #: behind: never-proven first, already-proven at the back — so the
 #: remaining slots re-verify proven queries for free.
-#: Round 9 front-loads only the round-9 additions (retrieval
-#: evaluation recall@k / NDCG@k, item-item collaborative filtering,
-#: closeness centrality, distinctive-terms log-odds corpus diff, Holt
-#: double-exponential forecast, + whatever else lands this round), cap
-#: ~49 so unproven <= 50.  A query whose oracle TEXT or Spark
-#: expression changes must rotate back in even when values are
-#: unchanged.
+#: Round 9 front-loads the 23 round-9 additions (no re-proof block —
+#: no shared helper or oracle text of a proven query changed this
+#: round); the 27 spare slots re-verify proven queries for free.
+#: ROUND-10 TODO: fold the r9 window greens into a ``_PROVEN_R09``
+#: frozenset (all 23 names below are locally verified via
+#: ``scripts/driver_dryrun.py`` at sf0.001 AND sf0.01 AND sf0.1 —
+#: expect green), rename the window list, and front-load only round-10
+#: additions (cap ~49).  A query whose oracle TEXT or Spark expression
+#: changes must rotate back in even when values are unchanged.
+#: Round-10 candidate families (absent after the 294-query round-9
+#: close; each oracle-provable under the §7.6 conventions): CUPED
+#: variance-reduced A/B readout (pre-period covariance over integer
+#: sums), per-node eccentricity / graph diameter bound from the
+#: multi-source BFS table, RFM-weighted next-best-action (compose
+#: rec_* with agg_customer_rfm), text burstiness / dispersion profile
+#: (variance-to-mean of per-doc term counts, integer cross-multiplied),
+#: streaming twin of agg_funnel_latency (applyInPandasWithState,
+#: equality-vs-batch pytest).
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
 _ROUND9_WINDOW = [
-    # --- round-9 additions (each lands with its oracle in the same
-    # commit; verified via scripts/driver_dryrun.py at sf0.01 before
-    # handoff, oracle-backed ones at sf0.1 too) ---
+    # --- round-9 additions (each landed with its oracle in the same
+    # commit; all verified via scripts/driver_dryrun.py at
+    # sf0.001 + sf0.01 + sf0.1 before handoff) ---
     "search_eval_recall_at_k",
     "search_eval_ndcg_at_k",
     "search_eval_mmr_arm",
