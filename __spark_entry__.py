@@ -86,6 +86,8 @@ _ROUND9_WINDOW = [
     "dataset_weighted_sample",
     "graph_clustering_coeff",
     "profile_dup_transactions",
+    "graph_eccentricity_sample",
+    "text_term_burstiness",
 ]
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero

@@ -160,6 +160,8 @@ HEADLINE = (
     "dataset_weighted_sample",      # per-row-rate deterministic sample
     "graph_clustering_coeff",       # local clustering coefficient
     "profile_dup_transactions",     # banded duplicate-charge probe
+    "graph_eccentricity_sample",    # sampled diameter lower bound
+    "text_term_burstiness",         # Church-Gale VMR dispersion
 )
 
 

@@ -768,3 +768,80 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BURST_MIN_T = 5  # total-count floor below which VMR is noise
+_BURST_TOP = 20
+
+
+@query(
+    "text_term_burstiness",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    per_doc AS MATERIALIZED (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    stats AS MATERIALIZED (
+      SELECT term,
+             CAST(SUM(c) AS BIGINT) AS t,
+             CAST(SUM(c * c) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS df
+      FROM per_doc GROUP BY 1
+      HAVING SUM(c) >= {_BURST_MIN_T}
+    )
+    SELECT term, t, df,
+           CAST((CAST(n.n_docs AS HUGEINT) * sq - CAST(t AS HUGEINT) * t)
+                * 10000
+                // (CAST(n.n_docs AS HUGEINT) * t) AS BIGINT) AS vmr_bp
+    FROM stats CROSS JOIN n
+    ORDER BY vmr_bp DESC, term LIMIT {_BURST_TOP}
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995, public literature): the
+    variance-to-mean ratio of each term's per-document count over the
+    WHOLE corpus (zero-count documents included) — uniform background
+    words sit near VMR 1 (Poisson), topical/bursty words far above; the
+    content-vs-function-word signal TF-IDF approximates and corpus
+    curation uses to spot template spam (pathologically bursty terms).
+
+    All integer: with N docs, term total T and per-doc sum of squares
+    SQ (zeros contribute 0 to both), VMR = var/mean =
+    ``(N*SQ - T^2) div (N*T)`` in basis points — one cross-multiplied
+    floor division, DECIMAL/HUGEINT products (at 100 TB, T^2 clears
+    int64).  Rank on the integer score with a term tie-break.
+
+    Scale: one (term, doc) hash agg over the exploded token stream
+    (the ``text_tfidf`` tf shape), one term-keyed rollup, a broadcast
+    one-row corpus count, TakeOrdered top-N."""
+    docs = tokenized_docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode("toks").alias("term"))
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("c").cast("long").alias("t"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .where(F.col("t") >= _BURST_MIN_T)
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = stats.crossJoin(F.broadcast(n)).select(
+        "term",
+        "t",
+        "df",
+        F.expr(
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * sq"
+            " - CAST(t AS DECIMAL(38,0)) * t) * 10000"
+            " div (CAST(n_docs AS DECIMAL(38,0)) * t) AS BIGINT)"
+        ).alias("vmr_bp"),
+    )
+    return scored.orderBy(F.desc("vmr_bp"), "term").limit(_BURST_TOP)

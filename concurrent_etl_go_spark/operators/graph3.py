@@ -451,3 +451,72 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("cc_bp"), "id").limit(_CC_TOP)
+
+
+def _ecc_oracle() -> str:
+    steps = [
+        f"""srcs AS MATERIALIZED (
+      SELECT DISTINCT src AS sid FROM sym ORDER BY sid LIMIT {_CC_SOURCES}
+    ),
+    d0 AS MATERIALIZED (SELECT sid, sid AS id, 0 AS dist FROM srcs)"""
+    ]
+    for k in range(1, _CC_HOPS + 1):
+        steps.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT sid, id, MIN(dist) AS dist FROM (
+        SELECT sid, id, dist FROM d{k - 1}
+        UNION ALL
+        SELECT d.sid, s.dst AS id, d.dist + 1 AS dist
+        FROM sym s JOIN d{k - 1} d ON s.src = d.id
+      ) GROUP BY sid, id
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    {chain},
+    per_sid AS MATERIALIZED (
+      SELECT sid,
+             CAST(MAX(dist) AS BIGINT) AS ecc,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
+      FROM d{_CC_HOPS} GROUP BY sid
+    )
+    SELECT p.sid, p.ecc, p.n_reached,
+           CAST(g.diameter_lb AS BIGINT) AS diameter_lb
+    FROM per_sid p
+    CROSS JOIN (SELECT MAX(ecc) AS diameter_lb FROM per_sid) g
+    """
+
+
+@query("graph_eccentricity_sample", oracle=_ecc_oracle())
+def graph_eccentricity_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded eccentricity of the sampled sources and the graph's
+    diameter LOWER BOUND: per source, the max hop distance it reaches
+    within ``_CC_HOPS`` hops and how many nodes that covers; the max
+    over sources lower-bounds the diameter (the standard
+    BFS-from-samples diameter estimation — every real eccentricity is
+    >= the bounded one, so the bound direction is safe).  Rides the
+    SAME multi-source frontier loop as ``graph_closeness_centrality``
+    (one job per hop for all sources); all values integer."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym_nodes = (
+        edges.select(F.col("src").alias("sid"))
+        .unionAll(edges.select(F.col("dst").alias("sid")))
+        .distinct()
+    )
+    sources = sym_nodes.orderBy("sid").limit(_CC_SOURCES)
+    dist = multi_source_bfs(edges.select("src", "dst"), sources, _CC_HOPS)
+    per_sid = dist.groupBy("sid").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+    )
+    g = per_sid.agg(F.max("ecc").alias("diameter_lb"))
+    return per_sid.crossJoin(F.broadcast(g)).select(
+        "sid", "ecc", "n_reached",
+        F.col("diameter_lb").cast("long").alias("diameter_lb"),
+    )

@@ -70,6 +70,8 @@ QUERIES = (
     "dataset_weighted_sample",
     "graph_clustering_coeff",
     "profile_dup_transactions",
+    "graph_eccentricity_sample",
+    "text_term_burstiness",
 )
 
 SF_DIRS = {

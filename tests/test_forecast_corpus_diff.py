@@ -187,3 +187,28 @@ def test_survival_km_matches_python_replication(spark, sf_dir):
         gn, gd, gs = got[t]
         assert (gn, gd) == (n, d_t)
         assert abs(gs - s_t) < 1e-9
+
+
+def test_burstiness_matches_python_vmr(spark, sf_dir):
+    import duckdb
+
+    from concurrent_etl_go_spark.llm.text2 import text_term_burstiness
+
+    rows = text_term_burstiness(spark, sf_dir).collect()
+    assert rows
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    for r in rows[:5]:
+        counts = dict(con.execute(
+            f"""SELECT doc_id, COUNT(*) FROM (
+                  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM '{sf_dir}/documents.parquet') WHERE term = ?
+                GROUP BY doc_id""",
+            [r.term],
+        ).fetchall())
+        t = sum(counts.values())
+        sq = sum(c * c for c in counts.values())
+        assert r.t == t and r.df == len(counts)
+        assert r.vmr_bp == (n_docs * sq - t * t) * 10000 // (n_docs * t)

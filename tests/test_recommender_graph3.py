@@ -146,3 +146,26 @@ def test_clustering_coeff_bounds(spark, sf_dir):
         assert r.cc_bp == r.n_tri * 2 * 10000 // (r.degree * (r.degree - 1))
     scores = [r.cc_bp for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_eccentricity_consistent_with_closeness(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.graph3 import (
+        _CC_HOPS,
+        _CC_SOURCES,
+        graph_closeness_centrality,
+        graph_eccentricity_sample,
+    )
+
+    ecc = {r.sid: r for r in graph_eccentricity_sample(
+        spark, sf_dir).collect()}
+    clo = {r.sid: r for r in graph_closeness_centrality(
+        spark, sf_dir).collect()}
+    assert set(ecc) == set(clo) and len(ecc) == _CC_SOURCES
+    dia = max(r.ecc for r in ecc.values())
+    for sid, r in ecc.items():
+        assert 1 <= r.ecc <= _CC_HOPS
+        assert r.diameter_lb == dia
+        # same BFS table: reach counts must agree across the two queries
+        assert r.n_reached == clo[sid].n_reached
+        # sum of distances is bounded by reach x eccentricity
+        assert clo[sid].sum_dist <= r.n_reached * r.ecc
