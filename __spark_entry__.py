@@ -38,11 +38,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: gained AS MATERIALIZED hints.  Queries not named here slot in
 #: behind: never-proven first, already-proven at the back — so the
 #: remaining slots re-verify proven queries for free.
-#: Round 9 front-loads the 23 round-9 additions (no re-proof block —
+#: Round 9 front-loads the 25 round-9 additions (no re-proof block —
 #: no shared helper or oracle text of a proven query changed this
-#: round); the 27 spare slots re-verify proven queries for free.
+#: round); the 25 spare slots re-verify proven queries for free.
 #: ROUND-10 TODO: fold the r9 window greens into a ``_PROVEN_R09``
-#: frozenset (all 23 names below are locally verified via
+#: frozenset (all 25 names below are locally verified via
 #: ``scripts/driver_dryrun.py`` at sf0.001 AND sf0.01 AND sf0.1 —
 #: expect green), rename the window list, and front-load only round-10
 #: additions (cap ~49).  A query whose oracle TEXT or Spark expression
@@ -50,12 +50,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Round-10 candidate families (absent after the 294-query round-9
 #: close; each oracle-provable under the §7.6 conventions): CUPED
 #: variance-reduced A/B readout (pre-period covariance over integer
-#: sums), per-node eccentricity / graph diameter bound from the
-#: multi-source BFS table, RFM-weighted next-best-action (compose
-#: rec_* with agg_customer_rfm), text burstiness / dispersion profile
-#: (variance-to-mean of per-doc term counts, integer cross-multiplied),
-#: streaming twin of agg_funnel_latency (applyInPandasWithState,
-#: equality-vs-batch pytest).
+#: sums), RFM-weighted next-best-action (compose rec_* with
+#: agg_customer_rfm), streaming twin of agg_funnel_latency
+#: (applyInPandasWithState, equality-vs-batch pytest), per-source
+#: landing-page funnel split, Theil index / entropy decomposition of
+#: revenue concentration (within/between nation, integer counts in,
+#: pinned ln).
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
