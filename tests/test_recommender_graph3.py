@@ -19,7 +19,7 @@ from concurrent_etl_go_spark.operators.recommender import (
 
 
 def test_model_is_symmetric_and_bounded(spark, sf_dir):
-    m = _model(spark, sf_dir)
+    m, _li, _item = _model(spark, sf_dir)
     rows = m.collect()
     pairs = {(r.i, r.j): (r.n_ab, r.cos2_bp) for r in rows}
     assert all(i != j for i, j in pairs)
