@@ -56,8 +56,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: round-5 pq-codes ERROR).
 _ROUND10_WINDOW = [
     # --- round-10 additions (each landed with its oracle in the same
-    # commit; all verified via scripts/driver_dryrun.py at
+    # commit; all verified via scripts/check_queries.py at
     # sf0.001 + sf0.01 + sf0.1 before handoff) ---
+    "agg_ab_cuped",
+    "agg_ab_did",
+    "agg_theil_decomposition",
+    "rec_rfm_next_action",
+    "agg_funnel_source_split",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -9,8 +9,10 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     attribution,
     canary,
     cdc,
+    concentration,
     etl_queries,
     experiments,
+    experiments2,
     forecast,
     graph,
     graph2,

@@ -393,6 +393,111 @@ def rec_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NBA_TOP = 3  # next-best-action rows kept per RFM segment
+
+#: The agg_customer_rfm segmentation rule (operators/retail.py), as an
+#: oracle fragment: per customer, the 3-digit RFM code.
+_RFM_SQL = """
+    rfm AS MATERIALIZED (
+      SELECT ck,
+             (CASE WHEN recency_days <= 180 THEN 3
+                   WHEN recency_days <= 720 THEN 2 ELSE 1 END) * 100
+             + (CASE WHEN frequency >= 20 THEN 3
+                     WHEN frequency >= 10 THEN 2 ELSE 1 END) * 10
+             + (CASE WHEN monetary >= 2000000 THEN 3
+                     WHEN monetary >= 1000000 THEN 2 ELSE 1 END)
+               AS rfm_code
+      FROM (
+        SELECT o_custkey AS ck,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         DATE '1998-08-03') AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) + 0.0 AS monetary
+        FROM orders GROUP BY 1
+      )
+    )"""
+
+
+@query(
+    "rec_rfm_next_action",
+    oracle=f"""
+    WITH {_MODEL_SQL},
+    {_RFM_SQL},
+    owned AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM orders o JOIN li l ON l.l_orderkey = o.o_orderkey
+    ),
+    scored AS MATERIALIZED (
+      SELECT r.rfm_code, m.j AS item,
+             CAST(COUNT(*) AS BIGINT) AS n_src,
+             CAST(SUM(m.cos2_bp) AS BIGINT) AS score
+      FROM owned w
+      JOIN rfm r ON r.ck = w.ck
+      JOIN model m ON m.i = w.pk
+      GROUP BY 1, 2
+    )
+    SELECT rfm_code, item, n_src, score, rec_rank FROM (
+      SELECT rfm_code, item, n_src, score,
+             CAST(row_number() OVER (
+               PARTITION BY rfm_code ORDER BY score DESC, item
+             ) AS BIGINT) AS rec_rank
+      FROM scored
+    ) WHERE rec_rank <= {_NBA_TOP}
+    """,
+)
+def rec_rfm_next_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM-segment next-best-action table (VERDICT r9 item 6): compose
+    the ``agg_customer_rfm`` segmentation with the item-item cosine²
+    model — for each 3-digit RFM code, the ``_NBA_TOP`` items whose
+    summed similarity to the segment's owned items is highest.  The
+    composition proof that the recommender and the segmentation share
+    one plan: segment membership comes from the REGISTERED rfm query's
+    own DataFrame, the model from ``_model``'s persisted frames.
+
+    Segment-level scoring (not per-customer) is the campaign-planning
+    shape — "what do we feature to lapsed big spenders (code 1x3)" —
+    and keeps the output a 27-segment dimension table.  All integers:
+    the cos² model is integer basis points, scores are integer sums,
+    ranking is (score DESC, item id).
+
+    Scale: owned is one distinct (customer, part) projection; the
+    model fan-out is bounded by min-support sparsity exactly as
+    ``rec_user_items``; the final agg keys on (segment, item) — 27 x
+    |parts| at most.  The segmentation is a customer-dimension hash
+    agg joined on the customer key."""
+    from concurrent_etl_go_spark.operators.retail import agg_customer_rfm
+
+    model, li, _item = _model(spark, sf_dir)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    owned = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    seg = agg_customer_rfm(spark, sf_dir).select(
+        F.col("custkey").alias("ck"), "rfm_code"
+    )
+    scored = (
+        owned.join(seg, "ck")
+        .join(model, F.col("pk") == model["i"])
+        .groupBy("rfm_code", F.col("j").alias("item"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_src"),
+            F.sum("cos2_bp").cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("rfm_code").orderBy(F.desc("score"), "item")
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rec_rank") <= _NBA_TOP)
+        .select("rfm_code", "item", "n_src", "score", "rec_rank")
+    )
+
+
 _EVAL_CUSTS = 20  # leave-last-basket-out evaluation customers
 _EVAL_K = 5  # recommendations scored per customer
 

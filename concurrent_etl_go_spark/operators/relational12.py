@@ -518,3 +518,124 @@ def profile_dup_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.datediff("d", "d_b")).cast("long").alias("gap_days"),
         )
     )
+
+
+#: Landing-page bucket width for the per-source funnel split: the JSON
+#: props key k (0-99) floor-divided into 4 source buckets.
+_SRC_BUCKET = 25
+
+
+@query(
+    "agg_funnel_source_split",
+    oracle=f"""
+    WITH first_e AS MATERIALIZED (
+      SELECT user_id, src FROM (
+        SELECT user_id,
+               COALESCE(TRY_CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT) // {_SRC_BUCKET}, -1) AS src,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    fv AS MATERIALIZED (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    fp AS MATERIALIZED (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > fv.v_ts
+      GROUP BY 1
+    ),
+    delays AS MATERIALIZED (
+      SELECT s.src, fv.user_id,
+             (epoch_us(fp.p_ts) - epoch_us(fv.v_ts)) // 60000000
+               AS delay_min
+      FROM fv
+      JOIN fp ON fp.user_id = fv.user_id
+      JOIN first_e s ON s.user_id = fv.user_id
+    ),
+    nsrc AS MATERIALIZED (
+      SELECT src, COUNT(*) AS n_conv FROM delays GROUP BY 1
+    )
+    SELECT d.src, {_LAT_CASE} AS band,
+           CAST({_LAT_ORDER} AS BIGINT) AS band_order,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) * 10000 // n.n_conv AS BIGINT) AS share_bp
+    FROM delays d JOIN nsrc n ON n.src = d.src
+    GROUP BY 1, 2, 3, n.n_conv
+    """,
+)
+def agg_funnel_source_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``agg_funnel_latency`` histogram split by FIRST-TOUCH source
+    (VERDICT r9 item 8): each user's source is the landing-page bucket
+    of their very first event — the JSON ``props.k`` attribute
+    floor-divided into ``100 / _SRC_BUCKET`` buckets (missing/malformed
+    k → -1), selected by the deterministic (ts, event_id) first-row
+    rule.  Shares are basis points WITHIN each source — "does funnel
+    latency differ by where the user landed", the split every
+    first-touch attribution readout wants next.
+
+    All integers (minute delays, counts, floor-divided shares) — no
+    float discipline needed.  Scale: reuses the two user-keyed funnel
+    aggs plus ONE user-keyed window for the first event (same shuffle
+    key, so AQE coalesces the exchanges); the per-source totals are a
+    4-row broadcast."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "props"
+    )
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_e = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "COALESCE(TRY_CAST(get_json_object(props, '$.k')"
+                f" AS BIGINT) div {_SRC_BUCKET}, -1)"
+            ).alias("src"),
+            F.row_number().over(w_first).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "src")
+    )
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    delays = (
+        fv.join(fp, "user_id")
+        .join(first_e, "user_id")
+        .select(
+            "src",
+            "user_id",
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(v_ts)) div 60000000"
+            ).alias("delay_min"),
+        )
+    )
+    nsrc = delays.groupBy("src").agg(F.count(F.lit(1)).alias("n_conv"))
+    return (
+        delays.join(F.broadcast(nsrc), "src")
+        .groupBy(
+            "src",
+            F.expr(_LAT_CASE).alias("band"),
+            F.expr(_LAT_ORDER).cast("long").alias("band_order"),
+            "n_conv",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "src",
+            "band",
+            "band_order",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.expr("n_users * 10000 div n_conv").alias("share_bp"),
+        )
+    )

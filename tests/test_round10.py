@@ -1,0 +1,165 @@
+"""Invariants for the round-10 additions: CUPED / DiD experiment
+readouts, the Theil inequality decomposition, the RFM next-best-action
+composition, and the per-source funnel split."""
+
+from __future__ import annotations
+
+import math
+
+from concurrent_etl_go_spark.operators.concentration import (
+    agg_theil_decomposition,
+)
+from concurrent_etl_go_spark.operators.experiments2 import (
+    agg_ab_cuped,
+    agg_ab_did,
+)
+from concurrent_etl_go_spark.operators.recommender import (
+    _NBA_TOP,
+    rec_rfm_next_action,
+)
+from concurrent_etl_go_spark.operators.relational12 import (
+    agg_funnel_source_split,
+)
+
+
+def test_cuped_shape_and_variance_reduction(spark, sf_dir):
+    rows = {r.arm: r for r in agg_ab_cuped(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.n_users > 0
+        assert 0 <= r.rho2_bp <= 10000  # squared correlation
+        assert math.isclose(
+            r.mean_y, r.exp_purchases / r.n_users, abs_tol=1e-4
+        )
+    # pooled theta is shared: both rows carry the same slope
+    assert rows[0].theta == rows[1].theta
+    # CUPED preserves the overall (weighted) mean up to rounding: the
+    # adjustment is a zero-sum reallocation around the pooled X mean
+    n0, n1 = rows[0].n_users, rows[1].n_users
+    raw = (rows[0].mean_y * n0 + rows[1].mean_y * n1) / (n0 + n1)
+    adj = (rows[0].adj_mean_y * n0 + rows[1].adj_mean_y * n1) / (n0 + n1)
+    assert math.isclose(raw, adj, abs_tol=2e-4)
+
+
+def test_cuped_theta_matches_numpy(spark, sf_dir):
+    """The pooled OLS slope against an independent float recompute."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    b = ev.agg(
+        F.expr("(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) div 2").alias(
+            "bound"
+        )
+    ).collect()[0].bound
+    pdf = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.expr("unix_micros(ts)") < F.lit(b)).alias("pre"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), 1).otherwise(0)).alias("x"),
+            F.sum(F.when(~F.col("pre"), 1).otherwise(0)).alias("y"),
+        )
+        .toPandas()
+    )
+    # users with zero purchases in both halves still count as units; the
+    # purchase-only frame omits them, so pad x/y with zeros
+    n_units = ev.select("user_id").distinct().count()
+    pad = n_units - len(pdf)
+    x = np.concatenate([pdf["x"].to_numpy(float), np.zeros(pad)])
+    y = np.concatenate([pdf["y"].to_numpy(float), np.zeros(pad)])
+    theta_np = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    got = agg_ab_cuped(spark, sf_dir).collect()[0].theta
+    assert math.isclose(got, theta_np, rel_tol=1e-3)
+
+
+def test_did_control_row_is_zero(spark, sf_dir):
+    rows = {r.arm: r for r in agg_ab_did(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].did == 0.0  # control minus itself
+    r1 = rows[1]
+    expect = (r1.mean_exp - r1.mean_pre) - (
+        rows[0].mean_exp - rows[0].mean_pre
+    )
+    assert math.isclose(r1.did, expect, abs_tol=3e-4)
+
+
+def test_theil_decomposition_identity(spark, sf_dir):
+    """within + between recompose to the directly-computed global index."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = agg_theil_decomposition(spark, sf_dir).collect()
+    assert rows
+    assert all(r.t_within >= -1e-9 for r in rows)  # Theil is non-negative
+    assert sum(r.n_cust for r in rows) > 0
+    share = sum(r.share_bp for r in rows)
+    assert 10000 - len(rows) < share <= 10000
+    # independent global Theil from the raw customer cents
+    cents = np.array(
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("c")
+        )
+        .toPandas()["c"],
+        dtype=float,
+    )
+    ratio = cents / cents.mean()
+    t_global = float(np.mean(ratio * np.log(ratio)))
+    recomposed = sum(
+        (r.share_bp / 10000.0) * r.t_within + r.between_term for r in rows
+    )
+    # share_bp floor-division and ROUND(4) emissions bound the error
+    assert math.isclose(t_global, recomposed, abs_tol=5e-3)
+
+
+def test_rfm_next_action_ranked_and_integer(spark, sf_dir):
+    rows = rec_rfm_next_action(spark, sf_dir).collect()
+    assert rows
+    by_seg: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rec_rank <= _NBA_TOP
+        assert r.score > 0 and r.n_src > 0
+        # valid 3-digit RFM code: each digit in 1..3
+        d = (r.rfm_code // 100, (r.rfm_code // 10) % 10, r.rfm_code % 10)
+        assert all(1 <= x <= 3 for x in d)
+        by_seg.setdefault(r.rfm_code, []).append(r)
+    for rs in by_seg.values():
+        rs.sort(key=lambda r: r.rec_rank)
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_funnel_source_split_shares_and_consistency(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational12 import (
+        agg_funnel_latency,
+    )
+
+    split = agg_funnel_source_split(spark, sf_dir).collect()
+    assert split
+    # per-source shares are basis points of that source's conversions
+    by_src: dict[int, int] = {}
+    for r in split:
+        by_src[r.src] = by_src.get(r.src, 0) + r.share_bp
+    for src, bp in by_src.items():
+        assert 10000 - 5 < bp <= 10000, (src, bp)
+    # the split's user totals recompose the unsplit funnel's totals
+    base = agg_funnel_latency(spark, sf_dir).collect()
+    assert sum(r.n_users for r in split) == sum(r.n_users for r in base)
+    per_band_split: dict[str, int] = {}
+    for r in split:
+        per_band_split[r.band] = per_band_split.get(r.band, 0) + r.n_users
+    per_band_base = {r.band: r.n_users for r in base}
+    assert per_band_split == per_band_base
