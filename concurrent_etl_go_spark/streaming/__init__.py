@@ -12,10 +12,14 @@ from concurrent_etl_go_spark.streaming.pipelines import (
     stream_to_http,
     tumbling_agg,
 )
-from concurrent_etl_go_spark.streaming.stateful import running_totals
+from concurrent_etl_go_spark.streaming.stateful import (
+    funnel_latency_stateful,
+    running_totals,
+)
 
 __all__ = [
     "events_file_stream",
+    "funnel_latency_stateful",
     "kafka_stream",
     "kafka_wire_stream",
     "parse_kafka_events",
