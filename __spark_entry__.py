@@ -63,6 +63,10 @@ _ROUND10_WINDOW = [
     "agg_theil_decomposition",
     "rec_rfm_next_action",
     "agg_funnel_source_split",
+    "window_macd",
+    "window_bollinger",
+    "window_vwap",
+    "window_rsi",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

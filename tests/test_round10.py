@@ -163,3 +163,60 @@ def test_funnel_source_split_shares_and_consistency(spark, sf_dir):
         per_band_split[r.band] = per_band_split.get(r.band, 0) + r.n_users
     per_band_base = {r.band: r.n_users for r in base}
     assert per_band_split == per_band_base
+
+
+def test_macd_histogram_identity_and_series_shape(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.finance import window_macd
+
+    rows = window_macd(spark, sf_dir).collect()
+    assert rows
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        assert abs(r.histogram - (r.macd - r.signal)) < 1e-6
+        by_grp.setdefault(r.grp, []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r.day_idx)
+        # day 1: EMA12 == EMA26 == first value, so MACD and signal are 0
+        assert rs[0].macd == 0.0 and rs[0].signal == 0.0
+        assert [r.day_idx for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_bollinger_breach_flag_consistent(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.finance import (
+        _BOLL_WIN,
+        window_bollinger,
+    )
+
+    rows = window_bollinger(spark, sf_dir).collect()
+    assert rows
+    n_breach = 0
+    for r in rows:
+        assert r.sigma >= 0.0
+        flag = 1 if abs(r.rev_cents - r.mid) > 2.0 * r.sigma else 0
+        assert r.breach == flag
+        n_breach += r.breach
+    # 2-sigma breaches exist but are the minority (Chebyshev-ish sanity)
+    assert 0 < n_breach < len(rows) / 4
+
+
+def test_vwap_is_floor_quotient_within_price_range(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.finance import window_vwap
+
+    rows = window_vwap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.vwap_cents == r.rev_cents // r.qty
+        assert 0 < r.vwap_cents <= r.rev_cents
+
+
+def test_rsi_bounded_and_states_nonnegative(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.finance import window_rsi
+
+    rows = window_rsi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.avg_gain >= 0.0 and r.avg_loss >= 0.0
+        assert 0.0 <= r.rsi <= 100.0
+        if r.avg_gain + r.avg_loss > 0:
+            expect = 100.0 * r.avg_gain / (r.avg_gain + r.avg_loss)
+            assert abs(r.rsi - expect) < 1e-6
