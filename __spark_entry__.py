@@ -67,6 +67,15 @@ _ROUND10_WINDOW = [
     "window_bollinger",
     "window_vwap",
     "window_rsi",
+    "graph_assortativity",
+    "graph_two_hop_reach",
+    "text_js_divergence",
+    "text_simpson_diversity",
+    "join_basket_substitutes",
+    "agg_abc_classification",
+    "agg_rolling_retention",
+    "profile_category_drift",
+    "search_eval_map_at_k",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -29,4 +29,5 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     similarity,
     text,
     text2,
+    text3,
 )

@@ -770,3 +770,87 @@ def search_eval_mmr_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg",
         F.expr("dcg * 10000 div idcg").alias("ndcg_bp"),
     )
+
+
+@query(
+    "search_eval_map_at_k",
+    oracle=_COMMON_SQL + _ARMS_SQL + f""",
+    scored AS MATERIALIZED (
+      SELECT r.arm, r.qid, r.r_rank,
+             CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS rel,
+             SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END)
+               OVER (PARTITION BY r.arm, r.qid ORDER BY r.r_rank)
+               AS hits_at
+      FROM retrieved r
+      LEFT JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+                        AND t.truth_rank <= {_K}
+    ),
+    ap AS MATERIALIZED (
+      SELECT arm, qid,
+             CAST(SUM(rel) AS BIGINT) AS hits,
+             CAST(SUM(CASE WHEN rel = 1
+                           THEN 1000000 * hits_at // r_rank
+                           ELSE 0 END) // (100 * {_K}) AS BIGINT)
+               AS ap_bp
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT arm, qid, hits, ap_bp,
+           CAST(SUM(ap_bp) OVER (PARTITION BY arm)
+                // COUNT(*) OVER (PARTITION BY arm) AS BIGINT)
+             AS arm_map_bp
+    FROM ap
+    """,
+)
+def search_eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision@k per (arm, qid) plus each arm's MAP — the
+    third standard IR metric beside recall@k (set overlap) and NDCG@k
+    (graded positions): AP rewards ranking the relevant items EARLY by
+    averaging the precision at each relevant position.
+
+    Integer-MAP convention (the NDCG integer-weight discipline): each
+    relevant rank contributes ``floor(1e6 * hits_at_i / i)``, the AP is
+    the floor of the term sum over ``100 * k``, and the arm MAP is the
+    floor-mean over the query set — every value an exact int64, so the
+    driver hash is bit-exact with no float discipline.  The ``brute``
+    arm must score 10000 (its ranking IS the truth order).
+
+    Scale: one cumulative window over |arms| x |Q| x k rows (the
+    metric table, not the corpus); ground truth amortizes the same
+    per-query full scan every recall benchmark pays."""
+    truth, retrieved = _retrieved(spark, sf_dir)
+    truth_k = truth.where(F.col("truth_rank") <= _K).select(
+        "qid", "vec_id", F.lit(1).alias("rel_hit")
+    )
+    w_cum = (
+        Window.partitionBy("arm", "qid")
+        .orderBy("r_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        retrieved.join(truth_k, ["qid", "vec_id"], "left")
+        .select(
+            "arm",
+            "qid",
+            "r_rank",
+            F.coalesce(F.col("rel_hit"), F.lit(0)).alias("rel"),
+        )
+        .withColumn("hits_at", F.sum("rel").over(w_cum))
+    )
+    ap = scored.groupBy("arm", "qid").agg(
+        F.sum("rel").cast("long").alias("hits"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN rel = 1"
+            f" THEN 1000000 * hits_at div r_rank"
+            f" ELSE 0 END) div (100 * {_K}) AS BIGINT)"
+        ).alias("ap_bp"),
+    )
+    return ap.select(
+        "arm",
+        "qid",
+        "hits",
+        "ap_bp",
+        F.expr(
+            "CAST(SUM(ap_bp) OVER (PARTITION BY arm)"
+            " div COUNT(*) OVER (PARTITION BY arm) AS BIGINT)"
+        ).alias("arm_map_bp"),
+    )

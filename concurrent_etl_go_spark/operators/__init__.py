@@ -18,6 +18,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     graph,
     graph2,
     graph3,
+    graph4,
     layout,
     profiling,
     quantiles,
@@ -34,6 +35,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational10,
     relational11,
     relational12,
+    relational13,
     retail,
     retail2,
     scalars2,

@@ -220,3 +220,147 @@ def test_rsi_bounded_and_states_nonnegative(spark, sf_dir):
         if r.avg_gain + r.avg_loss > 0:
             expect = 100.0 * r.avg_gain / (r.avg_gain + r.avg_loss)
             assert abs(r.rsi - expect) < 1e-6
+
+
+def test_assortativity_bounded_and_exact_moments(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.graph4 import graph_assortativity
+
+    r = graph_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_edge_ends > 0 and r.n_edge_ends % 2 == 0  # symmetric ends
+    assert r.d1 >= 0  # variance numerators are non-negative
+    # r's sign matches the exact integer covariance numerator
+    if r.num != 0:
+        assert (r.num > 0) == (r.assortativity >= 0)
+
+
+def test_two_hop_reach_dominates_degree(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.graph4 import graph_two_hop_reach
+
+    rows = graph_two_hop_reach(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.reach2 >= r.degree > 0  # 1-hop set is contained
+    reaches = [r.reach2 for r in rows]
+    assert reaches == sorted(reaches, reverse=True)
+
+
+def test_js_divergence_bounded_by_ln2(spark, sf_dir):
+    import math
+
+    from concurrent_etl_go_spark.llm.text3 import text_js_divergence
+
+    rows = text_js_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.jsd_nats <= math.log(2) + 1e-9
+        assert 0 < r.n_terms <= r.n_tokens
+
+
+def test_simpson_diversity_identity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.llm.text import tokenized_docs
+    from concurrent_etl_go_spark.llm.text3 import text_simpson_diversity
+
+    rows = {r.lang: r for r in text_simpson_diversity(spark, sf_dir).collect()}
+    assert rows
+    # independent recompute for one language
+    lang = sorted(rows)[0]
+    counts = [
+        r.c
+        for r in tokenized_docs(spark, sf_dir)
+        .where(F.col("lang") == lang)
+        .select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    n = sum(counts)
+    num = sum(c * (c - 1) for c in counts)
+    assert rows[lang].n_tokens == n
+    assert rows[lang].vocab == len(counts)
+    assert rows[lang].simpson_ppm == 1_000_000 * num // (n * (n - 1))
+
+
+def test_basket_substitutes_are_anti_associated(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational13 import (
+        join_basket_substitutes,
+    )
+
+    rows = join_basket_substitutes(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.expected_milli >= 1000  # >= 1 expected co-basket
+        assert r.lift_bp < 10000  # strictly below independence
+        assert r.part_a < r.part_b
+    lifts = [r.lift_bp for r in rows]
+    assert lifts == sorted(lifts)
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational13 import (
+        agg_abc_classification,
+    )
+
+    rows = {r.abc_class: r for r in agg_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    # the 70/20/10 split: A is the maximal head with cum share <= 70%,
+    # so its share sits in (7000 - one part's share, 7000]; same for
+    # the A+B cap at 90%
+    assert 5000 <= rows["A"].share_bp <= 7000
+    assert rows["A"].share_bp + rows["B"].share_bp <= 9000
+    # classes rank by per-part revenue: A parts out-earn B out-earn C
+    def per_part(r):
+        return r.rev_cents / r.n_parts
+
+    assert per_part(rows["A"]) > per_part(rows["B"]) > per_part(rows["C"])
+    total_bp = sum(r.share_bp for r in rows.values())
+    assert 10000 - 3 < total_bp <= 10000
+
+
+def test_rolling_retention_bounded(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational13 import (
+        agg_rolling_retention,
+    )
+
+    rows = agg_rolling_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.retained <= r.dau
+        assert r.retention_bp == r.retained * 10000 // r.dau
+
+
+def test_category_drift_shares_consistent(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational13 import (
+        profile_category_drift,
+    )
+
+    rows = profile_category_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.drift_bp == abs(r.share_first_bp - r.share_second_bp)
+    s1 = sum(r.share_first_bp for r in rows)
+    s2 = sum(r.share_second_bp for r in rows)
+    assert 10000 - len(rows) < s1 <= 10000
+    assert 10000 - len(rows) < s2 <= 10000
+
+
+def test_map_at_k_brute_is_perfect(spark, sf_dir):
+    from concurrent_etl_go_spark.llm.retrieval_eval import (
+        search_eval_map_at_k,
+    )
+
+    rows = search_eval_map_at_k(spark, sf_dir).collect()
+    assert rows
+    by_arm: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.ap_bp <= 10000
+        by_arm.setdefault(r.arm, []).append(r)
+    assert set(by_arm) == {"brute", "matryoshka", "ivfpq"}
+    for r in by_arm["brute"]:
+        assert r.ap_bp == 10000 and r.hits == 10
+        assert r.arm_map_bp == 10000
+    # MAP is the floor-mean of the per-query APs
+    for arm, rs in by_arm.items():
+        assert rs[0].arm_map_bp == sum(r.ap_bp for r in rs) // len(rs)
