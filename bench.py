@@ -162,6 +162,25 @@ HEADLINE = (
     "profile_dup_transactions",     # banded duplicate-charge probe
     "graph_eccentricity_sample",    # sampled diameter lower bound
     "text_term_burstiness",         # Church-Gale VMR dispersion
+    # round-10 additions
+    "agg_ab_cuped",                 # CUPED variance-reduced A/B readout
+    "agg_ab_did",                   # difference-in-differences twin
+    "agg_theil_decomposition",      # within/between-nation Theil index
+    "rec_rfm_next_action",          # RFM-segment recommendation table
+    "agg_funnel_source_split",      # funnel latency by first touch
+    "window_macd",                  # EMA12-EMA26 + signal series
+    "window_bollinger",             # rolling mean/sigma/breach bands
+    "window_vwap",                  # integer cents-per-unit VWAP
+    "window_rsi",                   # Wilder RSI fold
+    "graph_assortativity",          # degree-degree Pearson r
+    "graph_two_hop_reach",          # friends-of-friends reach
+    "text_js_divergence",           # per-lang JSD vs rest of corpus
+    "text_simpson_diversity",       # integer Simpson repeat-rate
+    "join_basket_substitutes",      # negative-lift substitute pairs
+    "agg_abc_classification",       # cumulative revenue ABC classes
+    "agg_rolling_retention",        # day-grain 7-day retention
+    "profile_category_drift",       # event-mix drift between halves
+    "search_eval_map_at_k",         # integer MAP of the retrieval arms
 )
 
 

@@ -83,7 +83,29 @@ SF_DIRS = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--headline-missing",
+        action="store_true",
+        help="measure every bench.py HEADLINE query not already in "
+        "BENCH_SF1.json and MERGE the results in (round-10 advice 7: "
+        "every headline query gets a measured exponent)",
+    )
     args = ap.parse_args()
+
+    queries_to_run = QUERIES
+    prior: dict = {}
+    if args.headline_missing:
+        import bench
+
+        path = os.path.join(REPO_ROOT, "BENCH_SF1.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prior = json.load(f).get("queries", {})
+        queries_to_run = tuple(
+            n for n in bench.HEADLINE if n not in prior
+        )
+        print(f"measuring {len(queries_to_run)} headline queries "
+              f"not yet in BENCH_SF1.json", flush=True)
 
     from concurrent_etl_go_spark.operators.registry import release_caches
     from concurrent_etl_go_spark.session import get_spark
@@ -107,8 +129,8 @@ def main() -> None:
         release_caches()
         return t2 - t0, t2 - t1
 
-    results: dict[str, dict] = {}
-    for name in QUERIES:
+    results: dict[str, dict] = dict(prior)
+    for name in queries_to_run:
         row: dict = {}
         for tag, sf_dir in SF_DIRS.items():
             best_e2e, best_act = math.inf, math.inf
