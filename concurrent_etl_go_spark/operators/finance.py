@@ -208,7 +208,7 @@ def _b_breach(big: str) -> str:
     rolled AS (
       SELECT day, v,
              SUM(v) OVER w AS s1,
-             SUM(v * v) OVER w AS s2,
+             SUM(CAST(v AS HUGEINT) * v) OVER w AS s2,
              COUNT(*) OVER w AS n
       FROM daily
       WINDOW w AS (ORDER BY day
@@ -229,8 +229,10 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling sums (S1, S2, n) via one shared expression — the engines
     compare bit-identical doubles, so even the breach INEQUALITY is
     deterministic.  Warm-up days (window shorter than the period) are
-    excluded.  The squared-value sum rides DECIMAL(38,0)/HUGEINT so a
-    1e10-cents revenue day cannot overflow the rolling S2.
+    excluded.  The squared-value sum CASTS BEFORE MULTIPLYING
+    (DECIMAL(38,0)/HUGEINT on both engines) — a bare v*v multiplies in
+    int64 first and overflows at ~3e9-cent revenue days (hit at mimic
+    sf1 during the scale decade).
 
     Scale: one grain-collapsing day agg, then a single-partition window
     over the DAY DIMENSION (thousands of rows, not the fact table) —
@@ -248,7 +250,7 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sum("v").over(w).alias("s1"),
         F.sum(
-            (F.col("v") * F.col("v")).cast("decimal(38,0)")
+            F.expr("CAST(v AS DECIMAL(38,0)) * v")
         ).over(w).alias("s2"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
