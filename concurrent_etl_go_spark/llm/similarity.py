@@ -10,6 +10,7 @@ JVM-side, no Python in the row path.
 from __future__ import annotations
 
 import functools as _functools
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -221,6 +222,23 @@ def rp_lsh_pairs(
     The hyperplane count is derived from the data's dimensionality (one
     1-row driver fetch), not hardcoded; an empty or null-vector input
     yields an empty pair set instead of crashing the probe.
+
+    CORPUS-SIZE-DERIVED band width (round-10 scale fix): with a FIXED
+    ``band_size`` the per-band bucket count is the constant
+    ``2^band_size``, so bucket occupancy — and therefore the candidate
+    pair count — grows QUADRATICALLY with the corpus (measured: the
+    sf0.1 -> sf1 decade ran at exponent 1.74 with the fixed width).
+    The effective width is now
+    ``max(band_size, ceil(log2(n / 125)))`` (one count of the input),
+    which (a) leaves behavior at the proven test scales bit-identical
+    (n <= 2000 derives exactly ``band_size`` = 4) and (b) pins expected
+    occupancy at ~125 per bucket at any scale, restoring ~linear
+    candidate generation. The band COUNT stays fixed, so signature cost
+    grows only logarithmically. The standard LSH trade rides along:
+    longer bands lower mid-similarity recall on bigger corpora
+    (high-similarity near-dup recall stays ~1: p^k with p ~ 0.99);
+    holding recall exactly constant would need exponentially many bands
+    — the documented reason production near-dup thresholds sit at 0.8+.
     """
     probe = vectors.select("v").first()
     if probe is None or probe.v is None:
@@ -229,6 +247,12 @@ def rp_lsh_pairs(
             [], "id_a long, id_b long, sim double"
         )
     dim = len(probe.v)
+    n_vecs = vectors.count()
+    band_size = max(
+        band_size, math.ceil(math.log2(max(n_vecs, 1) / 125))
+    ) if n_vecs > 125 else band_size
+    n_bands_fixed = bits // RP_BAND_SIZE
+    bits = band_size * n_bands_fixed
     bit_arr = _signature_expr(dim, bits)
     # materialize the signature as a stored column BEFORE slicing it into
     # bands: lambda-captured expressions inline at every reference, so
@@ -236,7 +260,7 @@ def rp_lsh_pairs(
     # products once per band
     sigs = scoped_persist(vectors.withColumn("bits", bit_arr))
 
-    n_bands = bits // band_size
+    n_bands = n_bands_fixed
     # pack each band's sign bits into one int: band_val = fold(acc*2 + bit)
     band_vals = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -269,14 +293,15 @@ def rp_lsh_pairs(
         # Multi-probe pruning: most flipped band values hit EMPTY buckets,
         # yet without pruning every one of the (band_size+1) probe rows per
         # band entry is shuffled into the candidate join. The occupied-key
-        # set is at most n_bands * 2^band_size rows (128 here; still tiny
-        # for 16-bit bands) — broadcast it and semi-join, so dead probes
-        # are dropped map-side BEFORE the exchange. Recall is unchanged:
-        # a probe into an empty bucket can never produce a candidate.
+        # set is at most n_bands * min(2^band_size, n) rows — semi-join it
+        # so dead probes are dropped BEFORE the exchange. Recall is
+        # unchanged: a probe into an empty bucket can never produce a
+        # candidate. No explicit broadcast hint: with the corpus-derived
+        # band width the occupied set scales ~ n_bands * n / 125, so AQE
+        # picks broadcast while it fits and degrades to a shuffled
+        # semi-join gracefully at planetary scale.
         occupied = bands.select("band_id", "band_val").distinct()
-        probes = probes.join(
-            F.broadcast(occupied), ["band_id", "band_val"], "left_semi"
-        )
+        probes = probes.join(occupied, ["band_id", "band_val"], "left_semi")
     else:
         probes = bands
 
