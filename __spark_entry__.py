@@ -76,6 +76,10 @@ _ROUND10_WINDOW = [
     "agg_rolling_retention",
     "profile_category_drift",
     "search_eval_map_at_k",
+    "text_pmi_pairs",
+    "dataset_curriculum_order",
+    "agg_price_elasticity",
+    "agg_top_quintile_share",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -181,6 +181,10 @@ HEADLINE = (
     "agg_rolling_retention",        # day-grain 7-day retention
     "profile_category_drift",       # event-mix drift between halves
     "search_eval_map_at_k",         # integer MAP of the retrieval arms
+    "text_pmi_pairs",               # PMI collocations over the dictionary
+    "dataset_curriculum_order",     # curriculum phase assignment
+    "agg_price_elasticity",         # log-log demand slope per brand
+    "agg_top_quintile_share",       # 80/20 revenue concentration
 )
 
 

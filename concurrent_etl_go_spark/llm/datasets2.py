@@ -596,3 +596,90 @@ def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 div COUNT(*) AS BIGINT)"
         ).alias("kept_bp"),
     )
+
+
+#: Curriculum phase thresholds (integer, fixed): token-count bands x a
+#: stopword-share floor — "clean short -> clean long -> noisy" is the
+#: standard easy-to-hard pretraining schedule shape.
+_CURR_SHORT = 120  # tokens: short/long boundary
+_CURR_STOP_MIN_BP = 300  # stopword share >= 3% marks "natural prose"
+
+
+@query(
+    "dataset_curriculum_order",
+    oracle=f"""
+    WITH scored AS MATERIALIZED (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                 t -> lower(t) IN ('the','a','and','of','to','in','is',
+                                   'for','on','with'))) * 10000
+                  // greatest(len(string_split(text, ' ')), 1) AS BIGINT)
+               AS stop_bp
+      FROM documents
+    ),
+    phased AS (
+      SELECT CASE
+               WHEN stop_bp >= {_CURR_STOP_MIN_BP}
+                    AND n_tokens < {_CURR_SHORT} THEN 1
+               WHEN stop_bp >= {_CURR_STOP_MIN_BP} THEN 2
+               ELSE 3 END AS phase,
+             n_tokens, stop_bp
+      FROM scored
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(stop_bp) // COUNT(*) AS BIGINT) AS mean_stop_bp,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM phased GROUP BY 1
+    """,
+)
+def dataset_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment for pretraining (easy-to-hard
+    ordering, Bengio et al. 2009 framing): phase 1 = short natural
+    prose (stopword share >= 3%, under {120} tokens), phase 2 = long
+    natural prose, phase 3 = low-stopword/noisy tail — with per-phase
+    doc counts, token budgets, and the mean stopword share.  A trainer
+    consumes phases in order; the phase rule is a pure per-row integer
+    expression, so assignment never flips with corpus growth (the
+    ``split_train_val_test`` leakage argument).
+
+    All integers (token counts, floor-divided shares).  Scale: one
+    documents scan, per-row scoring, a 3-row hash agg."""
+    from concurrent_etl_go_spark.llm.text import tokenized_docs
+
+    docs = tokenized_docs(spark, sf_dir)
+    toks = F.col("toks")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(size(filter(toks, t -> lower(t) IN "
+            "('the','a','and','of','to','in','is','for','on','with')))"
+            " * 10000 div greatest(size(toks), 1) AS BIGINT)"
+        ).alias("stop_bp"),
+    )
+    phase = (
+        F.when(
+            (F.col("stop_bp") >= _CURR_STOP_MIN_BP)
+            & (F.col("n_tokens") < _CURR_SHORT),
+            1,
+        )
+        .when(F.col("stop_bp") >= _CURR_STOP_MIN_BP, 2)
+        .otherwise(3)
+    )
+    return (
+        scored.select(phase.cast("long").alias("phase"), "n_tokens", "stop_bp")
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr("CAST(SUM(stop_bp) div COUNT(*) AS BIGINT)").alias(
+                "mean_stop_bp"
+            ),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

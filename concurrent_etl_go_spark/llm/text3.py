@@ -30,7 +30,7 @@ Reference parity: no text surface exists in the reference
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.llm.text import tokenized_docs
@@ -191,4 +191,102 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN num = 0 THEN 0 ELSE "
             f"CAST(CAST(n AS {big}) * (n - 1) * 1000 div num AS BIGINT) END"
         ).alias("inv_simpson_milli"),
+    )
+
+
+_PMI_DF_MIN = 25  # dictionary floor: content terms only
+_PMI_TOP_TERMS = 100  # df-ranked dictionary cap (bounds per-doc pairs)
+_PMI_MIN_CO = 5  # minimum co-document count for a pair
+_PMI_TOP = 20  # pairs emitted
+
+
+@query(
+    "text_pmi_pairs",
+    oracle=f"""
+    WITH dt AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    df AS MATERIALIZED (
+      SELECT term, COUNT(*) AS c FROM dt GROUP BY 1
+      HAVING COUNT(*) >= {_PMI_DF_MIN}
+    ),
+    dict AS MATERIALIZED (
+      SELECT term, c FROM df ORDER BY c DESC, term LIMIT {_PMI_TOP_TERMS}
+    ),
+    dtd AS MATERIALIZED (
+      SELECT dt.doc_id, dt.term, d.c FROM dt JOIN dict d USING (term)
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+    co AS MATERIALIZED (
+      SELECT a.term AS term_a, b.term AS term_b,
+             a.c AS c_a, b.c AS c_b, COUNT(*) AS c_ab
+      FROM dtd a JOIN dtd b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= {_PMI_MIN_CO}
+    )
+    SELECT term_a, term_b,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           ROUND(ln(1.0 * c_ab * n.n_docs / (1.0 * c_a * c_b)), 4) + 0.0
+             AS pmi,
+           CAST(row_number() OVER (
+             ORDER BY ROUND(ln(1.0 * c_ab * n.n_docs
+                               / (1.0 * c_a * c_b)), 4) DESC,
+                      term_a, term_b) AS BIGINT) AS pmi_rank
+    FROM co CROSS JOIN n
+    ORDER BY pmi DESC, term_a, term_b LIMIT {_PMI_TOP}
+    """,
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church & Hanks
+    1990, public literature): document-level co-occurrence of the
+    ``_PMI_TOP_TERMS`` most-frequent content terms,
+    ``pmi = ln(N·c_ab / (c_a·c_b))`` — the association score behind
+    phrase mining and tokenizer-merge diagnostics.  Each pair's PMI is
+    ONE deterministic ln over an integer ratio (no sums — no jitter at
+    all); ranking is on the ROUNDED score with term tie-breaks.
+
+    Scale: the df-capped dictionary bounds the per-document pair
+    expansion at C(100, 2); candidates join on the doc key and
+    aggregate on the (term, term) pair key — the basket-lift shuffle
+    shape over a vocabulary-bounded block."""
+    dt = (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .distinct()
+    )
+    df_ = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= _PMI_DF_MIN
+    )
+    dic = df_.orderBy(F.desc("c"), "term").limit(_PMI_TOP_TERMS)
+    dtd = dt.join(F.broadcast(dic), "term")
+    n = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = dtd.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("c").alias("c_a")
+    )
+    b = dtd.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("c").alias("c_b")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "c_a", "c_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_CO)
+    )
+    pmi = "ln(1.0 * c_ab * n_docs / (1.0 * c_a * c_b))"
+    scored = co.crossJoin(F.broadcast(n)).select(
+        "term_a",
+        "term_b",
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.expr(f"ROUND({pmi}, 4) + 0.0").alias("pmi"),
+    )
+    w = Window.orderBy(F.desc("pmi"), "term_a", "term_b")
+    return (
+        scored.withColumn("pmi_rank", F.row_number().over(w).cast("long"))
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(_PMI_TOP)
     )

@@ -359,3 +359,165 @@ def profile_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(ABS(c0 * 10000 div n0 - c1 * 10000 div n1) AS BIGINT)"
         ).alias("drift_bp"),
     )
+
+
+@query(
+    "agg_price_elasticity",
+    oracle="""
+    WITH monthly AS MATERIALIZED (
+      SELECT p.p_brand AS brand, strftime(l.l_shipdate, '%Y-%m') AS mon,
+             SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS rev_cents,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    pts AS MATERIALIZED (
+      SELECT brand,
+             ln(CAST(rev_cents // qty AS DOUBLE)) AS x,
+             ln(CAST(qty AS DOUBLE)) AS y
+      FROM monthly WHERE qty > 0
+    ),
+    s AS (
+      SELECT brand, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_months,
+           CASE WHEN n * sxx - sx * sx = 0.0 THEN 0.0
+                ELSE ROUND((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 4) + 0.0 END
+             AS elasticity
+    FROM s
+    """,
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the OLS slope of
+    ln(monthly quantity) on ln(monthly realized unit price) — the
+    classic demand-curve readout over the ``window_vwap`` grain.  The
+    per-month unit price is the INTEGER floor quotient (cents), so each
+    (x, y) point is a deterministic ln of an exact integer; the five
+    OLS sums carry only ~1e-14 summation-order jitter, five orders
+    below the slope's ROUND(4) grain (the denominator is a
+    dimension-scale variance, not a near-cancellation).  Flat-price
+    brands pin slope 0 via an identical CASE guard.
+
+    Scale: one fact scan + broadcast part dim -> (brand, month) hash
+    agg -> a brand-keyed 5-accumulator fold; the slope is per-row
+    scalar math on a 25-brand dimension."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+            ).alias("rev_cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+    pts = monthly.where(F.col("qty") > 0).select(
+        "brand",
+        F.expr("ln(CAST(rev_cents div qty AS DOUBLE))").alias("x"),
+        F.expr("ln(CAST(qty AS DOUBLE))").alias("y"),
+    )
+    s = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_months"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx = 0.0 THEN 0.0"
+            " ELSE ROUND((n * sxy - sx * sy)"
+            " / (n * sxx - sx * sx), 4) + 0.0 END"
+        ).alias("elasticity"),
+    )
+
+
+_QUINTILE_BP = 2000  # top 20% of customers
+
+
+@query(
+    "agg_top_quintile_share",
+    oracle=f"""
+    WITH cust AS MATERIALIZED (
+      SELECT o_custkey AS ck,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_cust, SUM(cents) AS total FROM cust),
+    ranked AS MATERIALIZED (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, ck) AS rnk
+      FROM cust
+    ),
+    head AS (
+      SELECT SUM(cents) AS head_cents, COUNT(*) AS head_n
+      FROM ranked CROSS JOIN tot
+      WHERE rnk * 10000 <= n_cust * {_QUINTILE_BP}
+    )
+    SELECT CAST(t.n_cust AS BIGINT) AS n_cust,
+           CAST(h.head_n AS BIGINT) AS head_n,
+           CAST(t.total AS BIGINT) AS total_cents,
+           CAST(COALESCE(h.head_cents, 0) AS BIGINT) AS head_cents,
+           CAST(CAST(COALESCE(h.head_cents, 0) AS HUGEINT) * 10000
+                // t.total AS BIGINT) AS head_share_bp
+    FROM head h CROSS JOIN tot t
+    """,
+)
+def agg_top_quintile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 readout: what share of revenue the top 20% of
+    customers carry — one number beside the full Lorenz curve
+    (``agg_revenue_lorenz``), with the membership boundary decided by
+    the integer cross-multiply ``rank·10000 <= n·2000`` (no division on
+    the per-customer path) and (cents DESC, custkey) tie-breaks.
+
+    Pure integers.  Scale: one orders hash agg to the customer
+    dimension, a rank window over that dimension (the Lorenz family's
+    documented range-partitioned sort), one global fold; driver traffic
+    is a single row."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(
+            F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+        ).alias("cents")
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("cents").alias("total")
+    )
+    w = Window.orderBy(F.desc("cents"), "ck")
+    ranked = cust.select("cents", F.row_number().over(w).alias("rnk"))
+    head = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.col("rnk") * 10000 <= F.col("n_cust") * _QUINTILE_BP)
+        .agg(
+            F.sum("cents").alias("head_cents"),
+            F.count(F.lit(1)).alias("head_n"),
+        )
+    )
+    return head.crossJoin(F.broadcast(tot)).select(
+        F.col("n_cust").cast("long").alias("n_cust"),
+        F.col("head_n").cast("long").alias("head_n"),
+        F.col("total").cast("long").alias("total_cents"),
+        F.coalesce(F.col("head_cents"), F.lit(0))
+        .cast("long")
+        .alias("head_cents"),
+        F.expr(
+            f"CAST(CAST(COALESCE(head_cents, 0) AS {_BIG}) * 10000"
+            " div total AS BIGINT)"
+        ).alias("head_share_bp"),
+    )

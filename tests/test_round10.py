@@ -364,3 +364,77 @@ def test_map_at_k_brute_is_perfect(spark, sf_dir):
     # MAP is the floor-mean of the per-query APs
     for arm, rs in by_arm.items():
         assert rs[0].arm_map_bp == sum(r.ap_bp for r in rs) // len(rs)
+
+
+def test_pmi_pairs_deterministic_and_symmetric_counts(spark, sf_dir):
+    from concurrent_etl_go_spark.llm.text3 import _PMI_TOP, text_pmi_pairs
+
+    rows = text_pmi_pairs(spark, sf_dir).collect()
+    assert rows and len(rows) <= _PMI_TOP
+    import math
+
+    for r in rows:
+        assert r.term_a < r.term_b
+        assert 0 < r.c_ab <= min(r.c_a, r.c_b)
+    ranks = [r.pmi_rank for r in rows]
+    assert ranks == sorted(ranks)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_curriculum_phases_cover_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.llm.datasets2 import (
+        dataset_curriculum_order,
+    )
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = {r.phase: r for r in dataset_curriculum_order(spark, sf_dir).collect()}
+    assert set(rows) <= {1, 2, 3} and rows
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    for r in rows.values():
+        assert r.min_tokens <= r.max_tokens
+        assert 0 <= r.mean_stop_bp <= 10000
+    if 1 in rows and 2 in rows:
+        # phase 1 is the SHORT natural-prose band
+        assert rows[1].max_tokens < 120 <= rows[2].max_tokens
+
+
+def test_price_elasticity_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from concurrent_etl_go_spark.operators.relational13 import (
+        agg_price_elasticity,
+    )
+    from concurrent_etl_go_spark.operators.finance import window_vwap
+
+    rows = {r.brand: r for r in agg_price_elasticity(spark, sf_dir).collect()}
+    assert rows
+    vwap = window_vwap(spark, sf_dir).collect()
+    brand = sorted(rows)[0]
+    pts = [
+        (np.log(r.rev_cents // r.qty), np.log(r.qty))
+        for r in vwap
+        if r.brand == brand and r.qty > 0
+    ]
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    assert abs(rows[brand].elasticity - slope) < 1e-3
+    assert rows[brand].n_months == len(pts)
+
+
+def test_top_quintile_share_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.relational13 import (
+        agg_top_quintile_share,
+    )
+
+    r = agg_top_quintile_share(spark, sf_dir).collect()[0]
+    assert 0 < r.head_n <= r.n_cust * 2 // 10 + 1
+    assert 0 < r.head_cents <= r.total_cents
+    # the top quintile must carry at least its proportional share
+    assert r.head_share_bp >= 2000
+    assert r.head_share_bp == r.head_cents * 10000 // r.total_cents
