@@ -80,6 +80,11 @@ _ROUND10_WINDOW = [
     "dataset_curriculum_order",
     "agg_price_elasticity",
     "agg_top_quintile_share",
+    "agg_chi_square",
+    "agg_mann_whitney",
+    "agg_ks_test",
+    "agg_anova_f",
+    "agg_spearman_corr",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

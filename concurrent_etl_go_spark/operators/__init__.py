@@ -43,6 +43,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     sketches,
     sketches2,
     skew,
+    stats_tests,
     survival,
     timeseries,
     vtable,

@@ -54,13 +54,22 @@ def test_query_runs_with_sane_schema(spark, sf_dir, name):
 
 
 def test_driver_window_rotation():
-    """Round-9 rotation: the driver snapshots the FIRST 50 entries of
+    """Round-N rotation: the driver snapshots the FIRST 50 entries of
     ``queries()``; those slots must hold every query without a green
-    CORRECTNESS_r01-r08 row (round-9 additions plus any changed-code
-    re-proof block), with every proven query behind slot 50."""
+    prior-round CORRECTNESS row (current-round additions plus any
+    changed-code re-proof block), with every proven query behind slot
+    50.  The current window is discovered by its ``_ROUND{N}_WINDOW``
+    name so this test survives rotation."""
+    import re as _re
+
     names = list(entry_mod.queries())
     first50 = names[:50]
-    window = entry_mod._ROUND9_WINDOW
+    rounds = {
+        int(m.group(1)): getattr(entry_mod, attr)
+        for attr in vars(entry_mod)
+        if (m := _re.fullmatch(r"_ROUND(\d+)_WINDOW", attr))
+    }
+    window = rounds[max(rounds)]
     proven = entry_mod._PROVEN
     assert first50[: len(window)] == window
     # every unproven query sits inside the 50-slot window; spare slots
