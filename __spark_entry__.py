@@ -85,6 +85,9 @@ _ROUND10_WINDOW = [
     "agg_ks_test",
     "agg_anova_f",
     "agg_spearman_corr",
+    "window_autocorr",
+    "window_stochastic_osc",
+    "agg_croston",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -46,6 +46,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     stats_tests,
     survival,
     timeseries,
+    timeseries2,
     vtable,
     warehouse,
     scalars_queries,
