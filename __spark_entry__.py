@@ -88,6 +88,9 @@ _ROUND10_WINDOW = [
     "window_autocorr",
     "window_stochastic_osc",
     "agg_croston",
+    "text_mutual_information",
+    "text_rake_keywords",
+    "text_novelty_curve",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -30,4 +30,5 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     text,
     text2,
     text3,
+    text4,
 )
