@@ -91,6 +91,11 @@ _ROUND10_WINDOW = [
     "text_mutual_information",
     "text_rake_keywords",
     "text_novelty_curve",
+    "graph_transitivity",
+    "agg_srm_check",
+    "agg_gini_split",
+    "agg_brand_transitions",
+    "rec_coverage",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -20,6 +20,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     graph3,
     graph4,
     layout,
+    ml_primitives,
     profiling,
     quantiles,
     recommender,
@@ -38,6 +39,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational13,
     retail,
     retail2,
+    retail3,
     scalars2,
     search,
     sketches,

@@ -302,3 +302,78 @@ def agg_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ROUND(CAST(sy AS DOUBLE) / n, 4) + 0.0").alias("mean_exp"),
         F.expr(_DID).alias("did"),
     )
+
+
+#: SRM z score over exact int64 arm counts (unrounded shared tree;
+#: delta can be negative, so + 0.0 pins the signed zero).
+_SRM_Z = (
+    "CASE WHEN n_users = 0 THEN 0.0 ELSE"
+    " ((CAST(arm0 AS DOUBLE) - arm1) / SQRT(CAST(n_users AS DOUBLE)))"
+    " + 0.0 END"
+)
+
+
+@query(
+    "agg_srm_check",
+    oracle=f"""
+    WITH units AS MATERIALIZED (
+      SELECT DISTINCT user_id, {_SQL_ARM} AS arm FROM events
+    ),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS arm0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS arm1
+      FROM units
+    )
+    SELECT n_users, arm0, arm1,
+           CASE WHEN n_users = 0 THEN 0 ELSE
+             CAST((CAST(arm0 AS HUGEINT) - arm1)
+                  * (CAST(arm0 AS HUGEINT) - arm1)
+                  * 1000000 // n_users AS BIGINT) END AS chi2_e6,
+           {_SRM_Z} AS z_score
+    FROM counts
+    """,
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the md5 arm split (the first
+    gate every experimentation platform runs before reading a test):
+    chi-square goodness-of-fit against the designed 50/50 allocation —
+    for two arms that is exactly ``(arm0 - arm1)^2 / n`` — in exact
+    integer millionths, plus the signed z score.  A healthy hash split
+    keeps chi2 small; a large value means the bucketing is biased and
+    every downstream readout is suspect.
+
+    Scale: one distinct-user agg (the same shuffle class as
+    ``agg_ab_test``) then scalar arithmetic on one row."""
+    big = "DECIMAL(38,0)"
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2
+    )
+    units = ev.select("user_id", arm.alias("arm")).distinct()
+    counts = units.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("arm0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("arm1"),
+    )
+    return counts.select(
+        "n_users",
+        "arm0",
+        "arm1",
+        F.expr(
+            f"CASE WHEN n_users = 0 THEN 0 ELSE"
+            f" CAST((CAST(arm0 AS {big}) - arm1)"
+            f" * (CAST(arm0 AS {big}) - arm1)"
+            f" * 1000000 div n_users AS BIGINT) END"
+        ).alias("chi2_e6"),
+        F.expr(_SRM_Z).alias("z_score"),
+    )

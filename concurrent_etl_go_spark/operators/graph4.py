@@ -208,3 +208,93 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("reach2"), "id")
         .limit(_REACH_TOP)
     )
+
+
+#: Global transitivity from exact int64 counts (3T <= W always, so the
+#: ratio sits in [0, 1]); unrounded shared tree per the round-10 rules.
+_TRANSITIVITY = (
+    "CASE WHEN wedges = 0 THEN 0.0 ELSE"
+    " (3.0 * CAST(triangles AS DOUBLE) / CAST(wedges AS DOUBLE))"
+    " + 0.0 END"
+)
+
+
+@query(
+    "graph_transitivity",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY 1
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS wedges
+      FROM deg
+    )
+    SELECT n_nodes, n_edges, wedges,
+           CAST(t AS BIGINT) AS triangles,
+           CASE WHEN wedges = 0 THEN 0 ELSE
+             CAST(3 * CAST(t AS HUGEINT) * 1000000 // wedges AS BIGINT)
+             END AS transitivity_e6,
+           {_TRANSITIVITY} AS transitivity
+    FROM agg CROSS JOIN tri
+    """,
+)
+def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (Newman/Watts-Strogatz, public literature)
+    of the co-purchase graph: 3 * triangles / wedges, the one-number
+    closure summary beside the per-node ``graph_clustering_coeff``.
+    Triangles come from the same oriented three-way equi-join the
+    triangle kernel uses (each triangle counted once); wedges are
+    ``sum d*(d-1)/2`` over exact integer degrees.
+
+    Scale: degree is one hash agg on the capped edge list; the
+    triangle join's fan-out is bounded by the oriented degree; output
+    is one row."""
+    big = "DECIMAL(38,0)"
+    e = _copurchase_edges(spark, sf_dir)
+    sym = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("CAST(SUM(d) div 2 AS BIGINT)").alias("n_edges"),
+        F.expr("CAST(SUM(d * (d - 1)) div 2 AS BIGINT)").alias("wedges"),
+    )
+    return agg.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "wedges",
+        F.col("t").cast("long").alias("triangles"),
+        F.expr(
+            f"CASE WHEN wedges = 0 THEN 0 ELSE"
+            f" CAST(3 * CAST(t AS {big}) * 1000000 div wedges AS BIGINT)"
+            f" END"
+        ).alias("transitivity_e6"),
+        F.expr(_TRANSITIVITY).alias("transitivity"),
+    )

@@ -237,6 +237,12 @@ def rec_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support model's sparsity; the anti-join against owned items
     keys on (customer, part).  The owned set reuses the model's
     persisted distinct-basket relation — no second lineitem scan."""
+    return _user_recs(spark, sf_dir)
+
+
+def _user_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rec_user_items plan, shared verbatim with the coverage
+    readout (``rec_coverage``) so both provably score the same lists."""
     model, li, _item = _model(spark, sf_dir)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -723,5 +729,138 @@ def rec_eval_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("long")
             .alias("hit_flag"),
+        )
+    )
+
+
+@query(
+    "rec_coverage",
+    oracle=f"""
+    WITH {_MODEL_SQL},
+    custs AS MATERIALIZED (
+      SELECT o_custkey AS ck FROM orders
+      GROUP BY 1 ORDER BY COUNT(*) DESC, ck LIMIT {_REC_CUSTS}
+    ),
+    owned AS MATERIALIZED (
+      SELECT DISTINCT c.ck, l.l_partkey AS pk
+      FROM custs c
+      JOIN orders o ON o.o_custkey = c.ck
+      JOIN li l ON l.l_orderkey = o.o_orderkey
+    ),
+    scored AS MATERIALIZED (
+      SELECT w.ck, m.j AS item,
+             CAST(SUM(m.cos2_bp) AS BIGINT) AS score
+      FROM owned w
+      JOIN model m ON m.i = w.pk
+      LEFT JOIN owned o2 ON o2.ck = w.ck AND o2.pk = m.j
+      WHERE o2.pk IS NULL
+      GROUP BY w.ck, m.j
+    ),
+    recs AS MATERIALIZED (
+      SELECT ck, item FROM (
+        SELECT ck, item,
+               row_number() OVER (
+                 PARTITION BY ck ORDER BY score DESC, item
+               ) AS rec_rank
+        FROM scored
+      ) WHERE rec_rank <= {_REC_TOP}
+    ),
+    expo AS MATERIALIZED (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS slots
+      FROM recs GROUP BY 1
+    ),
+    ranked AS MATERIALIZED (
+      SELECT item, slots,
+             ROW_NUMBER() OVER (ORDER BY slots DESC, item) AS rk
+      FROM expo
+    ),
+    sizes AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(COALESCE(SUM(slots), 0) AS BIGINT) AS n_slots
+      FROM expo
+    ),
+    cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS catalog_parts FROM part),
+    users AS (
+      SELECT CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_users FROM recs
+    ),
+    topd AS (
+      SELECT CAST(COALESCE(SUM(slots), 0) AS BIGINT) AS top_slots
+      FROM ranked CROSS JOIN sizes
+      WHERE rk <= (n_items + 9) // 10
+    )
+    SELECT n_users, n_slots, n_items, catalog_parts,
+           CASE WHEN catalog_parts = 0 THEN 0 ELSE
+             CAST(n_items * 1000000 // catalog_parts AS BIGINT) END
+             AS coverage_e6,
+           CASE WHEN n_slots = 0 THEN 0 ELSE
+             CAST(top_slots * 1000000 // n_slots AS BIGINT) END
+             AS top_decile_share_e6
+    FROM sizes CROSS JOIN cat CROSS JOIN users CROSS JOIN topd
+    """,
+)
+def rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage and exposure concentration of the
+    recommendation lists (Ge, Delgado-Battenfeld & Jannach 2010
+    framing, public literature): how much of the part catalog the
+    top-{_REC_TOP} lists for the {_REC_CUSTS}-customer panel actually
+    surface, and what share of all recommendation slots the
+    top-decile most-recommended items absorb — the beyond-accuracy
+    health metrics every recommender platform tracks beside hit rate.
+
+    Shares are exact integer millionths.  Scale: rides the SAME
+    persisted plan as ``rec_user_items`` (one extra item-keyed agg and
+    a <=panel*k-row window)."""
+    recs = scoped_persist(
+        _user_recs(spark, sf_dir).select("custkey", "item")
+    )
+    expo = scoped_persist(
+        recs.groupBy("item").agg(
+            F.count(F.lit(1)).cast("long").alias("slots")
+        )
+    )
+    ranked = expo.select(
+        "item",
+        "slots",
+        F.row_number()
+        .over(Window.orderBy(F.desc("slots"), "item"))
+        .alias("rk"),
+    )
+    sizes = expo.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("slots"), F.lit(0)).cast("long").alias("n_slots"),
+    )
+    cat = (
+        read_table(spark, sf_dir, "part")
+        .agg(F.count(F.lit(1)).cast("long").alias("catalog_parts"))
+    )
+    users = recs.agg(
+        F.countDistinct("custkey").cast("long").alias("n_users")
+    )
+    topd = (
+        ranked.crossJoin(F.broadcast(sizes))
+        .where(F.expr("rk <= (n_items + 9) div 10"))
+        .agg(
+            F.coalesce(F.sum("slots"), F.lit(0))
+            .cast("long")
+            .alias("top_slots")
+        )
+    )
+    return (
+        sizes.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(users))
+        .crossJoin(F.broadcast(topd))
+        .select(
+            "n_users",
+            "n_slots",
+            "n_items",
+            "catalog_parts",
+            F.expr(
+                "CASE WHEN catalog_parts = 0 THEN 0 ELSE"
+                " CAST(n_items * 1000000 div catalog_parts AS BIGINT) END"
+            ).alias("coverage_e6"),
+            F.expr(
+                "CASE WHEN n_slots = 0 THEN 0 ELSE"
+                " CAST(top_slots * 1000000 div n_slots AS BIGINT) END"
+            ).alias("top_decile_share_e6"),
         )
     )
