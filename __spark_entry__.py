@@ -96,6 +96,9 @@ _ROUND10_WINDOW = [
     "agg_gini_split",
     "agg_brand_transitions",
     "rec_coverage",
+    "similarity_range_search",
+    "agg_sprt_ab",
+    "agg_weekday_seasonality",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -27,6 +27,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     quantize,
     retrieval_eval,
     similarity,
+    similarity2,
     text,
     text2,
     text3,

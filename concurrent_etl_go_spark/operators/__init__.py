@@ -13,6 +13,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     etl_queries,
     experiments,
     experiments2,
+    experiments3,
     finance,
     forecast,
     graph,

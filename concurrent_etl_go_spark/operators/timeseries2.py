@@ -410,3 +410,74 @@ def agg_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ROUND(p, 4) + 0.0").alias("interval_state"),
         F.expr(f"ROUND({_CR_RATE}, 4) + 0.0").alias("rate_per_day"),
     )
+
+
+#: Unrounded shared tree over exact int64s: the weekday's mean daily
+#: revenue (cents).
+_WD_MEAN = "(CAST(sum_cents AS DOUBLE) / n_days) + 0.0"
+
+
+@query(
+    "agg_weekday_seasonality",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_O_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    wd AS MATERIALIZED (
+      SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM daily GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_days) AS BIGINT) AS nt,
+             CAST(SUM(sum_cents) AS BIGINT) AS st
+      FROM wd
+    )
+    SELECT dow, n_days, sum_cents,
+           {_WD_MEAN} AS mean_cents,
+           CAST(CAST(sum_cents AS HUGEINT) * nt * 1000000
+                // (CAST(n_days AS HUGEINT) * st) AS BIGINT)
+             AS index_e6
+    FROM wd CROSS JOIN tot
+    """,
+)
+def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index of daily order revenue: each
+    Monday-based weekday's mean daily revenue relative to the overall
+    mean, as an exact integer in millionths (1e6 = an average day).
+    The one-glance day-of-week profile a forecaster reads before
+    choosing the seasonal-naive lag (`agg_forecast_backtest` uses 7).
+
+    Weekday parity: Spark ``weekday()`` (0 = Monday) equals DuckDB
+    ``isodow - 1``.  Scale: one orders scan -> day hash agg -> 7-row
+    agg."""
+    big = "DECIMAL(38,0)"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(F.expr(_O_CENTS)).cast("long").alias("cents"))
+    wd = daily.groupBy(
+        F.expr("CAST(weekday(day) AS BIGINT)").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    tot = wd.agg(
+        F.sum("n_days").cast("long").alias("nt"),
+        F.sum("sum_cents").cast("long").alias("st"),
+    )
+    return wd.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "sum_cents",
+        F.expr(_WD_MEAN).alias("mean_cents"),
+        F.expr(
+            f"CAST(CAST(sum_cents AS {big}) * nt * 1000000"
+            f" div (CAST(n_days AS {big}) * st) AS BIGINT)"
+        ).alias("index_e6"),
+    )

@@ -1,0 +1,82 @@
+"""Invariants for round-10 batch 5: range search, SPRT, weekday
+seasonality."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.llm.similarity2 import (
+    _RANGE_TAU2_E6,
+    similarity_range_search,
+)
+from concurrent_etl_go_spark.operators.experiments3 import (
+    _LOWER_E6,
+    _UPPER_E6,
+    agg_sprt_ab,
+)
+from concurrent_etl_go_spark.operators.timeseries2 import (
+    agg_weekday_seasonality,
+)
+from concurrent_etl_go_spark.sources.readers import read_table
+
+
+def test_range_search_matches_float_cosine(spark, sf_dir):
+    rows = similarity_range_search(spark, sf_dir).collect()
+    assert rows, "the panel should find at least one in-radius vector"
+    for r in rows:
+        assert r.dot > 0
+        assert r.cos2_e6 >= _RANGE_TAU2_E6
+        assert r.query_id != r.vec_id
+    # spot-check one pair against float cosine of the RAW embeddings:
+    # int8 quantization distorts cosine by well under 0.05 at 64 dims
+    import numpy as np
+
+    r = rows[0]
+    emb = {
+        row.vec_id: np.array(row.embedding, dtype=float)
+        for row in read_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").isin(int(r.query_id), int(r.vec_id)))
+        .collect()
+    }
+    q, v = emb[r.query_id], emb[r.vec_id]
+    cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+    assert math.isclose(
+        math.sqrt(r.cos2_e6 / 1e6), cos, abs_tol=0.05
+    )
+
+
+def test_sprt_trace_consistency(spark, sf_dir):
+    rows = sorted(agg_sprt_ab(spark, sf_dir).collect(), key=lambda r: r.day)
+    assert rows
+    run = 0
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_exposed
+        run += r.term_e6
+        assert r.llr_e6 == run
+        want = (
+            "accept_h1"
+            if r.llr_e6 >= _UPPER_E6
+            else "accept_h0"
+            if r.llr_e6 <= _LOWER_E6
+            else "continue"
+        )
+        assert r.decision == want
+        assert math.isclose(r.llr_cum, r.llr_e6 / 1e6, rel_tol=1e-12)
+
+
+def test_weekday_index_averages_to_one(spark, sf_dir):
+    rows = agg_weekday_seasonality(spark, sf_dir).collect()
+    assert {r.dow for r in rows} <= set(range(7))
+    st = sum(r.sum_cents for r in rows)
+    nt = sum(r.n_days for r in rows)
+    for r in rows:
+        assert math.isclose(
+            r.mean_cents, r.sum_cents / r.n_days, rel_tol=1e-12
+        )
+        want = r.sum_cents * nt * 1_000_000 // (r.n_days * st)
+        assert r.index_e6 == want
+    # day-count-weighted mean index is 1.0 by construction
+    wavg = sum(r.index_e6 * r.n_days for r in rows) / (nt * 1e6)
+    assert math.isclose(wavg, 1.0, abs_tol=1e-4)
