@@ -99,6 +99,8 @@ _ROUND10_WINDOW = [
     "similarity_range_search",
     "agg_sprt_ab",
     "agg_weekday_seasonality",
+    "search_eval_auc",
+    "agg_capture_recapture",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -185,6 +185,27 @@ HEADLINE = (
     "dataset_curriculum_order",     # curriculum phase assignment
     "agg_price_elasticity",         # log-log demand slope per brand
     "agg_top_quintile_share",       # 80/20 revenue concentration
+    "agg_chi_square",               # contingency chi-square + Cramer's V
+    "agg_mann_whitney",             # rank-sum U / AUC / z, tie-corrected
+    "agg_ks_test",                  # integer-lattice two-sample KS
+    "agg_anova_f",                  # one-way ANOVA on exact cents
+    "agg_spearman_corr",            # rank correlation, bounded domains
+    "window_autocorr",              # ACF lags 1-7 via position self-join
+    "window_stochastic_osc",        # integer %K/%D oscillator
+    "agg_croston",                  # intermittent-demand dual SES folds
+    "text_mutual_information",      # lang x source MI, floor-integer total
+    "text_rake_keywords",           # RAKE degree/freq keyword scores
+    "text_novelty_curve",           # per-source shingle novelty deciles
+    "graph_transitivity",           # global 3T/W closure ratio
+    "agg_srm_check",                # sample-ratio-mismatch chi-square
+    "agg_gini_split",               # decision-stump best split (CART)
+    "agg_brand_transitions",        # consecutive-order brand lift
+    "rec_coverage",                 # rec-list catalog coverage/exposure
+    "similarity_range_search",      # int8-code cosine radius search
+    "agg_sprt_ab",                  # Wald SPRT daily monitor
+    "agg_weekday_seasonality",      # weekday revenue index
+    "search_eval_auc",              # within-list ROC AUC per arm
+    "agg_capture_recapture",        # Chapman population estimate
 )
 
 

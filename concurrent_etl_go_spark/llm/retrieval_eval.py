@@ -854,3 +854,114 @@ def search_eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) OVER (PARTITION BY arm) AS BIGINT)"
         ).alias("arm_map_bp"),
     )
+
+
+@query(
+    "search_eval_auc",
+    oracle=_COMMON_SQL + _ARMS_SQL + f""",
+    scored AS MATERIALIZED (
+      SELECT r.arm, r.qid, r.r_rank,
+             CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS rel,
+             SUM(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END)
+               OVER (PARTITION BY r.arm, r.qid ORDER BY r.r_rank)
+               AS hits_at
+      FROM retrieved r
+      LEFT JOIN truth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+                        AND t.truth_rank <= {_K}
+    ),
+    u AS MATERIALIZED (
+      SELECT arm, qid,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(COUNT(*) - SUM(rel) AS BIGINT) AS n_irr,
+             CAST(SUM(CASE WHEN rel = 1
+                  THEN hits_at - r_rank ELSE 0 END) AS BIGINT) AS neg_above
+      FROM scored GROUP BY 1, 2
+    ),
+    auc AS (
+      SELECT arm, qid, n_rel, n_irr,
+             n_rel * n_irr + neg_above AS u_stat,
+             CASE WHEN n_rel = 0 THEN 0
+                  WHEN n_irr = 0 THEN 10000
+                  ELSE CAST(10000 * (n_rel * n_irr + neg_above)
+                            // (n_rel * n_irr) AS BIGINT) END AS auc_bp
+      FROM u
+    )
+    SELECT arm, qid, n_rel, n_irr, CAST(u_stat AS BIGINT) AS u_stat,
+           auc_bp,
+           CAST(SUM(auc_bp) OVER (PARTITION BY arm)
+                // COUNT(*) OVER (PARTITION BY arm) AS BIGINT)
+             AS arm_auc_bp
+    FROM auc
+    """,
+)
+def search_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-list ROC AUC per (arm, qid): over each arm's retrieved
+    top-k, the probability that a relevant item outranks an irrelevant
+    one — the rank-quality metric that, unlike precision-family
+    metrics, is insensitive to the relevant-count imbalance.  Computed
+    as the exact integer Mann-Whitney U of the retrieved list:
+    ``U = n_rel * n_irr - sum over relevant of (irrelevant ranked
+    above)``, where ``irrelevant_above = r_rank - hits_at`` (both from
+    the same cumulative window MAP@k uses).  All-relevant lists pin to
+    10000, zero-relevant to 0; the ``brute`` arm is 10000 by
+    construction.
+
+    Scale: same metric-table windows as ``search_eval_map_at_k`` —
+    |arms| x |Q| x k rows, corpus-independent."""
+    truth, retrieved = _retrieved(spark, sf_dir)
+    truth_k = truth.where(F.col("truth_rank") <= _K).select(
+        "qid", "vec_id", F.lit(1).alias("rel_hit")
+    )
+    w_cum = (
+        Window.partitionBy("arm", "qid")
+        .orderBy("r_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        retrieved.join(truth_k, ["qid", "vec_id"], "left")
+        .select(
+            "arm",
+            "qid",
+            "r_rank",
+            F.coalesce(F.col("rel_hit"), F.lit(0)).alias("rel"),
+        )
+        .withColumn("hits_at", F.sum("rel").over(w_cum))
+    )
+    u = scored.groupBy("arm", "qid").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        (F.count(F.lit(1)) - F.sum("rel")).cast("long").alias("n_irr"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1, F.col("hits_at") - F.col("r_rank")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("neg_above"),
+    )
+    auc = u.select(
+        "arm",
+        "qid",
+        "n_rel",
+        "n_irr",
+        (F.col("n_rel") * F.col("n_irr") + F.col("neg_above")).alias(
+            "u_stat"
+        ),
+        F.expr(
+            "CASE WHEN n_rel = 0 THEN 0"
+            " WHEN n_irr = 0 THEN 10000"
+            " ELSE CAST(10000 * (n_rel * n_irr + neg_above)"
+            " div (n_rel * n_irr) AS BIGINT) END"
+        ).alias("auc_bp"),
+    )
+    return auc.select(
+        "arm",
+        "qid",
+        "n_rel",
+        "n_irr",
+        F.col("u_stat").cast("long").alias("u_stat"),
+        "auc_bp",
+        F.expr(
+            "CAST(SUM(auc_bp) OVER (PARTITION BY arm)"
+            " div COUNT(*) OVER (PARTITION BY arm) AS BIGINT)"
+        ).alias("arm_auc_bp"),
+    )

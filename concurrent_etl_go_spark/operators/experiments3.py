@@ -186,3 +186,90 @@ def agg_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 'continue' END"
         ).alias("decision"),
     )
+
+
+@query(
+    "agg_capture_recapture",
+    oracle="""
+    WITH b AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS bound
+      FROM events
+    ),
+    s1 AS MATERIALIZED (
+      SELECT DISTINCT user_id FROM events CROSS JOIN b
+      WHERE epoch_us(ts) < b.bound
+    ),
+    s2 AS MATERIALIZED (
+      SELECT DISTINCT user_id FROM events CROSS JOIN b
+      WHERE epoch_us(ts) >= b.bound
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS recaptured
+      FROM s1 JOIN s2 USING (user_id)
+    ),
+    c AS (
+      SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events)
+                  AS BIGINT) AS observed
+    )
+    SELECT n1 AS first_half_users, n2 AS second_half_users,
+           recaptured, observed,
+           CAST((n1 + 1) * (n2 + 1) // (recaptured + 1) - 1 AS BIGINT)
+             AS chapman_estimate,
+           CAST(observed * 1000000 //
+                ((n1 + 1) * (n2 + 1) // (recaptured + 1) - 1) AS BIGINT)
+             AS coverage_e6
+    FROM c CROSS JOIN m
+    """,
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the active-user population
+    (Lincoln-Petersen with the Chapman small-sample correction, public
+    literature): the first and second halves of the event-time span
+    are the two "capture" samples, their overlap is the recapture, and
+    ``(n1+1)(n2+1)/(m+1) - 1`` estimates how many users EXIST —
+    observed or not.  ``coverage_e6`` = observed/estimated is the
+    "what fraction of the population have we ever seen" readout a
+    growth team tracks.  Pure integer arithmetic, one row.
+
+    Scale: two distinct-user aggs and a key join — the same shuffle
+    class as ``agg_new_vs_returning``."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    bound = ev.agg(
+        F.expr(
+            "(MIN(unix_micros(ts)) + MAX(unix_micros(ts))) div 2"
+        ).alias("bound")
+    )
+    tagged = ev.crossJoin(F.broadcast(bound)).select(
+        "user_id",
+        (F.expr("unix_micros(ts)") < F.col("bound")).alias("first_half"),
+    )
+    s1 = tagged.where("first_half").select("user_id").distinct()
+    s2 = tagged.where(~F.col("first_half")).select("user_id").distinct()
+    m = s1.join(s2, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("recaptured")
+    )
+    c = (
+        s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).cast("long").alias("n2")))
+        .crossJoin(
+            ev.agg(
+                F.countDistinct("user_id").cast("long").alias("observed")
+            )
+        )
+    )
+    return c.crossJoin(F.broadcast(m)).select(
+        F.col("n1").alias("first_half_users"),
+        F.col("n2").alias("second_half_users"),
+        "recaptured",
+        "observed",
+        F.expr(
+            "CAST((n1 + 1) * (n2 + 1) div (recaptured + 1) - 1"
+            " AS BIGINT)"
+        ).alias("chapman_estimate"),
+        F.expr(
+            "CAST(observed * 1000000 div"
+            " ((n1 + 1) * (n2 + 1) div (recaptured + 1) - 1) AS BIGINT)"
+        ).alias("coverage_e6"),
+    )

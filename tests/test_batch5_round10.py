@@ -80,3 +80,31 @@ def test_weekday_index_averages_to_one(spark, sf_dir):
     # day-count-weighted mean index is 1.0 by construction
     wavg = sum(r.index_e6 * r.n_days for r in rows) / (nt * 1e6)
     assert math.isclose(wavg, 1.0, abs_tol=1e-4)
+
+
+def test_retrieval_auc_brute_is_perfect(spark, sf_dir):
+    from concurrent_etl_go_spark.llm.retrieval_eval import search_eval_auc
+
+    rows = search_eval_auc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.auc_bp <= 10000
+        assert r.u_stat <= r.n_rel * r.n_irr or r.n_irr == 0
+        if r.arm == "brute":
+            # the brute arm's retrieved list IS the truth top-k
+            assert r.auc_bp == 10000
+    arms = {r.arm for r in rows}
+    assert "brute" in arms and len(arms) >= 3
+
+
+def test_capture_recapture_estimate_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.experiments3 import (
+        agg_capture_recapture,
+    )
+
+    r = agg_capture_recapture(spark, sf_dir).collect()[0]
+    assert r.recaptured <= min(r.first_half_users, r.second_half_users)
+    # the estimate can never be below what was directly observed
+    # (Chapman is >= n1 + n2 - m, and observed = n1 + n2 - m)
+    assert r.chapman_estimate >= r.observed - 1
+    assert 0 < r.coverage_e6 <= 1_050_000
