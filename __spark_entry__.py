@@ -101,6 +101,9 @@ _ROUND10_WINDOW = [
     "agg_weekday_seasonality",
     "search_eval_auc",
     "agg_capture_recapture",
+    "agg_effect_size",
+    "agg_seasonal_strength",
+    "graph_rich_club",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

@@ -206,6 +206,9 @@ HEADLINE = (
     "agg_weekday_seasonality",      # weekday revenue index
     "search_eval_auc",              # within-list ROC AUC per arm
     "agg_capture_recapture",        # Chapman population estimate
+    "agg_effect_size",              # Cohen's d across arms
+    "agg_seasonal_strength",        # weekday eta^2 of detrended series
+    "graph_rich_club",              # hub-core density phi(k)
 )
 
 

@@ -273,3 +273,111 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ((n1 + 1) * (n2 + 1) div (recaptured + 1) - 1) AS BIGINT)"
         ).alias("coverage_e6"),
     )
+
+
+#: Cohen's d over exact int64 moment sums (unrounded shared tree; the
+#: pooled variance subtraction happens in 128-bit first and the
+#: operands entering the double tree are all int64-ranged).
+_COHEN_D = (
+    "CASE WHEN n0 <= 1 OR n1 <= 1 OR ssw_s <= 0 THEN 0.0 ELSE"
+    " (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+    " / SQRT(CAST(ssw_s AS DOUBLE) / (n0 + n1 - 2)) + 0.0 END"
+)
+
+
+@query(
+    "agg_effect_size",
+    oracle=f"""
+    WITH units AS MATERIALIZED (
+      SELECT user_id, {_SQL_ARM} AS arm,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+      FROM events GROUP BY 1, 2
+    ),
+    arms AS MATERIALIZED (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss
+      FROM units GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+        MAX(CASE WHEN arm = 0 THEN ss END) AS ss0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+        MAX(CASE WHEN arm = 1 THEN ss END) AS ss1
+      FROM arms
+    ),
+    calc AS (
+      SELECT n0, s0, n1, s1,
+             CAST((CAST(n0 AS HUGEINT) * ss0 - CAST(s0 AS HUGEINT) * s0)
+                  // n0
+                + (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
+                  // n1 AS BIGINT) AS ssw_s
+      FROM wide
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           s0 AS purchases_control, s1 AS purchases_treatment,
+           ssw_s,
+           {_COHEN_D} AS cohens_d
+    FROM calc
+    """,
+)
+def agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d for the arm difference in per-user purchase counts —
+    the standardized effect size read beside ``agg_ab_test``'s
+    significance and ``agg_ab_cuped``'s variance reduction (Cohen 1988,
+    public literature).  The pooled within-arm sum of squares is
+    computed per arm as ``(n*ss - s^2)/n`` in 128-bit with one floor
+    division (the DEFINED statistic), then the d ratio is one unrounded
+    shared tree over int64s.
+
+    Scale: one user-keyed hash agg -> 2-row arm agg -> scalar math."""
+    big = "DECIMAL(38,0)"
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 2
+    )
+    units = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y")
+    )
+    arms = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 0, F.col("ss"))).alias("ss0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == 1, F.col("ss"))).alias("ss1"),
+    )
+    calc = wide.select(
+        "n0",
+        "s0",
+        "n1",
+        "s1",
+        F.expr(
+            f"CAST((CAST(n0 AS {big}) * ss0 - CAST(s0 AS {big}) * s0)"
+            f" div n0"
+            f" + (CAST(n1 AS {big}) * ss1 - CAST(s1 AS {big}) * s1)"
+            f" div n1 AS BIGINT)"
+        ).alias("ssw_s"),
+    )
+    return calc.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.col("s0").alias("purchases_control"),
+        F.col("s1").alias("purchases_treatment"),
+        "ssw_s",
+        F.expr(_COHEN_D).alias("cohens_d"),
+    )

@@ -35,7 +35,7 @@ from concurrent_etl_go_spark.operators.graph2 import (
     _EDGE_SQL,
     _copurchase_edges,
 )
-from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 
 #: Shared final expression over the exactly-computed integer columns
 #: (num / d1 / d2, each already < 2^63 and cast to DOUBLE identically).
@@ -297,4 +297,97 @@ def graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" END"
         ).alias("transitivity_e6"),
         F.expr(_TRANSITIVITY).alias("transitivity"),
+    )
+
+
+_RICH_KS = (2, 4, 8)
+
+
+@query(
+    "graph_rich_club",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM sym GROUP BY 1
+    ),
+    ks AS (SELECT UNNEST([{", ".join(str(k) for k in _RICH_KS)}]) AS k),
+    club AS MATERIALIZED (
+      SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_k
+      FROM ks k JOIN deg ON deg.d >= k.k
+      GROUP BY 1
+    ),
+    ek AS MATERIALIZED (
+      SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_k
+      FROM ks k
+      JOIN edges e ON TRUE
+      JOIN deg da ON da.id = e.src AND da.d >= k.k
+      JOIN deg db ON db.id = e.dst AND db.d >= k.k
+      GROUP BY 1
+    )
+    SELECT CAST(c.k AS BIGINT) AS k, c.n_k,
+           CAST(COALESCE(e.e_k, 0) AS BIGINT) AS e_k,
+           CASE WHEN c.n_k < 2 THEN 0 ELSE
+             CAST(2 * CAST(COALESCE(e.e_k, 0) AS HUGEINT) * 1000000
+                  // (CAST(c.n_k AS HUGEINT) * (c.n_k - 1)) AS BIGINT)
+             END AS phi_e6
+    FROM club c LEFT JOIN ek e ON e.k = c.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-purchase graph at degree
+    thresholds {_RICH_KS} (Zhou & Mondragon 2004, public literature):
+    among nodes with degree >= k, the realized fraction of possible
+    edges, ``phi(k) = 2*E_k / (N_k*(N_k-1))`` in exact integer
+    millionths.  A rising phi(k) means the hubs form a densely
+    interconnected core — the structure that makes hub-keyed shuffles
+    skew-prone (the group cap's reason to exist).
+
+    Scale: degree is one hash agg on the capped edge list; E_k is two
+    node-keyed semi-join filters per threshold; output |ks| rows."""
+    big = "DECIMAL(38,0)"
+    e = scoped_persist(_copurchase_edges(spark, sf_dir))
+    sym = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = scoped_persist(
+        sym.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _RICH_KS], "k INT"
+    ).select(F.col("k").cast("long").alias("k"))
+    club = (
+        F.broadcast(ks)
+        .join(deg, deg.d >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    da = deg.select(F.col("id").alias("src"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("id").alias("dst"), F.col("d").alias("d_b"))
+    ek = (
+        e.join(da, "src")
+        .join(db, "dst")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("d_a") >= F.col("k")) & (F.col("d_b") >= F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        club.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.expr(
+                f"CASE WHEN n_k < 2 THEN 0 ELSE"
+                f" CAST(2 * CAST(COALESCE(e_k, 0) AS {big}) * 1000000"
+                f" div (CAST(n_k AS {big}) * (n_k - 1)) AS BIGINT) END"
+            ).alias("phi_e6"),
+        )
     )

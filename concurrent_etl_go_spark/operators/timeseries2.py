@@ -481,3 +481,139 @@ def agg_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (CAST(n_days AS {big}) * st) AS BIGINT)"
         ).alias("index_e6"),
     )
+
+
+_SEAS_HALF = 3  # centered moving-average half-width (7-day window)
+
+
+@query(
+    "agg_seasonal_strength",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_O_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    w AS MATERIALIZED (
+      SELECT day, cents,
+             CAST(SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN {_SEAS_HALF} PRECEDING
+               AND {_SEAS_HALF} FOLLOWING) AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN {_SEAS_HALF} PRECEDING
+               AND {_SEAS_HALF} FOLLOWING) AS BIGINT) AS cnt7,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS nall
+      FROM daily
+    ),
+    det AS MATERIALIZED (
+      SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow,
+             7 * cents - sum7 AS d
+      FROM w WHERE cnt7 = 7
+    ),
+    g AS MATERIALIZED (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s,
+             SUM(CAST(d AS HUGEINT) * d) AS ss
+      FROM det GROUP BY 1
+    ),
+    a AS (
+      SELECT dow, n, s, ss,
+             CAST(s AS HUGEINT) * s // n AS a_g
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st,
+             SUM(ss) AS sst, SUM(a_g) AS asum
+      FROM a
+    ),
+    f AS (
+      SELECT nt,
+             GREATEST(asum - (CAST(st AS HUGEINT) * st // nt), 0) AS ssb,
+             GREATEST(sst - (CAST(st AS HUGEINT) * st // nt), 0) AS sst_c
+      FROM tot
+    )
+    SELECT nt AS n_days_used,
+           CAST(ssb // 1000 AS BIGINT) AS ssb_s,
+           CAST(sst_c // 1000 AS BIGINT) AS sst_s,
+           CASE WHEN sst_c <= 0 THEN 0 ELSE
+             CAST(ssb * 1000000 // sst_c AS BIGINT) END
+             AS seasonal_strength_e6
+    FROM f
+    """,
+)
+def agg_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal strength of daily revenue (the Hyndman &
+    Athanasopoulos FPP decomposition readout, public literature):
+    detrend with a centered 7-day moving average kept INTEGER by
+    scaling (``7*x - sum7`` — full windows only), then measure how much
+    of the detrended variance the weekday explains — the ANOVA
+    between-group share ``SSB/SST`` as exact integer millionths.
+    ~1e6 = rigid weekly seasonality, ~0 = no weekday effect.
+
+    Scale: one day-keyed hash agg; the centered window and the 7-group
+    moment agg are day-count sized.
+
+    Caveat shared with the ANOVA family: negative detrended values are
+    fine (all moments are signed 128-bit; per-group ``s^2/n`` uses a
+    non-negative square so floor == truncate on both engines)."""
+    big = "DECIMAL(38,0)"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(F.expr(_O_CENTS)).cast("long").alias("cents"))
+    wf = Window.orderBy("day").rowsBetween(-_SEAS_HALF, _SEAS_HALF)
+    w = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(wf).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("cnt7"),
+    )
+    det = w.where(F.col("cnt7") == 7).select(
+        F.expr("CAST(weekday(day) AS BIGINT)").alias("dow"),
+        (7 * F.col("cents") - F.col("sum7")).alias("d"),
+    )
+    g = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.expr(f"CAST(d AS {big}) * d")).alias("ss"),
+    )
+    a = g.select(
+        "n",
+        "s",
+        "ss",
+        F.expr(
+            f"CAST((CAST(s AS {big}) * s"
+            f" - CAST(s AS {big}) * s % n) / n AS {big})"
+        ).alias("a_g"),
+    )
+    tot = a.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum("a_g").alias("asum"),
+    )
+    f = tot.select(
+        "nt",
+        F.expr(
+            f"GREATEST(asum - CAST((CAST(st AS {big}) * st"
+            f" - CAST(st AS {big}) * st % nt) / nt AS {big}),"
+            f" CAST(0 AS {big}))"
+        ).alias("ssb"),
+        F.expr(
+            f"GREATEST(sst - CAST((CAST(st AS {big}) * st"
+            f" - CAST(st AS {big}) * st % nt) / nt AS {big}),"
+            f" CAST(0 AS {big}))"
+        ).alias("sst_c"),
+    )
+    return f.select(
+        F.col("nt").alias("n_days_used"),
+        F.expr("CAST(ssb div 1000 AS BIGINT)").alias("ssb_s"),
+        F.expr("CAST(sst_c div 1000 AS BIGINT)").alias("sst_s"),
+        F.expr(
+            "CASE WHEN sst_c <= 0 THEN 0 ELSE"
+            " CAST(ssb * 1000000 div (sst_c) AS BIGINT) END"
+        ).alias("seasonal_strength_e6"),
+    )

@@ -108,3 +108,69 @@ def test_capture_recapture_estimate_bounds(spark, sf_dir):
     # (Chapman is >= n1 + n2 - m, and observed = n1 + n2 - m)
     assert r.chapman_estimate >= r.observed - 1
     assert 0 < r.coverage_e6 <= 1_050_000
+
+
+def test_effect_size_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    from concurrent_etl_go_spark.operators.experiments3 import (
+        agg_effect_size,
+    )
+
+    r = agg_effect_size(spark, sf_dir).collect()[0]
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    ev["y"] = (ev.event_type == "purchase").astype(int)
+    per_user = ev.groupby("user_id").y.sum()
+    import hashlib
+
+    arms = per_user.index.map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2
+    )
+    y0 = per_user[arms == 0].to_numpy(dtype=int)
+    y1 = per_user[arms == 1].to_numpy(dtype=int)
+    # recompute the DEFINED statistic: per-arm (n*ss - s^2) // n floors
+    # (visible at sf0.001's tiny user panel; negligible at scale)
+    def ss_floor(y):
+        n, s, ss = len(y), int(y.sum()), int((y * y).sum())
+        return (n * ss - s * s) // n
+
+    ssw = ss_floor(y0) + ss_floor(y1)
+    assert r.ssw_s == ssw
+    d = (y1.mean() - y0.mean()) / math.sqrt(
+        ssw / (len(y0) + len(y1) - 2)
+    )
+    assert (r.n_control, r.n_treatment) == (len(y0), len(y1))
+    assert math.isclose(r.cohens_d, d, abs_tol=1e-9)
+    # and the floor-defined d sits near the raw-float d
+    ssw_f = ((y0 - y0.mean()) ** 2).sum() + ((y1 - y1.mean()) ** 2).sum()
+    d_f = (y1.mean() - y0.mean()) / math.sqrt(
+        ssw_f / (len(y0) + len(y1) - 2)
+    )
+    assert math.isclose(r.cohens_d, d_f, rel_tol=2e-2)
+
+
+def test_seasonal_strength_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.timeseries2 import (
+        agg_seasonal_strength,
+    )
+
+    r = agg_seasonal_strength(spark, sf_dir).collect()[0]
+    assert r.n_days_used > 0
+    assert 0 <= r.seasonal_strength_e6 <= 1_000_000
+    assert 0 <= r.ssb_s <= r.sst_s
+
+
+def test_rich_club_monotone_density(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.graph4 import graph_rich_club
+
+    rows = sorted(graph_rich_club(spark, sf_dir).collect(),
+                  key=lambda r: r.k)
+    assert [r.k for r in rows] == [2, 4, 8]
+    for r in rows:
+        assert 0 <= r.phi_e6 <= 1_000_000
+        assert 2 * r.e_k <= r.n_k * (r.n_k - 1)
