@@ -118,10 +118,12 @@ def agg_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("cls"),
         ).agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # broadcast the 3-row class dim: broadcast nested-loop, never a
+    # CartesianProduct (plan-shape rule)
     grid = (
         cells.select("bucket")
         .distinct()
-        .crossJoin(cells.select("cls").distinct())
+        .crossJoin(F.broadcast(cells.select("cls").distinct()))
         .join(cells, ["bucket", "cls"], "left")
         .select("bucket", "cls", F.coalesce("cnt", F.lit(0)).alias("cnt"))
     )

@@ -138,10 +138,12 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("obs"))
     )
+    # broadcast the 5-row priority dim so the grid expansion plans as a
+    # broadcast nested-loop, not a CartesianProduct
     grid = (
         cells.select("seg")
         .distinct()
-        .crossJoin(cells.select("pri").distinct())
+        .crossJoin(F.broadcast(cells.select("pri").distinct()))
         .join(cells, ["seg", "pri"], "left")
         .select("seg", "pri", F.coalesce("obs", F.lit(0)).alias("obs"))
     )
