@@ -104,6 +104,8 @@ _ROUND10_WINDOW = [
     "agg_effect_size",
     "agg_seasonal_strength",
     "graph_rich_club",
+    "agg_runs_test",
+    "agg_wilcoxon_signed_rank",
     # --- re-proof block: expression changed in round 10 ---
     "rec_item_neighbors",
     "rec_user_items",

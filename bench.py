@@ -209,6 +209,8 @@ HEADLINE = (
     "agg_effect_size",              # Cohen's d across arms
     "agg_seasonal_strength",        # weekday eta^2 of detrended series
     "graph_rich_club",              # hub-core density phi(k)
+    "agg_runs_test",                # Wald-Wolfowitz randomness check
+    "agg_wilcoxon_signed_rank",     # paired week-over-week shift test
 )
 
 

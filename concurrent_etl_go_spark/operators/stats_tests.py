@@ -707,3 +707,218 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vary_s",
         F.expr(_SP_RHO).alias("rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue series
+# --------------------------------------------------------------------------
+
+#: z score of the observed run count — unrounded shared tree over exact
+#: int64s (n1 = above-median days, n2 = rest, runs = observed runs).
+_RUNS_Z = (
+    "CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE"
+    " (CAST(runs AS DOUBLE)"
+    "  - (2.0 * CAST(n1 AS DOUBLE) * n2 / (n1 + n2) + 1.0))"
+    " / SQRT(2.0 * CAST(n1 AS DOUBLE) * n2"
+    "        * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)"
+    "        / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)"
+    "           * (CAST(n1 AS DOUBLE) + n2 - 1.0))) + 0.0 END"
+)
+
+_O_CENTS = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+
+
+def _runs_sql() -> str:
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_O_CENTS}) AS BIGINT) AS cents
+      FROM daily_src GROUP BY 1
+    ),
+    med AS (
+      SELECT cents AS m FROM (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS r,
+               COUNT(*) OVER () AS n
+        FROM daily
+      ) WHERE r = (n + 1) // 2
+    ),
+    signs AS MATERIALIZED (
+      SELECT day, CASE WHEN cents > m THEN 1 ELSE 0 END AS hi
+      FROM daily CROSS JOIN med
+    ),
+    flips AS (
+      SELECT hi,
+             CASE WHEN LAG(hi) OVER (ORDER BY day) IS NULL THEN 1
+                  WHEN LAG(hi) OVER (ORDER BY day) <> hi THEN 1
+                  ELSE 0 END AS new_run
+      FROM signs
+    )
+    SELECT CAST(SUM(hi) AS BIGINT) AS n1,
+           CAST(SUM(1 - hi) AS BIGINT) AS n2,
+           CAST(SUM(new_run) AS BIGINT) AS runs,
+           {_RUNS_Z} AS z_score
+    FROM flips
+    """
+
+
+@query(
+    "agg_runs_test",
+    oracle=_runs_sql().replace("daily_src", "orders"),
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940, public literature) for
+    randomness of the daily revenue series around its lower median:
+    days are labeled above/not-above the exact median (rank
+    ``(n+1)//2`` with day tie-break), runs are counted by ordered sign
+    flips, and the normal-approximation z compares the observed run
+    count to ``2*n1*n2/(n1+n2) + 1``.  Too FEW runs = trending /
+    autocorrelated revenue; too many = oscillation.
+
+    All counts are exact integers; z is one unrounded shared tree.
+    Scale: one day-keyed hash agg; the median rank and the flip scan
+    are day-count-sized windows."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = scoped_persist(
+        orders.groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day")
+        ).agg(F.sum(F.expr(_O_CENTS)).cast("long").alias("cents"))
+    )
+    ranked = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "day")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.where(
+        F.col("r") == F.expr("CAST((n + 1) div 2 AS INT)")
+    ).select(F.col("cents").alias("m"))
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("hi"),
+    )
+    wd = Window.orderBy("day")
+    flips = signs.select(
+        "hi",
+        F.when(F.lag("hi").over(wd).isNull(), 1)
+        .when(F.lag("hi").over(wd) != F.col("hi"), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return flips.agg(
+        F.sum("hi").cast("long").alias("n1"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("runs"),
+    ).select("n1", "n2", "runs", F.expr(_RUNS_Z).alias("z_score"))
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test: week-over-week daily revenue change
+# --------------------------------------------------------------------------
+
+#: Tie-corrected z for W+ — unrounded shared tree over exact int64s
+#: (wp_x2 = 2*W+, nz = nonzero-difference count, tie3 = sum t^3-t).
+_WSR_Z = (
+    "CASE WHEN nz = 0 THEN 0.0 ELSE"
+    " (CAST(wp_x2 AS DOUBLE) / 2.0"
+    "  - CAST(nz AS DOUBLE) * (nz + 1.0) / 4.0)"
+    " / SQRT(CAST(nz AS DOUBLE) * (nz + 1.0) * (2.0 * nz + 1.0) / 24.0"
+    "        - CAST(tie3 AS DOUBLE) / 48.0) + 0.0 END"
+)
+
+
+def _wsr_sql(big: str) -> str:
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_O_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pos AS MATERIALIZED (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day) AS p
+      FROM daily
+    ),
+    diffs AS MATERIALIZED (
+      SELECT a.cents - b.cents AS d, ABS(a.cents - b.cents) AS ad
+      FROM pos a JOIN pos b ON a.p = b.p + 7
+      WHERE a.cents <> b.cents
+    ),
+    vals AS MATERIALIZED (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_pos
+      FROM diffs GROUP BY 1
+    ),
+    cum AS MATERIALIZED (
+      SELECT ad, c, c_pos,
+             COALESCE(SUM(c) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cp
+      FROM vals
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS nz,
+           CAST(SUM(c_pos) AS BIGINT) AS n_up,
+           CAST(SUM(c_pos * (2 * cp + c + 1)) AS BIGINT) AS wp_x2,
+           CAST(SUM(CAST(c AS {big}) * c * c - c) AS BIGINT) AS tie3,
+           {_WSR_Z} AS z_score
+    FROM cum
+    """
+
+
+@query("agg_wilcoxon_signed_rank", oracle=_wsr_sql("HUGEINT"))
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (1945, public literature) for a
+    week-over-week shift in daily revenue: differences are each day
+    minus the revenue 7 positions earlier, zero differences drop, the
+    absolute differences rank with average-rank ties (the integer
+    ``2*avg_rank`` lattice of ``agg_mann_whitney``), and ``W+`` sums
+    the ranks of positive differences.  The tie-corrected z is one
+    unrounded shared tree over exact int64 moments.
+
+    Scale: day-keyed hash agg, a position self-join at lag 7, and a
+    distinct-|difference| cumulative window — all day-count-sized."""
+    big = "DECIMAL(38,0)"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(F.expr(_O_CENTS)).cast("long").alias("cents"))
+    pos = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("p")
+    )
+    b = pos.select(
+        F.col("cents").alias("cents_b"), (F.col("p") + 7).alias("p")
+    )
+    diffs = (
+        pos.join(b, "p")
+        .where(F.col("cents") != F.col("cents_b"))
+        .select(
+            (F.col("cents") - F.col("cents_b")).alias("d"),
+            F.abs(F.col("cents") - F.col("cents_b")).alias("ad"),
+        )
+    )
+    vals = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_pos"),
+    )
+    wc = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "ad",
+        "c",
+        "c_pos",
+        F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("cp"),
+    )
+    return cum.agg(
+        F.sum("c").cast("long").alias("nz"),
+        F.sum("c_pos").cast("long").alias("n_up"),
+        F.sum(F.col("c_pos") * (2 * F.col("cp") + F.col("c") + 1))
+        .cast("long")
+        .alias("wp_x2"),
+        F.sum(F.expr(f"CAST(c AS {big}) * c * c - c"))
+        .cast("long")
+        .alias("tie3"),
+    ).select("nz", "n_up", "wp_x2", "tie3", F.expr(_WSR_Z).alias("z_score"))

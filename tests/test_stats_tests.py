@@ -134,3 +134,69 @@ def test_spearman_matches_pandas(spark, sf_dir):
     # deterministic engine statistic sits within ~1e-5 of the exact
     # rank correlation at sf0.001 (resolution grows with sf)
     assert math.isclose(got, rho, abs_tol=1e-4)
+
+
+def test_runs_test_counts(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.stats_tests import agg_runs_test
+
+    r = agg_runs_test(spark, sf_dir).collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    # runs are bounded by 1..n1+n2 and can't exceed 2*min+1
+    assert 1 <= r.runs <= 2 * min(r.n1, r.n2) + 1
+    assert abs(r.z_score) < 50
+    # independent recompute from the daily series
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("cents")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    cents = [x.cents for x in daily]
+    m = sorted(cents)[(len(cents) + 1) // 2 - 1]
+    hi = [1 if c > m else 0 for c in cents]
+    runs = 1 + sum(1 for a, b in zip(hi, hi[1:]) if a != b)
+    assert (r.n1, r.n2, r.runs) == (sum(hi), len(hi) - sum(hi), runs)
+
+
+def test_wilcoxon_matches_python_ranks(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.stats_tests import (
+        agg_wilcoxon_signed_rank,
+    )
+
+    r = agg_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+    assert 0 < r.n_up <= r.nz
+    assert 0 < r.wp_x2 <= r.nz * (r.nz + 1)  # W+ <= n(n+1)/2
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("cents")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    cents = [x.cents for x in daily]
+    diffs = [a - b for a, b in zip(cents[7:], cents)]
+    diffs = [d for d in diffs if d != 0]
+    order = sorted(range(len(diffs)), key=lambda i: abs(diffs[i]))
+    # average ranks with ties, x2 lattice
+    import itertools
+
+    wp_x2 = 0
+    pos = 0
+    for _, grp in itertools.groupby(
+        order, key=lambda i: abs(diffs[i])
+    ):
+        g = list(grp)
+        rank2 = 2 * pos + len(g) + 1  # 2*avg_rank
+        wp_x2 += rank2 * sum(1 for i in g if diffs[i] > 0)
+        pos += len(g)
+    assert r.nz == len(diffs)
+    assert r.wp_x2 == wp_x2
