@@ -15,6 +15,7 @@ from concurrent_etl_go_spark.streaming.pipelines import (
 from concurrent_etl_go_spark.streaming.stateful import (
     funnel_latency_stateful,
     running_totals,
+    sessionize_stateful,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "parse_kafka_events",
     "running_totals",
     "session_agg",
+    "sessionize_stateful",
     "ohlc_agg",
     "sliding_agg",
     "stream_dedup",

@@ -221,3 +221,108 @@ try:  # import guard: keeps module import working on older Sparks
 except ImportError:  # pragma: no cover — Spark < 4 lacks the API
     RunningTotalsProcessor = None  # type: ignore[assignment]
     running_totals_tws = None  # type: ignore[assignment]
+
+
+# --- streaming sessionization (stateful twin of window_session) --------------
+
+#: Inactivity gap in microseconds — MUST equal the batch constant
+#: (operators/time_windows.py::SESSION_GAP_SECONDS; the batch rule
+#: starts a new session when the gap EXCEEDS 1800 s).
+SESSION_GAP_US = 1_800 * 1_000_000
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, n_sessions bigint, n_events bigint, "
+    "first_start bigint, last_end bigint, n_updates bigint"
+)
+SESSION_STATE_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, counts array<bigint>, "
+    "n_updates bigint"
+)
+
+
+def _merge_intervals(
+    intervals: list[tuple[int, int, int]]
+) -> list[tuple[int, int, int]]:
+    """Sweep-merge (start, end, count) intervals, joining neighbours
+    within the session gap.  The result is the transitive closure of
+    the batch gaps-and-islands rule (events <= gap apart share a
+    session), so the FINAL state is independent of arrival order."""
+    intervals.sort()
+    out: list[list[int]] = []
+    for s, e, c in intervals:
+        if out and s <= out[-1][1] + SESSION_GAP_US:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += c
+        else:
+            out.append([s, e, c])
+    return [(s, e, c) for s, e, c in out]
+
+
+def _update_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user interval-merge session fold — EXACT under arbitrary
+    cross-batch disorder.
+
+    Watermark-based ``F.session_window`` DROPS events older than the
+    watermark; this operator instead keeps the user's session interval
+    list in state, so a late event either extends a session, opens a
+    new one, or BRIDGES two existing sessions into one (the merge case
+    no fixed-lateness operator can handle).  State size is bounded by
+    the user's session count, which the merge keeps minimal."""
+    (user_id,) = key
+    if state.exists:
+        starts, ends, counts, n_updates = state.get
+        intervals = [
+            (int(s), int(e), int(c))
+            for s, e, c in zip(starts, ends, counts)
+        ]
+    else:
+        intervals, n_updates = [], 0
+    for pdf in pdfs:
+        intervals.extend(
+            (int(t), int(t), 1) for t in pdf["ts_us"].tolist()
+        )
+    intervals = _merge_intervals(intervals)
+    n_updates += 1
+    state.update(
+        (
+            [s for s, _, _ in intervals],
+            [e for _, e, _ in intervals],
+            [c for _, _, c in intervals],
+            n_updates,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_sessions": [len(intervals)],
+            "n_events": [sum(c for _, _, c in intervals)],
+            "first_start": [intervals[0][0]],
+            "last_end": [intervals[-1][1]],
+            "n_updates": [n_updates],
+        }
+    )
+
+
+def sessionize_stateful(stream: DataFrame) -> DataFrame:
+    """Order-exact streaming sessionization (30-min inactivity gap) per
+    user: the stateful twin of the oracle-green ``window_session``
+    batch query, proven equal to it by
+    ``tests/test_streaming_sessions.py`` under multi-batch disorder, a
+    session-BRIDGING late event, and a checkpoint restart."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            "user_id", F.expr("unix_micros(ts)").alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
