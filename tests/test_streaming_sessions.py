@@ -125,11 +125,9 @@ def test_sessions_stateful_late_event_bridges_two_sessions(
 ):
     """The merge case no watermark operator can express: a user has
     events at t=0 and t=60min (two sessions under the 30-min gap), then
-    a LATE event at t=29min arrives in a later micro-batch — it chains
-    0 -> 29 -> 60 into ONE session (29->60 is 31 min alone, but the
-    bridge is transitive through the <=30-min steps ... actually
-    29->60 is 31 min > 30: use t=30min so both hops are exactly the
-    gap, which the batch rule keeps in-session)."""
+    a LATE event at t=30min arrives in a later micro-batch — both
+    hops are now exactly the gap (the batch rule splits only when
+    STRICTLY exceeded), chaining 0 -> 30 -> 60 into ONE session."""
     d = str(tmp_path / "bridge")
     m = dt.timedelta(minutes=1)
     spark.createDataFrame(
@@ -202,3 +200,50 @@ def test_sessions_stateful_restart_recovers_interval_state(
     last = pdf.sort_values("n_updates").groupby("user_id").tail(1)
     row = last[last.user_id == 7].iloc[0]
     assert (int(row.n_sessions), int(row.n_events)) == (1, 3)
+
+
+# --- property: interval-merge == batch gaps-and-islands, any order -----------
+
+
+def _batch_rule(ts_sorted):
+    """Reference gaps-and-islands: list of (start, end, count)."""
+    from concurrent_etl_go_spark.streaming.stateful import SESSION_GAP_US
+
+    out = []
+    for t in ts_sorted:
+        if out and t <= out[-1][1] + SESSION_GAP_US:
+            out[-1][1] = max(out[-1][1], t)
+            out[-1][2] += 1
+        else:
+            out.append([t, t, 1])
+    return [tuple(x) for x in out]
+
+
+def test_interval_merge_property_matches_batch_any_order():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from concurrent_etl_go_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        _merge_intervals,
+    )
+
+    # timestamps clustered around multiples of the gap so splits, joins
+    # and exact-boundary ties all occur
+    ts_strategy = st.lists(
+        st.integers(min_value=0, max_value=8 * SESSION_GAP_US),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(ts=ts_strategy, split=st.integers(min_value=0, max_value=40))
+    def check(ts, split):
+        want = _batch_rule(sorted(ts))
+        # fold in two arbitrary chunks, as two micro-batches would
+        split = min(split, len(ts))
+        state = _merge_intervals([(t, t, 1) for t in ts[:split]])
+        state = _merge_intervals(state + [(t, t, 1) for t in ts[split:]])
+        assert state == want
+
+    check()
