@@ -41,75 +41,49 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Round 9 front-loaded the 25 round-9 additions; CORRECTNESS_r09 proved
 #: every one hash-green (49/50 green; the single "err" row is the
 #: by-design rows-only graph_pagerank), so they fold into _PROVEN_R09.
-#: Round 10 front-loads (a) the round-10 additions and (b) a re-proof
-#: block: queries whose Spark expression changed this round
-#: (rec_item_neighbors / rec_user_items reuse _model's persisted frames
-#: for anchor selection — one fewer lineitem scan + distinct shuffle).
-#: graph_betweenness_sampled is deliberately NOT re-expressed: the
-#: advised per-level ROUND(6) delta pinning was implemented, measured
-#: to manufacture half-way ties (2/20 rows flipped at sf0.001), and
-#: reverted — triage in operators/graph3.py's docstring.  A query whose
-#: oracle TEXT or Spark expression changes must rotate back in even when
-#: values are unchanged.
+#: Round 11 front-loads (a) the round-11 additions and (b) a re-proof
+#: block: queries whose Spark expression or oracle TEXT changed this
+#: round (the two-level chunked EMA prefix fold in ``window_macd``; the
+#: DECIMAL-widened tie-correction term in ``agg_mann_whitney`` — the
+#: round-10 ADVICE int64-envelope item; Wilcoxon's tie term is
+#: structurally bounded and got a doc scope only, so it does NOT
+#: rotate; the PPJoin positional-filter candidate pruning in
+#: ``dedup_prefix_filter_jaccard``).  A query whose oracle TEXT or Spark
+#: expression changes must rotate back in even when values are
+#: unchanged.
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
-_ROUND10_WINDOW = [
-    # --- round-10 additions (each landed with its oracle in the same
-    # commit; all verified via scripts/check_queries.py at
-    # sf0.001 + sf0.01 + sf0.1 before handoff) ---
-    "agg_ab_cuped",
-    "agg_ab_did",
-    "agg_theil_decomposition",
-    "rec_rfm_next_action",
-    "agg_funnel_source_split",
+_ROUND11_WINDOW = [
+    # --- re-proof block: expression changed in round 11 ---
     "window_macd",
-    "window_bollinger",
-    "window_vwap",
-    "window_rsi",
-    "graph_assortativity",
-    "graph_two_hop_reach",
-    "text_js_divergence",
-    "text_simpson_diversity",
-    "join_basket_substitutes",
-    "agg_abc_classification",
-    "agg_rolling_retention",
-    "profile_category_drift",
-    "search_eval_map_at_k",
-    "text_pmi_pairs",
-    "dataset_curriculum_order",
-    "agg_price_elasticity",
-    "agg_top_quintile_share",
-    "agg_chi_square",
     "agg_mann_whitney",
-    "agg_ks_test",
-    "agg_anova_f",
-    "agg_spearman_corr",
-    "window_autocorr",
-    "window_stochastic_osc",
-    "agg_croston",
-    "text_mutual_information",
-    "text_rake_keywords",
-    "text_novelty_curve",
-    "graph_transitivity",
-    "agg_srm_check",
-    "agg_gini_split",
-    "agg_brand_transitions",
-    "rec_coverage",
-    "similarity_range_search",
-    "agg_sprt_ab",
-    "agg_weekday_seasonality",
-    "search_eval_auc",
-    "agg_capture_recapture",
-    "agg_effect_size",
-    "agg_seasonal_strength",
-    "graph_rich_club",
-    "agg_runs_test",
-    "agg_wilcoxon_signed_rank",
-    # --- re-proof block: expression changed in round 10 ---
-    "rec_item_neighbors",
-    "rec_user_items",
+    "dedup_prefix_filter_jaccard",
 ]
+
+#: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48
+#: round-10 additions plus the two rec_* re-proofs; the fifth
+#: consecutive all-clean window).
+_PROVEN_R10 = frozenset({
+    "agg_ab_cuped", "agg_ab_did", "agg_theil_decomposition",
+    "rec_rfm_next_action", "agg_funnel_source_split", "window_macd",
+    "window_bollinger", "window_vwap", "window_rsi",
+    "graph_assortativity", "graph_two_hop_reach", "text_js_divergence",
+    "text_simpson_diversity", "join_basket_substitutes",
+    "agg_abc_classification", "agg_rolling_retention",
+    "profile_category_drift", "search_eval_map_at_k", "text_pmi_pairs",
+    "dataset_curriculum_order", "agg_price_elasticity",
+    "agg_top_quintile_share", "agg_chi_square", "agg_mann_whitney",
+    "agg_ks_test", "agg_anova_f", "agg_spearman_corr", "window_autocorr",
+    "window_stochastic_osc", "agg_croston", "text_mutual_information",
+    "text_rake_keywords", "text_novelty_curve", "graph_transitivity",
+    "agg_srm_check", "agg_gini_split", "agg_brand_transitions",
+    "rec_coverage", "similarity_range_search", "agg_sprt_ab",
+    "agg_weekday_seasonality", "search_eval_auc", "agg_capture_recapture",
+    "agg_effect_size", "agg_seasonal_strength", "graph_rich_club",
+    "agg_runs_test", "agg_wilcoxon_signed_rank", "rec_item_neighbors",
+    "rec_user_items",
+})
 
 #: Proven green in CORRECTNESS_r09 (all 25 round-9 additions hash_match
 #: in the same round they landed — the fourth consecutive all-clean
@@ -284,13 +258,13 @@ _PROVEN_R01_R04 = frozenset({
 
 _PROVEN = (
     _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
-    | _PROVEN_R08 | _PROVEN_R09
+    | _PROVEN_R08 | _PROVEN_R09 | _PROVEN_R10
 )
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND10_WINDOW if n in set(names)]
+    window = [n for n in _ROUND11_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

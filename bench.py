@@ -2,14 +2,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-     "e2e": [...], "act": [...], "cold": [...]}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-The printed line is COMPACT (the driver's artifact keeps only the last
-~2000 chars of stdout): "queries" names the slowest queries inline, and
-the three arrays carry every query's e2e / action-only / cold seconds in
-HEADLINE order.  The full named maps are written to BENCH_LOCAL.json
-(committed per round).
+Round-11 protocol (the contention fix, VERDICT r10 §Next #2): each query
+runs once cold, then ``$SPARK_GRAFT_BENCH_N`` (default 3) warm passes, and
+the recorded per-query number is the MEDIAN of the warm passes — a single
+contended pass on this shared host historically read up to 5x hot and
+masqueraded as a regression.  All samples plus corpus row counts (so data
+regeneration can't masquerade as a regression either) are written to
+BENCH_LOCAL.json (committed per round).
+
+The printed line is COMPACT and must stay UNDER ~1800 chars: the driver's
+artifact records only the last ~2000 chars of stdout, and the r10 attempt
+to inline all per-query arrays overflowed that tail and made the artifact
+unparseable (BENCH_r10.json "parsed": null).  stdout therefore carries
+totals + the slowest queries only; the full per-query record lives in the
+committed BENCH_LOCAL.json.
 
 Timing uses the noop sink so the full plan executes (no column pruning from
 a count) without sink overhead.
@@ -249,20 +257,51 @@ def main() -> None:
         end = time.perf_counter()
         return round(end - start, 3), round(end - mid, 3)
 
-    # Per query: one warm-up pass (codegen compile, footer cache), then the
-    # timed steady-state pass. release_caches() between passes so no
-    # query's internal scoped persist carries results across runs (and the
-    # tracked-cache list doesn't grow across the bench session).
+    # Per query: one cold pass (codegen compile, footer cache), then n
+    # warm passes whose per-query MEDIAN is the recorded number.
+    # release_caches() between passes so no query's internal scoped
+    # persist carries results across runs (and the tracked-cache list
+    # doesn't grow across the bench session).
+    import statistics
+
     from concurrent_etl_go_spark.operators.registry import release_caches
 
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    # Smoke/debug subset: comma-separated names (never set by the driver).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        tuple(n for n in HEADLINE if n in set(only.split(",")))
+        if only
+        else HEADLINE
+    )
     cold: dict[str, float] = {}
+    samples_e2e: dict[str, list[float]] = {}
+    samples_act: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     action_only: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         cold[name], _ = run_once(name)
         release_caches()
-        timings[name], action_only[name] = run_once(name)
-        release_caches()
+        samples_e2e[name], samples_act[name] = [], []
+        for _ in range(n_warm):
+            e2e, act = run_once(name)
+            release_caches()
+            samples_e2e[name].append(e2e)
+            samples_act[name].append(act)
+        timings[name] = round(statistics.median(samples_e2e[name]), 3)
+        action_only[name] = round(statistics.median(samples_act[name]), 3)
+
+    # Corpus stats alongside the timings: a regenerated or differently
+    # sized localdata corpus shifts candidate-bound queries (dedup/
+    # similarity) and would otherwise masquerade as a perf regression.
+    corpus: dict[str, int] = {}
+    for t in ("documents", "embeddings", "lineitem", "orders", "events"):
+        try:
+            corpus[t] = spark.read.parquet(
+                os.path.join(sf_dir, f"{t}.parquet")
+            ).count()
+        except Exception:
+            corpus[t] = -1
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -273,18 +312,21 @@ def main() -> None:
         "action_only": action_only,
         "action_only_total": round(sum(action_only.values()), 3),
         "cold_total": round(sum(cold.values()), 3),
-        "timing": "e2e (query build + eager coordination + action); "
-        "rounds 1-2 reported action-only",
+        "cold": cold,
+        "samples_e2e": samples_e2e,
+        "samples_act": samples_act,
+        "n_warm": n_warm,
+        "protocol": "per-query median of n_warm serialized warm passes "
+        "after one cold pass; e2e = query build + eager coordination + "
+        "action (rounds 1-2 reported action-only)",
+        "corpus_rows": corpus,
         "sf": sf,
     }
-    # Full named per-query maps — the driver's artifact records only the
-    # LAST ~2000 chars of stdout (BENCH_r05/r06 "tail"), which truncated
-    # the 3.6 KB one-line form and broke its JSON parse two rounds
-    # running.  The complete record therefore lives in a committed file,
-    # and stdout carries a COMPACT line (arrays aligned with the
-    # HEADLINE tuple above, plus the slowest queries named inline) that
-    # fits the tail whole, so the artifact's parse succeeds and both
-    # per-query maps are recoverable from the artifact alone.
+    # Full named per-query maps live in a committed file: the driver's
+    # artifact records only the LAST ~2000 chars of stdout, and inlining
+    # per-query arrays overflowed that tail in rounds 5, 6 AND 10
+    # (BENCH_r10.json "parsed": null).  stdout stays comfortably inside
+    # the tail so the artifact's JSON parse succeeds.
     with open(os.path.join(REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
     slowest = dict(
@@ -295,15 +337,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(HEADLINE),
-        "queries": slowest,
-        "order": "arrays align with bench.py HEADLINE; full maps in "
+        "n_queries": len(headline),
+        "n_warm": n_warm,
+        "protocol": "per-query median of n_warm warm passes; full "
+        "per-query maps + samples + corpus rows in committed "
         "BENCH_LOCAL.json",
-        "e2e": [round(timings[n], 2) for n in HEADLINE],
-        "act": [round(action_only[n], 2) for n in HEADLINE],
-        "cold": [round(cold[n], 2) for n in HEADLINE],
+        "queries": slowest,
         "act_total": full["action_only_total"],
         "cold_total": full["cold_total"],
+        "corpus_rows": corpus,
     }
     print(json.dumps(compact, separators=(",", ":")))
 

@@ -119,7 +119,17 @@ def minhash_signature(
     # whole-stage codegen's subexpression elimination — the pmod fold ran
     # 32x and 32 full-length intermediate arrays were materialized per
     # row (measured ~35% of the LSH pipeline's CPU at sf0.1).  Values
-    # are bit-identical: same coefficients, same modular arithmetic.
+    # are bit-identical for every NON-EMPTY shingle array: same
+    # coefficients, same modular arithmetic.  EMPTY-shingle behavior
+    # differs from the pre-round-10 form (round-10 ADVICE): aggregate
+    # returns the init — an array of _MERSENNE_P sentinels — where
+    # array_min over an empty transform returned an array of NULLs.
+    # The sentinel is the better contract (a min-hash no real shingle
+    # can reach, so empty docs can never band-collide with anything,
+    # and downstream zip_with/array_join never see NULL), but persisted
+    # pre-round-10 signatures of empty/short docs are NOT comparable
+    # bit-for-bit; every in-repo pipeline filters empty docs before
+    # signing, so no registry query observes either value.
     coeffs = _minhash_coeffs(num_hashes)
     init = F.array_repeat(F.lit(_MERSENNE_P).cast("bigint"), num_hashes)
     return F.aggregate(

@@ -223,6 +223,17 @@ def rp_lsh_pairs(
     1-row driver fetch), not hardcoded; an empty or null-vector input
     yields an empty pair set instead of crashing the probe.
 
+    Parameter semantics since the round-10 scale fix: ``band_size`` sets
+    the MINIMUM band width only — the effective width is derived from
+    the corpus size (below) — while the band COUNT is fixed at
+    ``bits // RP_BAND_SIZE`` (the module constant, NOT the caller's
+    ``band_size``), and total signature bits = effective width x that
+    fixed count.  A caller passing a non-default ``band_size`` therefore
+    raises the recall floor, not the band count (e.g. bits=32,
+    band_size=8 yields 8 bands x 8 bits = 64 signature bits, where the
+    pre-round-10 form produced 4 bands x 8 bits).  All in-repo callers
+    use the defaults.
+
     CORPUS-SIZE-DERIVED band width (round-10 scale fix): with a FIXED
     ``band_size`` the per-band bucket count is the constant
     ``2^band_size``, so bucket occupancy — and therefore the candidate

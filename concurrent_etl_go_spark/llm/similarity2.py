@@ -92,10 +92,13 @@ _CODES_DUCK = """
     """,
 )
 def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All corpus vectors within cosine >= 0.5 of each query-panel
-    vector, decided entirely on integer int8-code moments (exact match
-    set, no float in the predicate), emitting the integer dot product
-    and squared cosine in millionths.
+    """All corpus vectors within cosine >= 0.3 of each query-panel
+    vector (tau^2 = 0.09 via ``_RANGE_TAU2_E6`` = 90,000 millionths —
+    sized to the corpus cosine p99 ~ 0.3; tau = 0.5 returns an EMPTY
+    match set on this corpus, a hollow green), decided entirely on
+    integer int8-code moments (exact match set, no float in the
+    predicate), emitting the integer dot product and squared cosine in
+    millionths.
 
     Scale: broadcast panel x map-only corpus scan; emits only
     matches."""

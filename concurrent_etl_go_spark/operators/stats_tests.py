@@ -17,6 +17,12 @@ a bounded value domain (quantity 1..50, discount/tax basis points,
 cumulative counts over the ~50-row distinct-value frame — the
 map-side-combinable groupBy carries all the data movement.  At 100 TB
 the same plans hold: the only shuffle is the bounded-key aggregation.
+Integer envelope (round-10 ADVICE): Mann-Whitney's tie term
+sum(c^3 - c) crosses int64 once one value's count reaches ~2.1M rows,
+so it stays in DECIMAL(38,0)/HUGEINT and reaches the z tree as exact
+floor-divided micro-units (valid out to ~4e12 rows); the Wilcoxon
+tie term is bounded STRUCTURALLY (one paired difference per day —
+tie3 <= n_days^3, ~1e11 at a 5,000-day horizon) and stays int64.
 
 Cross-engine exactness (SURVEY §7.6 + the round-10 float rules):
 - every stochastic quantity is an exact INTEGER (counts, rank*2 values,
@@ -188,11 +194,19 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 #: Tie-corrected normal-approximation variance of U and the z score —
-#: exact int64 inputs (u1_x2, n1, n2, tie3), shared unrounded tree.
+#: exact int64 inputs (u1_x2, n1, n2, tie_e6), shared unrounded tree.
+#: The tie correction tie3/(N*(N-1)) arrives as exact integer
+#: MICRO-units (tie_e6): the raw tie3 = sum(c^3 - c) crosses int64 once
+#: a single value's count reaches ~2.1M rows (round-10 ADVICE), so it
+#: stays in DECIMAL(38,0)/HUGEINT and is floor-divided down — two
+#: chained floor divisions (by N-1, then by N after the e6 scale-up)
+#: keep every intermediate under 10^38 out to N ~ 10^12 rows, and both
+#: engines execute the identical divide sequence so the (<= 1e-6,
+#: deterministic) flooring is shared.  int64 -> double is
+#: hardware-exact on both engines; a 128-bit -> double cast is not.
 _MW_VAR = (
     "(CAST(n1 AS DOUBLE) * n2 / 12.0)"
-    " * ((n1 + n2 + 1.0) - CAST(tie3 AS DOUBLE)"
-    " / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1.0)))"
+    " * ((n1 + n2 + 1.0) - CAST(tie_e6 AS DOUBLE) / 1000000.0)"
 )
 _MW_Z = (
     f"CASE WHEN n1 = 0 OR n2 = 0 OR {_MW_VAR} <= 0.0 THEN 0.0"
@@ -220,11 +234,16 @@ def _mann_whitney_sql(big: str, intdiv: str) -> str:
       SELECT CAST(SUM(c1) AS BIGINT) AS n1,
              CAST(SUM(c2) AS BIGINT) AS n2,
              CAST(SUM(c1 * (2 * cp + c + 1)) AS BIGINT) AS r1x2,
-             CAST(SUM(CAST(c AS {big}) * c * c - c) AS BIGINT) AS tie3
+             SUM(CAST(c AS {big}) * c * c - c) AS tie3
       FROM cum
     ),
     u AS (
-      SELECT n1, n2, tie3, r1x2 - n1 * (n1 + 1) AS u1_x2 FROM s
+      SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1_x2,
+             CASE WHEN n1 + n2 > 1 THEN CAST(
+               ((tie3 {intdiv} (CAST(n1 AS {big}) + n2 - 1)) * 1000000)
+               {intdiv} (CAST(n1 AS {big}) + n2) AS BIGINT)
+             ELSE 0 END AS tie_e6
+      FROM s
     )
     SELECT n1 AS n_open, n2 AS n_finished, u1_x2,
            CAST(CAST(u1_x2 AS {big}) * 1000000
@@ -277,15 +296,30 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("c1") * (2 * F.col("cp") + F.col("c") + 1)
         ).cast("long").alias("r1x2"),
-        F.sum(F.expr(f"CAST(c AS {big}) * c * c - c"))
-        .cast("long")
-        .alias("tie3"),
+        F.sum(F.expr(f"CAST(c AS {big}) * c * c - c")).alias("tie3"),
     )
-    u = s.select(
+    # Exact 128-bit floor division via (x - x % n) / n: Spark's `div`
+    # returns BIGINT even on DECIMAL(38,0) operands (silent overflow).
+    # Two chained floor divides (by N-1, then by N after the e6
+    # scale-up) mirror the oracle's `//` sequence term for term.
+    s2 = s.withColumn(
+        "nn", F.expr(f"CAST(n1 AS {big}) + n2")
+    ).withColumn(
+        "q1e6",
+        F.expr(
+            f"CASE WHEN nn > 1 THEN"
+            f" CAST((tie3 - tie3 % (nn - 1)) / (nn - 1) AS {big})"
+            f" * 1000000 ELSE CAST(0 AS {big}) END"
+        ),
+    )
+    u = s2.select(
         "n1",
         "n2",
-        "tie3",
         (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+        F.expr(
+            "CASE WHEN nn > 1 THEN CAST((q1e6 - q1e6 % nn) / nn"
+            " AS BIGINT) ELSE 0 END"
+        ).alias("tie_e6"),
     )
     return u.select(
         F.col("n1").alias("n_open"),
@@ -818,6 +852,11 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Tie-corrected z for W+ — unrounded shared tree over exact int64s
 #: (wp_x2 = 2*W+, nz = nonzero-difference count, tie3 = sum t^3-t).
+#: tie3 stays int64 here by STRUCTURE, not luck: the paired series has
+#: one difference per day, so nz (and any tie group) is bounded by the
+#: calendar horizon — tie3 <= nz^3 ~ 1e11 at 5,000 days, 7 orders of
+#: magnitude inside int64 (contrast Mann-Whitney, whose per-value
+#: counts grow with corpus size and needed the DECIMAL widening).
 _WSR_Z = (
     "CASE WHEN nz = 0 THEN 0.0 ELSE"
     " (CAST(wp_x2 AS DOUBLE) / 2.0"
