@@ -247,3 +247,99 @@ def test_interval_merge_property_matches_batch_any_order():
         assert state == want
 
     check()
+
+
+def test_sessions_stateful_midstream_kill_no_loss_no_dup(
+    spark, tmp_path
+):
+    """Hard kill MID-BACKLOG (not a clean drain): with 6 files pending
+    and maxFilesPerTrigger=1, stop the query as soon as the first
+    batches land, restart from the checkpoint, and drain.  Proves the
+    restart contract end to end:
+
+    - NO LOSS: the final per-user state equals the batch
+      sessionization of the full corpus, user for user;
+    - NO DOUBLE-EMIT (idempotent-upsert sense): a batch interrupted
+      before its commit may REPLAY through foreachBatch, but the file
+      source pins a batch's files in the offset WAL before execution
+      and state comes from the last committed batch, so a replayed
+      (user_id, n_updates) row must be BIT-IDENTICAL to the original
+      emission — the exactly-once property an upsert sink needs.
+    """
+    import time as _time
+
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    d = str(tmp_path / "killstream")
+    ck = str(tmp_path / "killck")
+    for i in range(6):
+        ev.where(F.col("event_id") % 6 == i).select(
+            "user_id", "ts"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    collected: list[pd.DataFrame] = []
+
+    def sink(batch_df, _bid):
+        collected.append(batch_df.toPandas())
+
+    def start():
+        sdf = (
+            spark.readStream.schema(
+                ev.select("user_id", "ts").schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        return (
+            sessionize_stateful(sdf)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ck)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    # phase 1: kill as soon as the first emissions land, well before
+    # the 6-file backlog drains
+    q = start()
+    deadline = _time.time() + 120
+    while not collected and _time.time() < deadline:
+        _time.sleep(0.05)
+    try:
+        q.stop()
+    except Exception:
+        pass
+    n_before = len(collected)
+    assert 0 < n_before < 6, (
+        f"kill must land mid-backlog (got {n_before} of 6 batches)"
+    )
+
+    # phase 2: restart from the checkpoint and drain the backlog
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pdf = pd.concat(collected, ignore_index=True)
+
+    # NO LOSS: final state == batch sessionization of the full corpus
+    last = pdf.sort_values("n_updates").groupby("user_id").tail(1)
+    got = {
+        int(r.user_id): (
+            int(r.n_sessions),
+            int(r.n_events),
+            int(r.first_start),
+            int(r.last_end),
+        )
+        for r in last.itertuples()
+    }
+    assert got == _batch_summary(ev)
+
+    # NO DOUBLE-EMIT: any replayed (user_id, n_updates) key carries an
+    # identical row (deterministic replay -> idempotent upsert)
+    dups = pdf.groupby(["user_id", "n_updates"]).nunique()
+    assert (dups.max(axis=None) <= 1), (
+        "replayed emission differs from the original:\n"
+        f"{dups[(dups > 1).any(axis=1)]}"
+    )
