@@ -55,6 +55,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
 _ROUND11_WINDOW = [
+    # --- round-11 additions (each landed with its oracle in the same
+    # commit; all verified via scripts/check_queries.py at
+    # sf0.001 + sf0.01 + sf0.1 before handoff) ---
+    "window_obv",
+    "window_donchian",
+    "window_atr",
+    "window_sharpe",
+    "window_beta",
+    "agg_adstock",
     # --- re-proof block: expression changed in round 11 ---
     "window_macd",
     "agg_mann_whitney",

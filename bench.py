@@ -219,6 +219,13 @@ HEADLINE = (
     "graph_rich_club",              # hub-core density phi(k)
     "agg_runs_test",                # Wald-Wolfowitz randomness check
     "agg_wilcoxon_signed_rank",     # paired week-over-week shift test
+    # round-11 additions
+    "window_obv",                   # signed-volume cumulative line
+    "window_donchian",              # prior-14-day channel + breakouts
+    "window_atr",                   # Wilder average true range
+    "window_sharpe",                # rolling mean/sigma of daily diffs
+    "window_beta",                  # rolling covariance vs market
+    "agg_adstock",                  # geometric-decay media carryover
 )
 
 

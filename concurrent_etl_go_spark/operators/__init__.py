@@ -15,6 +15,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     experiments2,
     experiments3,
     finance,
+    finance2,
     forecast,
     graph,
     graph2,
