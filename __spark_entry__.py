@@ -64,6 +64,11 @@ _ROUND11_WINDOW = [
     "window_sharpe",
     "window_beta",
     "agg_adstock",
+    "agg_welch_t",
+    "agg_kendall_tau",
+    "agg_kruskal_wallis",
+    "agg_cohens_kappa",
+    "agg_jarque_bera",
     # --- re-proof block: expression changed in round 11 ---
     "window_macd",
     "agg_mann_whitney",

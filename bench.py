@@ -226,6 +226,11 @@ HEADLINE = (
     "window_sharpe",                # rolling mean/sigma of daily diffs
     "window_beta",                  # rolling covariance vs market
     "agg_adstock",                  # geometric-decay media carryover
+    "agg_welch_t",                  # unequal-variance mean comparison
+    "agg_kendall_tau",              # bounded-cell concordance matrix
+    "agg_kruskal_wallis",           # k-group rank ANOVA, no global sort
+    "agg_cohens_kappa",             # chance-corrected rater agreement
+    "agg_jarque_bera",              # shifted-lattice normality check
 )
 
 

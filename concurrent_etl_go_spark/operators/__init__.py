@@ -48,6 +48,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     sketches2,
     skew,
     stats_tests,
+    stats_tests2,
     survival,
     timeseries,
     timeseries2,
