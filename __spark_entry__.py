@@ -69,6 +69,9 @@ _ROUND11_WINDOW = [
     "agg_kruskal_wallis",
     "agg_cohens_kappa",
     "agg_jarque_bera",
+    "graph_resource_allocation",
+    "graph_edge_embeddedness",
+    "graph_katz_centrality",
     # --- re-proof block: expression changed in round 11 ---
     "window_macd",
     "agg_mann_whitney",

@@ -231,6 +231,9 @@ HEADLINE = (
     "agg_kruskal_wallis",           # k-group rank ANOVA, no global sort
     "agg_cohens_kappa",             # chance-corrected rater agreement
     "agg_jarque_bera",              # shifted-lattice normality check
+    "graph_resource_allocation",    # 1/deg wedge link prediction
+    "graph_edge_embeddedness",      # per-edge triangle support histogram
+    "graph_katz_centrality",        # fixed-round integer Katz
 )
 
 

@@ -21,6 +21,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     graph2,
     graph3,
     graph4,
+    graph5,
     layout,
     ml_primitives,
     profiling,
