@@ -72,6 +72,11 @@ _ROUND11_WINDOW = [
     "graph_resource_allocation",
     "graph_edge_embeddedness",
     "graph_katz_centrality",
+    "agg_bounce_rate",
+    "agg_dwell_time_bands",
+    "agg_rfm_migration",
+    "rec_markov_next_event",
+    "agg_cusum_changepoint",
     # --- re-proof block: expression changed in round 11 ---
     "window_macd",
     "agg_mann_whitney",

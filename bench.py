@@ -234,6 +234,11 @@ HEADLINE = (
     "graph_resource_allocation",    # 1/deg wedge link prediction
     "graph_edge_embeddedness",      # per-edge triangle support histogram
     "graph_katz_centrality",        # fixed-round integer Katz
+    "agg_bounce_rate",              # single-event sessions by entry type
+    "agg_dwell_time_bands",         # session-duration engagement bands
+    "agg_rfm_migration",            # frequency-segment flow matrix
+    "rec_markov_next_event",        # argmax of the transition matrix
+    "agg_cusum_changepoint",        # integer-lattice CUSUM argmax
 )
 
 

@@ -43,6 +43,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     retail,
     retail2,
     retail3,
+    retail4,
     scalars2,
     search,
     sketches,
