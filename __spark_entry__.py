@@ -77,6 +77,8 @@ _ROUND11_WINDOW = [
     "agg_rfm_migration",
     "rec_markov_next_event",
     "agg_cusum_changepoint",
+    "text_hapax_ratio",
+    "text_lexical_density",
     # --- re-proof block: expression changed in round 11 ---
     "window_macd",
     "agg_mann_whitney",

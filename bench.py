@@ -239,6 +239,8 @@ HEADLINE = (
     "agg_rfm_migration",            # frequency-segment flow matrix
     "rec_markov_next_event",        # argmax of the transition matrix
     "agg_cusum_changepoint",        # integer-lattice CUSUM argmax
+    "text_hapax_ratio",             # shingle long-tail diversity
+    "text_lexical_density",         # content-vs-function word mix
 )
 
 

@@ -32,4 +32,5 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     text2,
     text3,
     text4,
+    text5,
 )
