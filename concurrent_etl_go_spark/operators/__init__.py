@@ -54,6 +54,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     survival,
     timeseries,
     timeseries2,
+    timeseries3,
     vtable,
     warehouse,
     scalars_queries,
