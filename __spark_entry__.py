@@ -54,35 +54,26 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: Reminder: registry queries must NEVER return list/array-typed
 #: columns — the driver's pandas canonicalizer cannot sort them (the
 #: round-5 pq-codes ERROR).
-_ROUND11_WINDOW = [
-    # --- round-11 additions (each landed with its oracle in the same
-    # commit; all verified via scripts/check_queries.py at
-    # sf0.001 + sf0.01 + sf0.1 before handoff) ---
-    "window_obv",
-    "window_donchian",
+#: Round 12 front-loads (a) the re-proof block for the fold-literal
+#: sweep — ``window_keltner`` (the round-11 red row: its 17-digit
+#: repr(2/21) oracle literal was double-rounded by DuckDB; now a
+#: <=15-digit shared literal, probe-asserted in
+#: tests/test_fold_literals.py) plus ``window_rsi`` / ``window_atr``
+#: whose shared Wilder coefficients changed in the same sweep — (b) the
+#: four retail5 queries newly wired into the registry (the round-11
+#: dead-module ADVICE item), and (c) the round-12 additions.  All
+#: verified via scripts/check_queries.py at sf0.001 + sf0.01 + sf0.1
+#: before handoff.
+_ROUND12_WINDOW = [
+    # --- (a) fold-literal sweep re-proofs ---
+    "window_keltner",
+    "window_rsi",
     "window_atr",
-    "window_sharpe",
-    "window_beta",
-    "agg_adstock",
-    "agg_welch_t",
-    "agg_kendall_tau",
-    "agg_kruskal_wallis",
-    "agg_cohens_kappa",
-    "agg_jarque_bera",
-    "graph_resource_allocation",
-    "graph_edge_embeddedness",
-    "graph_katz_centrality",
-    "agg_bounce_rate",
-    "agg_dwell_time_bands",
-    "agg_rfm_migration",
-    "rec_markov_next_event",
-    "agg_cusum_changepoint",
-    "text_hapax_ratio",
-    "text_lexical_density",
-    # --- re-proof block: expression changed in round 11 ---
-    "window_macd",
-    "agg_mann_whitney",
-    "dedup_prefix_filter_jaccard",
+    # --- (b) retail5 wired in (new to the registry this round) ---
+    "agg_price_index_laspeyres",
+    "agg_basket_size_distribution",
+    "agg_hhi_concentration",
+    "agg_gini_coefficient",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48
@@ -280,15 +271,41 @@ _PROVEN_R01_R04 = frozenset({
 })
 
 
+#: Proven green in CORRECTNESS_r11 (49/50 window rows; the one red row,
+#: window_keltner, is deliberately NOT here — it re-proves in the
+#: round-12 window after the oracle-literal fix).  Includes the four
+#: timeseries3 additions the round-11 window comment omitted
+#: (agg_theil_sen, agg_mann_kendall, window_ichimoku green via the
+#: fresh-queries fallback; window_keltner red).
+_PROVEN_R11 = frozenset({
+    "window_obv", "window_donchian", "window_atr", "window_sharpe",
+    "window_beta", "agg_adstock", "agg_welch_t", "agg_kendall_tau",
+    "agg_kruskal_wallis", "agg_cohens_kappa", "agg_jarque_bera",
+    "graph_resource_allocation", "graph_edge_embeddedness",
+    "graph_katz_centrality", "agg_bounce_rate", "agg_dwell_time_bands",
+    "agg_rfm_migration", "rec_markov_next_event", "agg_cusum_changepoint",
+    "text_hapax_ratio", "text_lexical_density", "window_macd",
+    "agg_mann_whitney", "dedup_prefix_filter_jaccard", "agg_theil_sen",
+    "agg_mann_kendall", "window_ichimoku", "join_attribution_last_touch",
+    "agg_window_funnel", "scalar_float_canary", "cdc_table_changes",
+    "cdc_apply_changes", "cdc_mirror_replicate",
+    "agg_theil_decomposition", "etl_transform_flat",
+    "etl_explode_indicators", "etl_worker_route", "etl_micro_batch",
+    "agg_ab_test", "agg_ab_cuped", "agg_ab_did", "agg_srm_check",
+    "agg_sprt_ab", "agg_capture_recapture", "agg_effect_size",
+    "window_bollinger", "window_vwap", "window_rsi",
+    "agg_time_decay_score",
+})
+
 _PROVEN = (
     _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
-    | _PROVEN_R08 | _PROVEN_R09 | _PROVEN_R10
+    | _PROVEN_R08 | _PROVEN_R09 | _PROVEN_R10 | _PROVEN_R11
 )
 
 
 def _driver_order(names: list[str]) -> list[str]:
     """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND11_WINDOW if n in set(names)]
+    window = [n for n in _ROUND12_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

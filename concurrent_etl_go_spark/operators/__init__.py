@@ -44,6 +44,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     retail2,
     retail3,
     retail4,
+    retail5,
     scalars2,
     search,
     sketches,

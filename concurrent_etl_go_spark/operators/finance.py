@@ -407,16 +407,19 @@ def window_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Wilder smoothing constants, PRECOMPUTED in Python and embedded as
-#: full-precision repr literals.  A pure-literal division like
-#: ``1.0 / 14.0`` inside the shared fold text is NOT portable: Spark
-#: types both literals DECIMAL and divides at scale 6 (0.071429…),
-#: DuckDB divides as DOUBLE (0.0714285714285714…) — a 4e-6 relative
-#: skew that diverged the smoothed states (round-10 probe).  Literal
-#: SUBTRACTION of decimals (the MACD folds) is exact on both engines
-#: and stays.
-_RSI_A = repr(1.0 / 14.0)
-_RSI_B = repr(1.0 - 1.0 / 14.0)
+#: Wilder smoothing constants as <=15-significant-digit string
+#: literals.  A pure-literal division like ``1.0 / 14.0`` inside the
+#: shared fold text is NOT portable: Spark types both literals DECIMAL
+#: and divides at scale 6 (0.071429…), DuckDB divides as DOUBLE — a
+#: 4e-6 relative skew that diverged the smoothed states (round-10
+#: probe).  And a 17-digit repr() literal is not portable either:
+#: DuckDB double-rounds decimal literals whose digit-string numerator
+#: exceeds 2^53 (the round-11 window_keltner red row).  So the literal
+#: itself, capped at 15 significant digits, IS the parameter
+#: definition — both engines parse it to the same double
+#: (probe-asserted in tests/test_fold_literals.py).
+_RSI_A = "0.0714285714286"
+_RSI_B = "0.928571428571"
 _FOLD_RSI = f"(acc, x) -> x * {_RSI_A} + acc * {_RSI_B}"
 #: RSI from the two final smoothed states; flat series (g + l = 0) pins
 #: to the conventional neutral 50.
@@ -463,7 +466,7 @@ _RSI_EXPR = (
 def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilder's RSI per order priority over the daily-revenue series:
     day-over-day deltas split into gain/loss streams, each smoothed by
-    the Wilder fold (alpha = 1/14 as a precomputed repr literal — see _RSI_A), then
+    the Wilder fold (alpha ~= 1/14 as a 15-digit shared literal — see _RSI_A), then
     ``100 * g / (g + l)`` — the overbought/oversold oscillator.  Flat
     series pin to the conventional 50.  Both smoothed streams emit too
     (the auditable states, like the Holt family).

@@ -102,7 +102,7 @@ def agg_price_index_laspeyres(
     big = "DECIMAL(38,0)"
     return (
         priced.join(F.broadcast(base), "brand")
-        .groupBy(F.col("yr").alias("year"))
+        .groupBy(F.col("yr").cast("long").alias("year"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_brands"),
             F.expr(

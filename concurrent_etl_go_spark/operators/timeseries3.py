@@ -315,13 +315,18 @@ def window_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Keltner coefficients as precomputed repr literals (the finance.py
-#: convention — a literal division types DECIMAL in Spark).
-_KELT_A20 = repr(2.0 / 21.0)
-_KELT_B20 = repr(1.0 - 2.0 / 21.0)
+#: Keltner coefficients as <=15-significant-digit string literals (the
+#: finance.py _A12 convention).  The literal IS the parameter definition:
+#: both engines parse the same digit string to the same double.  A
+#: repr() of 2/21 is 17 digits, whose decimal numerator exceeds 2^53 —
+#: DuckDB double-rounds such literals 1 ulp off the Python/Spark parse
+#: (probe-verified in tests/test_fold_literals.py), so the EMA fold
+#: diverges.  <=15 digits round-trips exactly in every IEEE-754 parser.
+_KELT_A20 = "0.0952380952381"
+_KELT_B20 = "0.904761904762"
 _FOLD_E20 = f"(acc, x) -> x * {_KELT_A20} + acc * {_KELT_B20}"
-_KELT_A10 = repr(1.0 / 10.0)
-_KELT_B10 = repr(1.0 - 1.0 / 10.0)
+_KELT_A10 = "0.1"
+_KELT_B10 = "0.9"
 _FOLD_A10 = f"(acc, x) -> x * {_KELT_A10} + acc * {_KELT_B10}"
 
 
