@@ -3,6 +3,7 @@ from concurrent_etl_go_spark.sinks.dlq import (
     clear_dlq,
     dlq_files,
     read_dlq,
+    replay_dlq_posts,
     replay_union,
 )
 
@@ -12,5 +13,6 @@ __all__ = [
     "clear_dlq",
     "dlq_files",
     "read_dlq",
+    "replay_dlq_posts",
     "replay_union",
 ]

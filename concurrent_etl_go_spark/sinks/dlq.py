@@ -49,3 +49,40 @@ def clear_dlq(paths: list[str]) -> None:
     for path in paths:
         if os.path.exists(path):
             os.remove(path)
+
+
+def replay_dlq_posts(dlq_dir: str, config) -> tuple[int, int]:
+    """Re-POST every spilled batch with an idempotency key, ack-then-
+    delete — the exactly-once half of the DLQ story.
+
+    Each spill file's UNIQUE FILENAME is its idempotency key
+    (``dlq/<filename>``): the name is minted once at spill time, so a
+    crash BETWEEN a successful re-POST and the delete re-sends the same
+    payload under the same key on the next replay, and a
+    key-deduplicating receiver drops it — no double-delivery through
+    the DLQ path, matching the versioned sink's replayed-epoch skip.
+    Files are deleted only AFTER the 2xx ack (S20's fix of the
+    reference's delete-after-enqueue); a failed re-POST leaves the file
+    for the next replay.
+
+    Returns ``(replayed, remaining)`` file counts.  Driver-side by
+    design: the DLQ is a local spill directory, bounded by failure
+    volume, not data volume."""
+    import gzip as _gzip
+    import json as _json
+
+    from concurrent_etl_go_spark.sinks.http_sink import post_batch
+
+    replayed = 0
+    files = dlq_files(dlq_dir)
+    for path in files:
+        with _gzip.open(path, "rt", encoding="utf-8") as fh:
+            batch = _json.load(fh)
+        key = f"dlq/{os.path.basename(path)}"
+        try:
+            post_batch(batch, config, idem_key=key)
+        except Exception:  # noqa: BLE001 — leave the file for next replay
+            continue
+        os.remove(path)
+        replayed += 1
+    return replayed, len(dlq_files(dlq_dir))

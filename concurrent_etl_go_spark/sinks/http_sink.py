@@ -46,6 +46,13 @@ class HttpSinkConfig:
     max_retries: int = 0
     backoff_s: float = 0.5
     dlq_dir: str = "dlq"
+    #: When non-empty, every POST carries an ``Idempotency-Key`` header
+    #: of ``{scope}/p{partition}/c{chunk_seq}`` — deterministic for a
+    #: replayed epoch (the file source pins a batch's files in the
+    #: offset WAL, so a foreachBatch replay regenerates the same chunks
+    #: in the same partitions).  A key-deduplicating receiver turns the
+    #: sink's at-least-once delivery into effectively-once.
+    idempotency_scope: str = ""
 
 
 def chunked(rows: Iterable[dict], size: int) -> Iterator[list[dict]]:
@@ -69,27 +76,51 @@ def _json_default(value):
     return str(value)
 
 
-def post_batch(batch: list[dict], config: HttpSinkConfig) -> None:
-    """One JSON-array POST (S17/S18). Raises on non-2xx or transport error."""
+def post_batch(
+    batch: list[dict], config: HttpSinkConfig, idem_key: str = ""
+) -> None:
+    """One JSON-array POST (S17/S18). Raises on non-2xx or transport error.
+
+    ``idem_key``, when non-empty, rides as an ``Idempotency-Key`` header
+    so a replayed delivery (foreachBatch epoch replay, DLQ re-post after
+    a crash between ack and delete) is detectable by the receiver."""
     payload = json.dumps(batch, default=_json_default).encode("utf-8")
+    headers = {
+        "Content-Type": "application/json",
+        "Authorization": f"Bearer {config.auth_token}",
+    }
+    if idem_key:
+        headers["Idempotency-Key"] = idem_key
     req = urllib.request.Request(
-        config.endpoint,
-        data=payload,
-        method="POST",
-        headers={
-            "Content-Type": "application/json",
-            "Authorization": f"Bearer {config.auth_token}",
-        },
+        config.endpoint, data=payload, method="POST", headers=headers
     )
     with urllib.request.urlopen(req, timeout=config.timeout_s) as resp:
         if not (200 <= resp.status < 300):
             raise RuntimeError(f"sink returned {resp.status}")
 
 
-def spill_batch(batch: list[dict], worker_id: int, config: HttpSinkConfig) -> str:
-    """DLQ spill (S19): gzip JSON array, unique filename per spill."""
+def spill_batch(
+    batch: list[dict],
+    worker_id: int,
+    config: HttpSinkConfig,
+    idem_key: str = "",
+) -> str:
+    """DLQ spill (S19): gzip JSON array, unique filename per spill.
+
+    With an idempotency key the filename is DETERMINISTIC (derived from
+    the key): a replayed epoch that re-spills the same chunk overwrites
+    its own earlier spill with identical content instead of minting a
+    second file — without this, a kill mid-epoch would leave two spill
+    files for one chunk and the DLQ replay would double-deliver.
+    Unkeyed spills keep the unique uuid name (the documented fix of the
+    reference's per-worker overwrite, etl/main.go:379)."""
     os.makedirs(config.dlq_dir, exist_ok=True)
-    fname = f"buffer_failed_worker{worker_id}_{uuid.uuid4().hex}.json.gz"
+    tag = (
+        idem_key.replace("/", "-")
+        if idem_key
+        else uuid.uuid4().hex
+    )
+    fname = f"buffer_failed_worker{worker_id}_{tag}.json.gz"
     path = os.path.join(config.dlq_dir, fname)
     with gzip.open(path, "wt", encoding="utf-8") as fh:
         json.dump(batch, fh, default=_json_default)
@@ -102,17 +133,22 @@ def sink_partition(rows, config: HttpSinkConfig) -> None:
     ctx = TaskContext.get()
     worker_id = ctx.partitionId() if ctx is not None else 0
     dicts = (row.asDict(recursive=True) for row in rows)
-    for batch in chunked(dicts, config.batch_size):
+    for seq, batch in enumerate(chunked(dicts, config.batch_size)):
+        idem_key = (
+            f"{config.idempotency_scope}/p{worker_id}/c{seq}"
+            if config.idempotency_scope
+            else ""
+        )
         attempt = 0
         while True:
             try:
-                post_batch(batch, config)
+                post_batch(batch, config, idem_key)
                 break
             # TypeError: belt-and-braces — if a payload still defies JSON
             # encoding the batch must spill, not fail the Spark task.
             except (urllib.error.URLError, OSError, RuntimeError, TypeError):
                 if attempt >= config.max_retries:
-                    spill_batch(batch, worker_id, config)
+                    spill_batch(batch, worker_id, config, idem_key)
                     break
                 time.sleep(config.backoff_s * (2**attempt))
                 attempt += 1

@@ -300,6 +300,61 @@ def stream_to_http(
     )
 
 
+def stream_to_http_idempotent(
+    stream: DataFrame,
+    config: HttpSinkConfig,
+    checkpoint_dir: str,
+    ledger_dir: str,
+) -> StreamingQuery:
+    """Effectively-once streaming HTTP delivery under kill/restart with
+    injected sink failures — the HTTP twin of ``stream_to_versioned``'s
+    exactly-once contract.
+
+    Three mechanisms compose:
+
+    1. **Epoch ledger** (``ledger_dir``): a marker file per completed
+       epoch, written AFTER the epoch's sink pass finishes (every chunk
+       either POSTed or spilled).  A restarted query that replays the
+       last uncommitted epoch re-runs it; one whose epoch already
+       carries a marker skips all its work.
+    2. **Deterministic idempotency keys** on every direct POST
+       (``e{epoch}/p{partition}/c{chunk}`` — the file source pins a
+       batch's files in the offset WAL, so a replayed epoch regenerates
+       the same chunks): a replay that re-POSTs chunks the crashed
+       attempt already delivered is dropped by a key-deduplicating
+       receiver.
+    3. **Keyed DLQ replay** (``sinks.dlq.replay_dlq_posts``): chunks
+       that exhausted retries spill with unique filenames; replay
+       re-POSTs each under its filename-key and deletes only after the
+       ack, so the spill path is idempotent too.
+
+    No batch is lost (every chunk is POSTed or spilled, and spills
+    survive restarts on disk) and none double-delivers at a
+    key-deduplicating receiver — proven under hard mid-backlog kill in
+    ``tests/test_streaming_http_dlq.py``."""
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"epoch-{epoch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed fully-committed epoch: all chunks durable
+        from dataclasses import replace
+
+        cfg = replace(config, idempotency_scope=f"e{epoch_id}")
+        run_http_sink(batch_df, cfg)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(commit)
+        .start()
+    )
+
+
 def ab_units_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming half of the A/B experiment readout: per
     (day, user, arm) conversion units, maintained incrementally — the

@@ -21,6 +21,7 @@ class RecordedRequest:
     content_type: str
     auth_header: str
     body: bytes
+    idem_key: str = ""
 
     @property
     def batch(self) -> list[dict]:
@@ -37,6 +38,12 @@ class MockApiState:
     fail_remaining: int = 0  # fail the next N /load posts with HTTP 500
     fail_all: bool = False
     delay_s: float = 0.0  # M3's simulated processing delay
+    # Idempotency-Key dedup (the receiver half of effectively-once
+    # delivery): a keyed POST whose key was already accepted gets a
+    # 200 but is recorded as a duplicate, not re-applied.
+    dedup_keys: bool = False
+    seen_keys: set = field(default_factory=set)
+    duplicate_posts: int = 0
     lock: threading.Lock = field(default_factory=threading.Lock)
 
 
@@ -65,22 +72,36 @@ class MockApiServer:
                 body = self.rfile.read(length)
                 if state.delay_s:
                     time.sleep(state.delay_s)
+                idem_key = self.headers.get("Idempotency-Key", "")
                 with state.lock:
                     fail = state.fail_all or state.fail_remaining > 0
                     if fail and state.fail_remaining > 0:
                         state.fail_remaining -= 1
-                    if not fail:
+                    duplicate = (
+                        not fail
+                        and state.dedup_keys
+                        and idem_key != ""
+                        and idem_key in state.seen_keys
+                    )
+                    if duplicate:
+                        state.duplicate_posts += 1
+                    elif not fail:
+                        if state.dedup_keys and idem_key:
+                            state.seen_keys.add(idem_key)
                         state.requests.append(
                             RecordedRequest(
                                 path=self.path,
                                 content_type=self.headers.get("Content-Type", ""),
                                 auth_header=self.headers.get("Authorization", ""),
                                 body=body,
+                                idem_key=idem_key,
                             )
                         )
                 if fail:
                     self._respond(500, {"status": "error"})
                 else:
+                    # a duplicate still acks 200 — idempotent receivers
+                    # acknowledge replays so the sender can move on
                     self._respond(200, {"status": "success"})  # M3
 
             def _respond(self, code: int, payload: dict):
