@@ -74,6 +74,10 @@ _ROUND12_WINDOW = [
     "agg_basket_size_distribution",
     "agg_hhi_concentration",
     "agg_gini_coefficient",
+    # --- (c) round-12 additions ---
+    "dataset_pack_efficiency",
+    "search_cross_encoder_rerank",
+    "dedup_gate_flags",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48

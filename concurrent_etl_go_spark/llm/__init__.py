@@ -24,6 +24,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     matryoshka,
     multimodal,
     negatives,
+    packing,
     quantize,
     retrieval_eval,
     similarity,

@@ -410,3 +410,72 @@ def dedup_minhash_verified_portable(
         jac.alias("jaccard"),
         (jac >= _VERIFY_THRESHOLD).cast("long").alias("is_dup"),
     )
+
+
+@query(
+    "dedup_gate_flags",
+    oracle=_ORACLE_SIGS + _ORACLE_BANDS
+    + f"""
+    , verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(sa.sh || sb.sh)), 4)
+            >= {_VERIFY_THRESHOLD}
+    ),
+    dups AS (SELECT DISTINCT id_b FROM verified)
+    SELECT d.doc_id,
+           CAST(CASE WHEN dup.id_b IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+    FROM documents d LEFT JOIN dups dup ON dup.id_b = d.doc_id
+    """,
+)
+def dedup_gate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup GATE decision per document, hash-proven: a document
+    is rejected iff it verifies (exact shingle Jaccard >= 0.5) against
+    ANY earlier document (smaller doc_id).  This "match-any-predecessor"
+    rule is the distributed-friendly gate semantics — one banded join +
+    one semi-join, no iteration, and ORDER-INCREMENTAL: feeding
+    documents through the gate in id order batch-by-batch yields
+    identical flags (each doc is only ever compared against its
+    predecessors), which is exactly what the streaming ingest gate
+    (``streaming/neardup.py``) exploits; the streaming==batch equality
+    test pins that correspondence.  Contrast with
+    ``dedup_survivor_portable``'s connected-components rule, which is
+    retrospective (a later doc can re-cluster earlier ones) and so
+    cannot gate a stream.
+
+    Scale: candidate pairs from the banded equi-join (never O(n^2));
+    the verify join touches candidates only; the final LEFT JOIN marks
+    each document against the distinct rejected-id set."""
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    cands = _candidate_pairs(spark, sf_dir)
+    docs = tokenized_docs(spark, sf_dir)
+    sh = scoped_persist(
+        docs.select(
+            "doc_id", shingles_from_tokens(F.col("toks")).alias("sh")
+        )
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    dups = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= _VERIFY_THRESHOLD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    base = read_table(spark, sf_dir, "documents").select("doc_id")
+    return base.join(dups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("__dup", F.lit(0)).cast("long").alias("is_dup"),
+    )

@@ -47,6 +47,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     retail5,
     scalars2,
     search,
+    search2,
     sketches,
     sketches2,
     skew,
