@@ -78,6 +78,14 @@ _ROUND12_WINDOW = [
     "dataset_pack_efficiency",
     "search_cross_encoder_rerank",
     "dedup_gate_flags",
+    "search_eval_interpolated_pr",
+    "search_eval_rbo",
+    "agg_trimmed_mean",
+    "agg_winsorized_mean",
+    "window_parkinson_vol",
+    "text_dedup_rate_by_source",
+    "text_readability_fk",
+    "agg_bootstrap_ci",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48

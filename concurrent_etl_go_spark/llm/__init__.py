@@ -27,6 +27,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     packing,
     quantize,
     retrieval_eval,
+    retrieval_eval2,
     similarity,
     similarity2,
     text,
@@ -34,4 +35,5 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     text3,
     text4,
     text5,
+    text6,
 )

@@ -479,3 +479,76 @@ def dedup_gate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("__dup", F.lit(0)).cast("long").alias("is_dup"),
     )
+
+
+@query(
+    "text_dedup_rate_by_source",
+    oracle=_ORACLE_SIGS + _ORACLE_BANDS
+    + f"""
+    , verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+      WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(sa.sh || sb.sh)), 4)
+            >= {_VERIFY_THRESHOLD}
+    ),
+    dups AS (SELECT DISTINCT id_b FROM verified)
+    SELECT d.source, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dup.id_b) AS BIGINT) AS n_dups,
+           CAST(COUNT(dup.id_b) * 10000 // COUNT(*) AS BIGINT)
+             AS dup_rate_bp
+    FROM documents d LEFT JOIN dups dup ON dup.id_b = d.doc_id
+    GROUP BY d.source, d.lang
+    """,
+)
+def text_dedup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate rate per (source, lang) — the curation dashboard
+    row that tells a data team WHICH feed is polluting the corpus:
+    gate rejections (``dedup_gate_flags`` semantics) aggregated over
+    the document provenance columns, in floor basis points.  A source
+    whose dup rate spikes gets throttled before the next crawl, which
+    is the operational point of running the gate at ingest.
+
+    Scale: the dedup funnel cost is the banded candidate join (shared
+    shape with dedup_gate_flags); the rollup is a tiny hash agg over
+    |sources| x |langs| groups."""
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    cands = _candidate_pairs(spark, sf_dir)
+    docs = tokenized_docs(spark, sf_dir)
+    sh = scoped_persist(
+        docs.select(
+            "doc_id", shingles_from_tokens(F.col("toks")).alias("sh")
+        )
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    dups = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= _VERIFY_THRESHOLD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    base = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    flagged = base.join(dups, "doc_id", "left")
+    return flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("__dup").cast("long").alias("n_dups"),
+        F.expr(
+            "CAST(COUNT(__dup) * 10000 div COUNT(*) AS BIGINT)"
+        ).alias("dup_rate_bp"),
+    )

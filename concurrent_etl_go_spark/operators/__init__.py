@@ -16,6 +16,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     experiments3,
     finance,
     finance2,
+    finance3,
     forecast,
     graph,
     graph2,
@@ -40,6 +41,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     relational11,
     relational12,
     relational13,
+    robust_stats,
     retail,
     retail2,
     retail3,
@@ -53,6 +55,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     skew,
     stats_tests,
     stats_tests2,
+    stats_tests3,
     survival,
     timeseries,
     timeseries2,
@@ -63,6 +66,10 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     time_windows,
 )
 from concurrent_etl_go_spark import llm  # noqa: F401  (registers llm queries)
+from concurrent_etl_go_spark.llm.retrieval_eval2 import _inline_rbo_oracle
 from concurrent_etl_go_spark.operators.registry import ORACLES, QUERIES
+
+# late-bound oracle composition (needs operators.search fully loaded)
+_inline_rbo_oracle()
 
 __all__ = ["QUERIES", "ORACLES"]

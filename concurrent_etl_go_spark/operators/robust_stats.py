@@ -1,0 +1,179 @@
+"""Robust location estimators — trimmed and winsorized means on the
+integer cents lattice.
+
+The mean of order values is outlier-fragile; the two standard robust
+fixes (Tukey; Huber 1981, public literature) are TRIMMING (drop the k
+smallest and k largest observations) and WINSORIZING (clamp them to the
+surviving extremes).  Both are rank-based, so on the integer cents
+lattice with a deterministic tie-break they are exactly reproducible —
+no quantile-interpolation convention can diverge between engines (the
+reason this module ranks explicitly instead of using percentile
+functions, whose interpolation rules differ across engines).
+
+Group: per order priority over ``orders`` — five groups, each with its
+own trim count ``k = floor(n / 10)`` (10% per tail).
+
+Scale: one shuffle on the group key; ranking within groups is a window
+over group-sized partitions (orders/priority — large but single-pass);
+sums/counts are hash aggs.  At skew, the rank window is the cost — for
+a 100 TB group, replace with the distributed-rank machinery of
+``operators/quantiles.py`` (same semantics, partition-merge ranks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
+from concurrent_etl_go_spark.sources.readers import read_table
+
+_CENTS = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+
+#: Shared rank CTE: per priority, each order's cents with a total order
+#: (value, then orderkey) rank and the group size.
+_RANKED_SQL = f"""
+    r AS (
+      SELECT o_orderpriority AS priority,
+             {_CENTS} AS cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY {_CENTS}, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    k AS (
+      SELECT *, CAST(n // 10 AS BIGINT) AS trim_k FROM r
+    )
+"""
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle=f"""
+    WITH {_RANKED_SQL}
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(trim_k) AS BIGINT) AS trim_k,
+           CAST(COUNT(*) FILTER (WHERE rn > trim_k AND rn <= n - trim_k)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(cents) FILTER (WHERE rn > trim_k AND rn <= n - trim_k)
+                AS BIGINT) AS sum_kept_cents,
+           CAST(SUM(cents) FILTER (WHERE rn > trim_k AND rn <= n - trim_k)
+                // COUNT(*) FILTER (WHERE rn > trim_k AND rn <= n - trim_k)
+                AS BIGINT) AS trimmed_mean_cents,
+           CAST(SUM(cents) // MAX(n) AS BIGINT) AS plain_mean_cents
+    FROM k GROUP BY priority
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-per-tail trimmed mean of order value per priority, exact on
+    the cents lattice: rank by (cents, orderkey), drop the first and
+    last ``floor(n/10)`` rows, floor-divide the surviving sum.  The
+    plain mean rides along so the outlier pull is visible in one row.
+
+    Scale: one group-keyed rank window + hash agg; see module note for
+    the 100 TB rank strategy."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.expr(_CENTS), "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(_CENTS).alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("trim_k", F.expr("CAST(n div 10 AS BIGINT)"))
+    kept = F.col("rn").between(
+        F.col("trim_k") + 1, F.col("n") - F.col("trim_k")
+    )
+    return ranked.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("trim_k").cast("long").alias("trim_k"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("cents")))
+        .cast("long")
+        .alias("sum_kept_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rn > trim_k AND rn <= n - trim_k"
+            " THEN cents END)"
+            " div SUM(CASE WHEN rn > trim_k AND rn <= n - trim_k"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("trimmed_mean_cents"),
+        F.expr("CAST(SUM(cents) div MAX(n) AS BIGINT)").alias(
+            "plain_mean_cents"
+        ),
+    )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle=f"""
+    WITH {_RANKED_SQL},
+    bounds AS (
+      SELECT priority,
+             MAX(CASE WHEN rn = trim_k + 1 THEN cents END) AS lo,
+             MAX(CASE WHEN rn = n - trim_k THEN cents END) AS hi
+      FROM k GROUP BY priority
+    )
+    SELECT k.priority,
+           CAST(MAX(k.n) AS BIGINT) AS n,
+           CAST(MAX(k.trim_k) AS BIGINT) AS trim_k,
+           CAST(MAX(b.lo) AS BIGINT) AS lo_clamp_cents,
+           CAST(MAX(b.hi) AS BIGINT) AS hi_clamp_cents,
+           CAST(SUM(LEAST(GREATEST(k.cents, b.lo), b.hi)) AS BIGINT)
+             AS winsorized_sum_cents,
+           CAST(SUM(LEAST(GREATEST(k.cents, b.lo), b.hi)) // MAX(k.n)
+                AS BIGINT) AS winsorized_mean_cents
+    FROM k JOIN bounds b ON b.priority = k.priority
+    GROUP BY k.priority
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-per-tail winsorized mean per priority: every observation
+    below the (k+1)-th smallest is raised to it, every one above the
+    (n-k)-th is lowered to it, then the plain mean — robustness without
+    discarding sample size (the estimator behind winsorized t-tests).
+    Clamp bounds are exact ranked cents values, so the whole statistic
+    is integer arithmetic.
+
+    Scale: the ranked frame is computed once and reused for bounds
+    (5-row broadcast) and the clamped sum."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.expr(_CENTS), "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = scoped_persist(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(_CENTS).alias("cents"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        ).withColumn("trim_k", F.expr("CAST(n div 10 AS BIGINT)"))
+    )
+    bounds = ranked.groupBy("priority").agg(
+        F.max(
+            F.when(F.col("rn") == F.col("trim_k") + 1, F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("n") - F.col("trim_k"), F.col("cents"))
+        ).alias("hi"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "priority").withColumn(
+        "wc", F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("trim_k").cast("long").alias("trim_k"),
+        F.max("lo").cast("long").alias("lo_clamp_cents"),
+        F.max("hi").cast("long").alias("hi_clamp_cents"),
+        F.sum("wc").cast("long").alias("winsorized_sum_cents"),
+        F.expr("CAST(SUM(wc) div MAX(n) AS BIGINT)").alias(
+            "winsorized_mean_cents"
+        ),
+    )
