@@ -86,6 +86,9 @@ _ROUND12_WINDOW = [
     "text_dedup_rate_by_source",
     "text_readability_fk",
     "agg_bootstrap_ci",
+    "agg_decile_lift_table",
+    "dataset_contrastive_triples",
+    "embeddings_top_component",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48

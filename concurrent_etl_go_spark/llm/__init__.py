@@ -25,6 +25,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     multimodal,
     negatives,
     packing,
+    pca,
     quantize,
     retrieval_eval,
     retrieval_eval2,

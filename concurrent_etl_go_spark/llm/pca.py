@@ -1,0 +1,138 @@
+"""Principal component by power iteration — an all-integer iterative
+ML kernel over the embedding corpus.
+
+The dominant eigenvector of the Gram matrix (the top principal
+direction of the uncentred embedding cloud) drives whitening,
+anisotropy diagnostics, and the "dominant direction removal"
+post-processing common for sentence embeddings (Mu & Viswanath 2018;
+power iteration: von Mises & Pollaczek-Geiringer 1929, public
+literature).  The engine computes it with FIXED-ROUND integer power
+iteration on the quantized lattice (the ``graph_katz_centrality``
+convention): every value each engine touches is an int64/decimal, so
+the driver hash is bit-exact — no eigensolver tolerance to diverge.
+
+Algebra per round: ``raw = G x`` (exact int64 — |G_ij| <= n * 2^20,
+|x_j| <= 1e6, 64 terms keeps the sum under 2^62 for any corpus this
+side of 2^35 rows), then rescale ``x' = raw * 1e6 div max|raw|``
+(128-bit product, the ``DECIMAL(38,0)``/HUGEINT widening convention)
+so iterates live on the +/-1e6 lattice.  The all-ones start vector is
+fixed, so there is no eigenvector sign ambiguity.
+
+Scale: the Gram matrix is the one real cost — a map-side outer-product
+expansion (n x d^2 rows) feeding a (i, j)-keyed hash agg with map-side
+combine; at 100 TB you compute per-partition partial Grams and merge
+(d^2 = 4096 cells, broadcastable), which is the same plan Spark
+produces here.  The 3 matvec rounds run on 4096-row / 64-row frames —
+driver-trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.llm.ivfpq2 import _DIM, _int_vectors
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
+
+_ROUNDS = 3
+_X_SCALE = 1_000_000
+
+
+def _pca_oracle() -> str:
+    steps = [
+        f"""x0 AS MATERIALIZED (
+        SELECT unnest(range(1, {_DIM + 1})) AS i,
+               CAST({_X_SCALE} AS BIGINT) AS w
+    )"""
+    ]
+    for k in range(1, _ROUNDS + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+        SELECT g.i, CAST(SUM(g.gv * x.w) AS BIGINT) AS raw
+        FROM g JOIN x{k - 1} x ON x.i = g.j
+        GROUP BY g.i
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT MAX(ABS(raw)) AS m FROM r{k}
+    ),
+    x{k} AS MATERIALIZED (
+        SELECT r.i,
+               CAST(CAST(r.raw AS HUGEINT) * {_X_SCALE} // m.m
+                    AS BIGINT) AS w
+        FROM r{k} r CROSS JOIN m{k} m
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH iv AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
+              for x in embedding] AS v
+      FROM embeddings
+    ),
+    comps AS MATERIALIZED (
+      SELECT vec_id, u.val, u.i
+      FROM iv, UNNEST(list_transform(v,
+             (x, i) -> struct_pack(val := x, i := i))) AS t(u)
+    ),
+    g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.val * b.val) AS BIGINT)
+               AS gv
+      FROM comps a JOIN comps b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    {chain}
+    SELECT i AS dim, w AS weight_e6 FROM x{_ROUNDS}
+    """
+
+
+@query("embeddings_top_component", oracle=_pca_oracle())
+def embeddings_top_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top principal direction of the quantized embedding corpus via
+    3 rounds of integer power iteration on the exact Gram matrix;
+    emits the 64 component weights on the +/-1e6 lattice.  The
+    eighteenth hash-proven iterative kernel, and the first LINEAR-
+    ALGEBRA one — the oracle unrolls the identical recurrence with
+    HUGEINT rescaling, so both engines walk the same lattice points.
+
+    Scale: see module note — partial Gram merge at 100 TB; matvec
+    rounds are d-bounded."""
+    iv = _int_vectors(spark, sf_dir)
+    comps = iv.select(
+        "vec_id", F.posexplode("v").alias("i0", "val")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "val")
+    a = comps.alias("a")
+    b = comps.select(
+        F.col("vec_id").alias("bvid"),
+        F.col("i").alias("j"),
+        F.col("val").alias("bval"),
+    )
+    g = scoped_persist(
+        a.join(b, F.col("a.vec_id") == F.col("bvid"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("val") * F.col("bval")).cast("long").alias("gv"))
+    )
+    x = spark.range(1, _DIM + 1).select(
+        F.col("id").alias("i"),
+        F.lit(_X_SCALE).cast("long").alias("w"),
+    )
+    for _ in range(_ROUNDS):
+        raw = (
+            g.join(x.select(F.col("i").alias("j"), "w"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gv") * F.col("w")).cast("long").alias("raw"))
+        )
+        m = raw.agg(F.max(F.abs("raw")).alias("m"))
+        x = raw.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.expr(
+                f"CAST(CAST(raw AS DECIMAL(38,0)) * {_X_SCALE}"
+                " div m AS BIGINT)"
+            ).alias("w"),
+        )
+    return x.select(
+        F.col("i").cast("long").alias("dim"),
+        F.col("w").alias("weight_e6"),
+    )

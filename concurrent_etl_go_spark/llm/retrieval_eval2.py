@@ -276,3 +276,90 @@ def _inline_rbo_oracle() -> None:
         .replace("{xe}", xe)
     )
     assert "{bm25}" not in ORACLES["search_eval_rbo"]
+
+
+@query(
+    "dataset_contrastive_triples",
+    oracle=_COMMON_SQL + """,
+    pos AS (
+      SELECT qid, vec_id AS pos_vec_id, truth_rank AS pos_rank,
+             d2_full AS pos_d2
+      FROM truth WHERE truth_rank <= 3
+    ),
+    neg_pick AS (
+      SELECT qid, pos_vec_id, pos_rank, pos_d2,
+             11 + ('0x' || substr(md5(CAST(qid AS VARCHAR) || '_'
+                       || CAST(pos_rank AS VARCHAR)), 1, 8))::BIGINT % 10
+               AS neg_rank
+      FROM pos
+    )
+    SELECT n.qid, n.pos_vec_id, n.pos_rank,
+           t.vec_id AS neg_vec_id, n.neg_rank,
+           CAST(t.d2_full - n.pos_d2 AS BIGINT) AS margin_d2
+    FROM neg_pick n
+    JOIN truth t ON t.qid = n.qid AND t.truth_rank = n.neg_rank
+    """,
+)
+def dataset_contrastive_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive training triples mined from the retrieval ground
+    truth: per query, each of the top-3 neighbors is a POSITIVE, paired
+    with one HARD NEGATIVE drawn deterministically from the 11-20 truth
+    band (close enough to be informative, far enough to be wrong — the
+    hard-negative mining recipe of dense-retriever training, Karpukhin
+    et al. 2020, public literature).  The draw is the counter-hash
+    ``11 + md5_int(qid_posrank) mod 10`` — no PRNG, identical on both
+    engines — and the margin (neg d2 - pos d2, exact integer) is the
+    contrastive-loss denominator a trainer would log.
+
+    Scale: the truth table is the per-query exact top-20 (the shared
+    ground-truth scan); triple assembly is |Q| x 3 rows of joins."""
+    from concurrent_etl_go_spark.llm.retrieval_eval import (
+        _int_vectors,
+        _query_set,
+        _truth,
+    )
+
+    iv = scoped_persist(_int_vectors(spark, sf_dir))
+    truth = scoped_persist(_truth(iv, _query_set(iv)))
+    pos = truth.where(F.col("truth_rank") <= 3).select(
+        "qid",
+        F.col("vec_id").alias("pos_vec_id"),
+        F.col("truth_rank").alias("pos_rank"),
+        F.col("d2_full").alias("pos_d2"),
+    )
+    neg_pick = pos.select(
+        "qid",
+        "pos_vec_id",
+        "pos_rank",
+        "pos_d2",
+        F.expr(
+            "11 + pmod(CAST(conv(substr(md5(concat("
+            "CAST(qid AS STRING), '_', CAST(pos_rank AS STRING)"
+            ")), 1, 8), 16, 10) AS BIGINT), 10)"
+        ).alias("neg_rank"),
+    )
+    neg = truth.select(
+        F.col("qid").alias("nqid"),
+        F.col("vec_id").alias("neg_vec_id"),
+        F.col("truth_rank").alias("nrank"),
+        F.col("d2_full").alias("neg_d2"),
+    )
+    return (
+        neg_pick.join(
+            neg,
+            (F.col("qid") == F.col("nqid"))
+            & (F.col("neg_rank") == F.col("nrank")),
+        )
+        .select(
+            "qid",
+            "pos_vec_id",
+            "pos_rank",
+            "neg_vec_id",
+            "neg_rank",
+            (F.col("neg_d2") - F.col("pos_d2"))
+            .cast("long")
+            .alias("margin_d2"),
+        )
+    )

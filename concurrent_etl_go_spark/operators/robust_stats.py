@@ -177,3 +177,122 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean_cents"
         ),
     )
+
+
+@query(
+    "agg_decile_lift_table",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM({_CENTS}) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT spend_cents,
+             row_number() OVER (ORDER BY spend_cents DESC, o_custkey)
+               AS rn,
+             COUNT(*) OVER () AS n
+      FROM cust
+    ),
+    deciled AS (
+      SELECT spend_cents, n,
+             CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile
+      FROM ranked
+    ),
+    per AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(spend_cents) AS BIGINT) AS decile_cents
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (SELECT SUM(decile_cents) AS total_cents,
+                   SUM(n_customers) AS total_n FROM per)
+    SELECT p.decile, p.n_customers, p.decile_cents,
+           CAST(p.decile_cents * 10000 // t.total_cents AS BIGINT)
+             AS share_bp,
+           CAST(SUM(p.decile_cents) OVER (ORDER BY p.decile)
+                * 10000 // t.total_cents AS BIGINT) AS cum_share_bp,
+           CAST(CAST(SUM(p.decile_cents) OVER (ORDER BY p.decile)
+                     AS HUGEINT) * t.total_n * 10000
+                // (CAST(t.total_cents AS HUGEINT)
+                    * SUM(p.n_customers) OVER (ORDER BY p.decile))
+                AS BIGINT) AS cum_lift_e4
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def agg_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table over customer spend: customers ranked by
+    total spend, cut into 10 equal-count bins (``floor((rn-1)*10/n)``
+    — rank-exact, no quantile interpolation), each row carrying its
+    revenue share, the cumulative gains curve, and cumulative LIFT
+    (cumulative share of revenue over cumulative share of customers,
+    x1e4) — the standard model-evaluation / campaign-targeting readout
+    (the gains-chart companion of ``agg_revenue_lorenz``).  Decile 1
+    lift answers "how much better than random is targeting the top
+    10%".
+
+    All-integer: spends are cents sums, shares floor basis points,
+    lift a 128-bit integer ratio (DECIMAL(38,0)/HUGEINT widening —
+    cum_cents * total_n * 1e4 exceeds int64 from sf0.1 up).
+
+    Scale: one shuffle to the customer grain; the global rank is a
+    single window over |customers| (swap in the distributed-rank
+    machinery of ``operators/quantiles.py`` at 100 TB); the lift table
+    itself is 10 rows."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr(_CENTS)).cast("long").alias("spend_cents")
+    )
+    w = Window.orderBy(F.desc("spend_cents"), "o_custkey")
+    wn = Window.partitionBy()
+    ranked = cust.select(
+        "spend_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    deciled = ranked.select(
+        "spend_cents",
+        F.expr("CAST(((rn - 1) * 10) div n + 1 AS BIGINT)").alias(
+            "decile"
+        ),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend_cents").cast("long").alias("decile_cents"),
+    )
+    tot = per.agg(
+        F.sum("decile_cents").alias("total_cents"),
+        F.sum("n_customers").alias("total_n"),
+    )
+    wc = Window.orderBy("decile")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.expr(
+                "CAST(decile_cents * 10000 div total_cents AS BIGINT)"
+            ).alias("share_bp"),
+            F.sum("decile_cents").over(wc).alias("__cum_cents"),
+            F.sum("n_customers").over(wc).alias("__cum_n"),
+            "total_cents",
+            "total_n",
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            "share_bp",
+            F.expr(
+                "CAST(__cum_cents * 10000 div total_cents AS BIGINT)"
+            ).alias("cum_share_bp"),
+            F.expr(
+                "CAST(CAST(__cum_cents AS DECIMAL(38,0)) * total_n"
+                " * 10000 div (CAST(total_cents AS DECIMAL(38,0))"
+                " * __cum_n) AS BIGINT)"
+            ).alias("cum_lift_e4"),
+        )
+    )
