@@ -241,6 +241,30 @@ HEADLINE = (
     "agg_cusum_changepoint",        # integer-lattice CUSUM argmax
     "text_hapax_ratio",             # shingle long-tail diversity
     "text_lexical_density",         # content-vs-function word mix
+    # round-11 additions the round-11 HEADLINE omitted (ADVICE r11 low)
+    "agg_theil_sen",                # median-of-slopes robust trend
+    "agg_mann_kendall",             # monotonic-trend S statistic
+    "window_ichimoku",              # four-line cloud from rolling extremes
+    "window_keltner",               # EMA midline +/- 2x ATR bands
+    # round-12 additions
+    "agg_price_index_laspeyres",    # fixed-basket price index
+    "agg_basket_size_distribution", # order line-count profile
+    "agg_hhi_concentration",        # Herfindahl market concentration
+    "agg_gini_coefficient",         # exact rank-weighted Gini
+    "dataset_pack_efficiency",      # next-fit bin-fill report
+    "search_cross_encoder_rerank",  # coverage/tf/proximity rerank
+    "dedup_gate_flags",             # match-any-predecessor dup gate
+    "search_eval_interpolated_pr",  # 11-point P-R curve per arm
+    "search_eval_rbo",              # rank-biased overlap of rankings
+    "agg_trimmed_mean",             # 10%-tail-trimmed robust mean
+    "agg_winsorized_mean",          # tail-clamped robust mean
+    "window_parkinson_vol",         # high-low range volatility
+    "text_dedup_rate_by_source",    # dup rate per provenance feed
+    "text_readability_fk",          # Flesch-Kincaid grade per doc
+    "agg_bootstrap_ci",             # counter-hash percentile bootstrap
+    "agg_decile_lift_table",        # spend-decile gains/lift table
+    "dataset_contrastive_triples",  # hard-negative training triples
+    "embeddings_top_component",     # integer power-iteration PCA
 )
 
 

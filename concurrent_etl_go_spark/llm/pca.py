@@ -1,4 +1,4 @@
-"""Principal component by power iteration — an all-integer iterative
+"""Principal-direction power iteration — an all-integer iterative
 ML kernel over the embedding corpus.
 
 The dominant eigenvector of the Gram matrix (the top principal
@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_go_spark.llm.ivfpq2 import _DIM, _int_vectors
 from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 
-_ROUNDS = 3
+_ROUNDS = 8
 _X_SCALE = 1_000_000
 
 
@@ -97,6 +97,16 @@ def embeddings_top_component(
     ALGEBRA one — the oracle unrolls the identical recurrence with
     HUGEINT rescaling, so both engines walk the same lattice points.
 
+    Convergence note: power iteration aligns with the top eigenvector
+    at rate (lambda2/lambda1)^k.  The synthetic embedding corpus is
+    NEAR-ISOTROPIC (measured ratio ~1.07 at sf0.001), so 8 rounds
+    provably INCREASE alignment and Rayleigh quotient every round (the
+    invariants tests/test_round12.py pins) without reaching the
+    eigenvector itself; a real embedding corpus with anisotropy
+    converges geometrically.  What the driver hash proves is the
+    RECURRENCE — both engines walk identical lattice points for any
+    spectrum.
+
     Scale: see module note — partial Gram merge at 100 TB; matvec
     rounds are d-bounded."""
     iv = _int_vectors(spark, sf_dir)
@@ -118,12 +128,17 @@ def embeddings_top_component(
         F.col("id").alias("i"),
         F.lit(_X_SCALE).cast("long").alias("w"),
     )
+    # eager localCheckpoint per round (the shared loop discipline):
+    # ``raw`` feeds BOTH the max and the rescale, so a lazy chain
+    # doubles the plan every round — 2^rounds plan copies OOMed the
+    # driver at 8 rounds before checkpointing.  Frames are 64 rows;
+    # materializing them is free.
     for _ in range(_ROUNDS):
         raw = (
             g.join(x.select(F.col("i").alias("j"), "w"), "j")
             .groupBy("i")
             .agg(F.sum(F.col("gv") * F.col("w")).cast("long").alias("raw"))
-        )
+        ).localCheckpoint(eager=True)
         m = raw.agg(F.max(F.abs("raw")).alias("m"))
         x = raw.crossJoin(F.broadcast(m)).select(
             "i",
