@@ -69,6 +69,9 @@ _ROUND12_WINDOW = [
     "window_keltner",
     "window_rsi",
     "window_atr",
+    # re-proof: beta cancellation widened to DECIMAL(38,0) + ROUND(6)
+    # after the sf1 decade point overflowed the round-11 int64 form
+    "window_beta",
     # --- (b) retail5 wired in (new to the registry this round) ---
     "agg_price_index_laspeyres",
     "agg_basket_size_distribution",

@@ -16,9 +16,10 @@ Cross-engine float discipline (SURVEY §7.6 + the round-10 float rules):
 * Sharpe and beta derive from INTEGER rolling sums via the Bollinger
   convention: the 128-bit cancellation (n*S2 - S1^2, n*Sxy - Sx*Sy)
   happens exactly in DECIMAL(38,0)/HUGEINT and only the much smaller
-  DIFFERENCE converts to DOUBLE; beta inputs floor to whole dollars
-  (non-negative, so `//` and `div` agree) to keep the int64 envelope
-  through sf1 and beyond (products <= 28 * (2e7)^2 ~ 1e16).
+  DIFFERENCE converts to DOUBLE.  Beta's round-11 int64 cancellation
+  overflowed at the builder's sf1 decade point, so it now widens like
+  Sharpe always did and pins its ratio with ROUND(6) (beyond 2^53 the
+  engines' 128-bit -> double conversions can differ by an ulp).
 
 Scale: every query collapses to the day grain first — one fact-sized
 hash agg; windows, folds, and joins run on day-count-sized frames.
@@ -349,15 +350,24 @@ def window_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BETA_WIN = 28
 
-#: Exact-integer rolling beta: Cov(x,y)/Var(y) as the ratio of two
-#: 128-bit-exact cancellations over whole-dollar sums.
+#: Exact rolling beta: Cov(x,y)/Var(y) as the ratio of two 128-bit
+#: cancellations over whole-dollar sums.  The cancellations run in
+#: DECIMAL(38,0) (HUGEINT-compatible on DuckDB): the round-11 BIGINT
+#: form overflowed at the builder's sf1 decade point (n * syy passes
+#: 2^63 once daily market dollars reach ~1e6).  Past 2^53 the two
+#: engines' 128-bit -> double conversions can differ by an ulp (the
+#: documented round-10 rule), so the emitted ratio pins with ROUND(6)
+#: instead of the unrounded tree the int64-exact form could afford.
 _BETA = (
-    "CASE WHEN CAST(n AS BIGINT) * syy - CAST(sy AS BIGINT) * sy <= 0"
+    "CASE WHEN CAST(n AS DECIMAL(38,0)) * syy"
+    "          - CAST(sy AS DECIMAL(38,0)) * sy <= 0"
     " THEN 0.0"
-    " ELSE CAST(CAST(n AS BIGINT) * sxy"
-    "           - CAST(sx AS BIGINT) * sy AS DOUBLE)"
-    " / CAST(CAST(n AS BIGINT) * syy"
-    "        - CAST(sy AS BIGINT) * sy AS DOUBLE) + 0.0 END"
+    " ELSE ROUND("
+    "   CAST(CAST(n AS DECIMAL(38,0)) * sxy"
+    "        - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+    "   / CAST(CAST(n AS DECIMAL(38,0)) * syy"
+    "          - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE), 6)"
+    " + 0.0 END"
 )
 
 
@@ -395,10 +405,12 @@ def window_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 28-day CAPM-style beta of each priority's daily revenue
     against the whole-market (all-priority) series: Cov(x,y)/Var(y)
     from integer rolling sums, both cancellations (n*Sxy - Sx*Sy,
-    n*Syy - Sy^2) exact in int64 — inputs floor to whole DOLLARS
-    (non-negative, so `//` and Spark's `div` agree; the round-10
-    signed-floor rule) precisely to keep those products inside int64
-    out to ~100x this corpus.  Degenerate flat-market windows pin to 0.
+    n*Syy - Sy^2) exact in DECIMAL(38,0)/HUGEINT — the round-11 int64
+    form overflowed at the builder's sf1 decade point, so the products
+    widened and the ratio now pins with ROUND(6) (beyond 2^53 the
+    engines' 128-bit -> double conversions can differ by an ulp).
+    Inputs still floor to whole DOLLARS (non-negative, so `//` and
+    Spark's `div` agree).  Degenerate flat-market windows pin to 0.
 
     Scale: the market series is a day-keyed rollup of the same daily
     frame (broadcast-sized); windows run per priority over day-count
