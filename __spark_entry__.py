@@ -92,6 +92,10 @@ _ROUND12_WINDOW = [
     "agg_decile_lift_table",
     "dataset_contrastive_triples",
     "embeddings_top_component",
+    "dataset_tokenizer_fertility",
+    "dataset_mix_temperature_weights",
+    "text_bigram_entropy_rate",
+    "dedup_cluster_size_histogram",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48

@@ -265,6 +265,10 @@ HEADLINE = (
     "agg_decile_lift_table",        # spend-decile gains/lift table
     "dataset_contrastive_triples",  # hard-negative training triples
     "embeddings_top_component",     # integer power-iteration PCA
+    "dataset_tokenizer_fertility",  # subwords/word under frozen BPE
+    "dataset_mix_temperature_weights",  # tau=0.7 sampling mix
+    "text_bigram_entropy_rate",     # conditional entropy, micro-nats
+    "dedup_cluster_size_histogram", # dup-cluster size distribution
 )
 
 

@@ -37,4 +37,5 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     text4,
     text5,
     text6,
+    tokenizer_eval,
 )

@@ -552,3 +552,74 @@ def text_dedup_rate_by_source(
             "CAST(COUNT(__dup) * 10000 div COUNT(*) AS BIGINT)"
         ).alias("dup_rate_bp"),
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle="WITH RECURSIVE" + _ORACLE_SIGS.lstrip().removeprefix("WITH")
+    + _ORACLE_BANDS
+    + """
+    , sym AS (
+      SELECT id_a AS s, id_b AS d FROM cand
+      UNION
+      SELECT id_b AS s, id_a AS d FROM cand
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM sym
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM assigned GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size distribution: connected components over
+    the banded candidate pairs (the ``dedup_survivor_portable``
+    clustering), then how many clusters exist at each size — the
+    one-table answer to "is duplication a long tail of pairs or a few
+    mega-clusters?", which decides whether survivor selection needs
+    skew handling.  ``n_docs`` recovers the total corpus per size band
+    (singletons included), so the histogram is also a mass audit:
+    SUM(n_docs) equals the corpus size by construction.
+
+    Scale: components via the iterative min-label loop (O(log
+    diameter) rounds); the histogram is two tiny hash aggs over
+    |components| rows."""
+    from concurrent_etl_go_spark.llm.dedup import connected_components
+
+    cands = _candidate_pairs(spark, sf_dir)
+    labels = connected_components(
+        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.join(
+        labels, docs["doc_id"] == labels["id"], "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+    )
