@@ -256,3 +256,77 @@ def test_top_component_is_dominant_direction(spark):
         x = np.trunc(raw * _X_SCALE / np.abs(raw).max())
     cos_replay = abs(x @ w) / (np.linalg.norm(x) * np.linalg.norm(w))
     assert cos_replay > 0.9999
+
+
+# --- tokenizer / mix / entropy / cluster histogram ---------------------
+
+
+def test_fertility_bounds_and_char_conservation(spark):
+    rows = _rows(spark, "dataset_tokenizer_fertility")
+    assert {r.lang for r in rows} >= {"en", "de", "fr", "es", "zh"}
+    for r in rows:
+        # a word yields at least one subword and at most one per char
+        assert r.n_words <= r.n_subwords <= r.n_chars
+        assert 10000 <= r.fertility_bp
+        assert r.fertility_bp == r.n_subwords * 10000 // r.n_words
+        assert r.chars_per_subword_bp == r.n_chars * 10000 // r.n_subwords
+
+
+def test_mix_weights_compress_toward_uniform(spark):
+    rows = _rows(spark, "dataset_mix_temperature_weights")
+    tot_nat = sum(r.natural_share_bp for r in rows)
+    tot_mix = sum(r.mix_weight_bp for r in rows)
+    assert abs(tot_nat - 10000) <= len(rows)
+    assert abs(tot_mix - 10000) <= len(rows)
+    # temperature < 1 upsamples the tail and downsamples the head:
+    # the mix distribution is strictly less spread than the natural one
+    nat = sorted(r.natural_share_bp for r in rows)
+    mix = sorted(r.mix_weight_bp for r in rows)
+    assert mix[-1] < nat[-1] and mix[0] > nat[0]
+    for r in rows:
+        if r.natural_share_bp < 2000:  # below uniform (5 langs)
+            assert r.upsample_e4 > 10000
+        if r.natural_share_bp > 2000:
+            assert r.upsample_e4 < 10000
+
+
+def test_bigram_entropy_against_python_reference(spark):
+    import math
+
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = {r.lang: r for r in _rows(spark, "text_bigram_entropy_rate")}
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "lang", "text"
+    ).collect()
+    pair: dict = {}
+    ctx: dict = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            pair[(d.lang, a, b)] = pair.get((d.lang, a, b), 0) + 1
+            ctx[(d.lang, a)] = ctx.get((d.lang, a), 0) + 1
+    for lang, r in rows.items():
+        total = sum(c for (lg, _, _), c in pair.items() if lg == lang)
+        assert r.n_bigrams == total
+        # micro-nat total with the same per-term lattice pinning
+        s = sum(
+            c * round(math.log(c / ctx[(lg, a)]) * 1e6)
+            for (lg, a, b), c in pair.items()
+            if lg == lang
+        )
+        assert r.entropy_micro_nats == -s // total
+        # entropy is non-negative and below ln(vocab) in micro-nats
+        vocab = len({b for (lg, _, b) in pair if lg == lang})
+        assert 0 <= r.entropy_micro_nats <= math.log(max(vocab, 2)) * 1e6
+
+
+def test_cluster_histogram_mass_audit(spark):
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = _rows(spark, "dedup_cluster_size_histogram")
+    n_docs = read_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+    assert any(r.cluster_size == 1 for r in rows), "no singletons?"
