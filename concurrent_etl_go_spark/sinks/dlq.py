@@ -43,27 +43,32 @@ def replay_union(fresh: DataFrame, dlq: DataFrame) -> DataFrame:
 
 
 def clear_dlq(paths: list[str]) -> None:
-    """Delete spill files — call only after the sink acked the run that
-    contained the replayed rows (stronger than the reference's
-    delete-after-enqueue, etl/main.go:333-338)."""
+    """Delete spill files (and their ``.key`` sidecars) — call only after
+    the sink acked the run that contained the replayed rows (stronger than
+    the reference's delete-after-enqueue, etl/main.go:333-338)."""
     for path in paths:
-        if os.path.exists(path):
-            os.remove(path)
+        for target in (path, path + ".key"):
+            if os.path.exists(target):
+                os.remove(target)
 
 
 def replay_dlq_posts(dlq_dir: str, config) -> tuple[int, int]:
-    """Re-POST every spilled batch with an idempotency key, ack-then-
-    delete — the exactly-once half of the DLQ story.
+    """Re-POST every spilled batch under its ORIGINAL idempotency key,
+    ack-then-delete — the exactly-once half of the DLQ story.
 
-    Each spill file's UNIQUE FILENAME is its idempotency key
-    (``dlq/<filename>``): the name is minted once at spill time, so a
-    crash BETWEEN a successful re-POST and the delete re-sends the same
-    payload under the same key on the next replay, and a
-    key-deduplicating receiver drops it — no double-delivery through
-    the DLQ path, matching the versioned sink's replayed-epoch skip.
-    Files are deleted only AFTER the 2xx ack (S20's fix of the
-    reference's delete-after-enqueue); a failed re-POST leaves the file
-    for the next replay.
+    A keyed spill carries its chunk's original key in a ``<path>.key``
+    sidecar (written by ``spill_batch`` before the data file); the
+    replay re-POSTs under THAT key, not a fresh one.  This closes the
+    crash-after-spill double-delivery hole: if an epoch crashes after
+    spilling a chunk (no ledger marker), the epoch replay re-POSTs the
+    chunk under its original key — so the DLQ replay of the stale spill
+    file must present the SAME key for the receiver to dedupe it.  For
+    unkeyed spills (no sidecar) the unique filename is the key
+    (``dlq/<filename>``): minted once at spill time, so a crash between
+    a successful re-POST and the delete re-sends under the same key.
+    Files (and sidecars) are deleted only AFTER the 2xx ack (S20's fix
+    of the reference's delete-after-enqueue); a failed re-POST leaves
+    the file for the next replay.
 
     Returns ``(replayed, remaining)`` file counts.  Driver-side by
     design: the DLQ is a local spill directory, bounded by failure
@@ -78,11 +83,18 @@ def replay_dlq_posts(dlq_dir: str, config) -> tuple[int, int]:
     for path in files:
         with _gzip.open(path, "rt", encoding="utf-8") as fh:
             batch = _json.load(fh)
-        key = f"dlq/{os.path.basename(path)}"
+        sidecar = path + ".key"
+        if os.path.exists(sidecar):
+            with open(sidecar, encoding="utf-8") as fh:
+                key = fh.read().strip()
+        else:
+            key = f"dlq/{os.path.basename(path)}"
         try:
             post_batch(batch, config, idem_key=key)
         except Exception:  # noqa: BLE001 — leave the file for next replay
             continue
         os.remove(path)
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
         replayed += 1
     return replayed, len(dlq_files(dlq_dir))

@@ -113,7 +113,15 @@ def spill_batch(
     second file — without this, a kill mid-epoch would leave two spill
     files for one chunk and the DLQ replay would double-deliver.
     Unkeyed spills keep the unique uuid name (the documented fix of the
-    reference's per-worker overwrite, etl/main.go:379)."""
+    reference's per-worker overwrite, etl/main.go:379).
+
+    The ORIGINAL chunk key is persisted in a ``<path>.key`` sidecar
+    (written BEFORE the data file, so a keyed spill can never exist
+    without its key) and reused verbatim by ``replay_dlq_posts`` — the
+    replay must POST under the same key the direct path used, else a
+    crash-after-spill epoch replay (which re-POSTs the chunk under its
+    original key) plus a later DLQ replay (under a different key) would
+    double-apply the rows at a key-deduplicating receiver."""
     os.makedirs(config.dlq_dir, exist_ok=True)
     tag = (
         idem_key.replace("/", "-")
@@ -122,6 +130,9 @@ def spill_batch(
     )
     fname = f"buffer_failed_worker{worker_id}_{tag}.json.gz"
     path = os.path.join(config.dlq_dir, fname)
+    if idem_key:
+        with open(path + ".key", "w", encoding="utf-8") as fh:
+            fh.write(idem_key)
     with gzip.open(path, "wt", encoding="utf-8") as fh:
         json.dump(batch, fh, default=_json_default)
     return path

@@ -64,14 +64,34 @@ _BANDS_SCHEMA = T.StructType(
 
 
 def _read_state(
-    spark: SparkSession, root: str, name: str, schema: T.StructType
+    spark: SparkSession,
+    root: str,
+    name: str,
+    schema: T.StructType,
+    before_epoch: int | None = None,
 ) -> DataFrame:
+    """Read settled per-epoch state.  ``before_epoch`` (when given)
+    excludes ``epoch-K`` directories with ``K >= before_epoch`` — the
+    in-flight epoch's own state from a crashed earlier attempt must NOT
+    count as "settled", else a replay would candidate-join the batch
+    against its own fingerprints (self-pairs at Jaccard 1.0) and flag
+    every document in the batch as a duplicate."""
     base = os.path.join(root, name)
     epochs = (
         sorted(d for d in os.listdir(base) if d.startswith("epoch-"))
         if os.path.isdir(base)
         else []
     )
+    if before_epoch is not None:
+        kept = []
+        for d in epochs:
+            try:
+                k = int(d.split("epoch-", 1)[1])
+            except ValueError:
+                continue
+            if k < before_epoch:
+                kept.append(d)
+        epochs = kept
     if not epochs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
@@ -117,9 +137,11 @@ def neardup_gate_stream(
         sh_new, bands_new = _band_table(
             batch_df, id_col, text_col, NUM_MINHASHES, LSH_BAND_SIZE
         )
-        sh_old = _read_state(spark, state_root, "sh", _SH_SCHEMA)
+        sh_old = _read_state(
+            spark, state_root, "sh", _SH_SCHEMA, before_epoch=epoch_id
+        )
         bands_old = _read_state(
-            spark, state_root, "bands", _BANDS_SCHEMA
+            spark, state_root, "bands", _BANDS_SCHEMA, before_epoch=epoch_id
         )
 
         cross = (

@@ -228,6 +228,35 @@ def test_respill_same_key_overwrites_not_duplicates(tmp_path):
     assert u1 != u2 and len(dlq_files(config.dlq_dir)) == 3
 
 
+def test_dlq_replay_reuses_original_chunk_key(tmp_path, mock_api):
+    """ADVICE r12 (high): an epoch that crashes AFTER spilling a chunk
+    (no ledger marker) gets replayed, and the replay re-POSTs that chunk
+    successfully under its ORIGINAL key — but the stale spill file
+    remains.  ``replay_dlq_posts`` must then present the SAME original
+    key (recovered from the ``.key`` sidecar), so the key-deduplicating
+    receiver drops the delivery instead of double-applying the rows."""
+    from concurrent_etl_go_spark.sinks.http_sink import spill_batch
+
+    dlq = str(tmp_path / "dlq4")
+    config = HttpSinkConfig(endpoint=mock_api.endpoint, dlq_dir=dlq)
+    mock_api.state.dedup_keys = True
+    batch = [{"event_id": i} for i in range(4)]
+    # epoch crash window: chunk spilled, no marker, query killed
+    path = spill_batch(batch, worker_id=2, config=config, idem_key="e5/p2/c0")
+    assert os.path.exists(path + ".key"), "keyed spill must write sidecar"
+    # the epoch replay (server healthy now) re-POSTs under the original key
+    post_batch(batch, config, idem_key="e5/p2/c0")
+    # the stale spill file is still on disk; its replay must dedupe
+    replayed, remaining = replay_dlq_posts(dlq, config)
+    assert (replayed, remaining) == (1, 0)
+    assert mock_api.state.duplicate_posts == 1, (
+        "DLQ replay minted a fresh key — receiver double-applied the chunk"
+    )
+    ids = _event_ids_received(mock_api)
+    assert sorted(ids) == [0, 1, 2, 3], "rows double-applied"
+    assert not os.path.exists(path + ".key"), "sidecar must go with the file"
+
+
 def test_post_batch_sends_idempotency_key(mock_api):
     """Wire check: the header rides the POST and is recorded."""
     config = HttpSinkConfig(endpoint=mock_api.endpoint, auth_token="t")

@@ -152,6 +152,41 @@ def test_gate_kill_restart_equals_batch(
     assert len(ids) == len(set(ids))
 
 
+def test_gate_partial_commit_replay_not_all_dup(
+    spark, tmp_path, docs, batch_flags
+):
+    """ADVICE r12 (high): crash AFTER an epoch's sh/bands/decisions land
+    but BEFORE the ledger marker.  The replay must NOT read the crashed
+    attempt's own fingerprints as settled state — self-pairs at
+    Jaccard 1.0 would flag every document in the batch as a duplicate."""
+    src = str(tmp_path / "src2")
+    _write_ordered_files(spark, docs, src)
+    state, ck = str(tmp_path / "state2"), str(tmp_path / "ck2")
+    q = _start_gate(spark, src, state, ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _flags(spark, state) == batch_flags
+    # simulate the crash window for the LAST epoch: state directories
+    # written, ledger marker and engine commit both missing -> the
+    # restarted query replays the epoch with its own stale state on disk
+    last = N_FILES - 1
+    os.remove(os.path.join(state, "ledger", f"epoch-{last}.done"))
+    os.remove(os.path.join(ck, "commits", str(last)))
+    crc = os.path.join(ck, "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar
+        os.remove(crc)
+    q = _start_gate(spark, src, state, ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _flags(spark, state) == batch_flags, (
+        "replay after partial commit changed decisions (self-pair bug)"
+    )
+
+
 def test_gate_replayed_epoch_is_idempotent(spark, tmp_path, docs):
     """Deleting the checkpoint (full replay) with the ledger intact must
     leave decisions and state untouched."""
