@@ -22,8 +22,8 @@ Scale: the Gram matrix is the one real cost — a map-side outer-product
 expansion (n x d^2 rows) feeding a (i, j)-keyed hash agg with map-side
 combine; at 100 TB you compute per-partition partial Grams and merge
 (d^2 = 4096 cells, broadcastable), which is the same plan Spark
-produces here.  The 3 matvec rounds run on 4096-row / 64-row frames —
-driver-trivial.
+produces here.  The ``_ROUNDS`` (= 8) matvec rounds run on
+4096-row / 64-row frames — driver-trivial.
 """
 
 from __future__ import annotations
@@ -56,10 +56,12 @@ def _pca_oracle() -> str:
         SELECT MAX(ABS(raw)) AS m FROM r{k}
     ),
     x{k} AS MATERIALIZED (
-        SELECT r.i,
-               CAST(CAST(r.raw AS HUGEINT) * {_X_SCALE} // m.m
-                    AS BIGINT) AS w
-        FROM r{k} r CROSS JOIN m{k} m
+        SELECT i,
+               CAST((s - ((s % m + m) % m)) // m AS BIGINT) AS w
+        FROM (SELECT r.i,
+                     CAST(r.raw AS HUGEINT) * {_X_SCALE} AS s,
+                     m.m AS m
+              FROM r{k} r CROSS JOIN m{k} m)
     )"""
         )
     chain = ",\n    ".join(steps)
@@ -91,7 +93,8 @@ def embeddings_top_component(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Top principal direction of the quantized embedding corpus via
-    3 rounds of integer power iteration on the exact Gram matrix;
+    ``_ROUNDS`` (= 8) rounds of integer power iteration on the exact
+    Gram matrix;
     emits the 64 component weights on the +/-1e6 lattice.  The
     eighteenth hash-proven iterative kernel, and the first LINEAR-
     ALGEBRA one — the oracle unrolls the identical recurrence with
@@ -140,12 +143,27 @@ def embeddings_top_component(
             .agg(F.sum(F.col("gv") * F.col("w")).cast("long").alias("raw"))
         ).localCheckpoint(eager=True)
         m = raw.agg(F.max(F.abs("raw")).alias("m"))
-        x = raw.crossJoin(F.broadcast(m)).select(
-            "i",
-            F.expr(
-                f"CAST(CAST(raw AS DECIMAL(38,0)) * {_X_SCALE}"
-                " div m AS BIGINT)"
-            ).alias("w"),
+        # portable signed floor-division (the kmeans2 _FDIV idiom):
+        # ``raw`` is signed, Spark ``div`` truncates toward zero while
+        # DuckDB ``//`` floors — subtracting the positive remainder
+        # first makes the numerator an exact multiple of m, where both
+        # semantics agree, keeping the cross-engine hash bit-exact on
+        # any corpus with a negative raw.
+        x = (
+            raw.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.expr(
+                    f"CAST(raw AS DECIMAL(38,0)) * {_X_SCALE}"
+                ).alias("s"),
+                "m",
+            )
+            .select(
+                "i",
+                F.expr(
+                    "CAST((s - ((s % m + m) % m)) div m AS BIGINT)"
+                ).alias("w"),
+            )
         )
     return x.select(
         F.col("i").cast("long").alias("dim"),

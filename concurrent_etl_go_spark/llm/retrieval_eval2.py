@@ -278,6 +278,17 @@ def _inline_rbo_oracle() -> None:
     assert "{bm25}" not in ORACLES["search_eval_rbo"]
 
 
+# Lazy safety net (ADVICE r12): if a consumer imports this module (or
+# the llm package) WITHOUT importing concurrent_etl_go_spark.operators,
+# the registry's accessor overrides drain this finalizer on first
+# oracle lookup, so nobody can fetch the placeholder SQL.
+from concurrent_etl_go_spark.operators.registry import (  # noqa: E402
+    register_oracle_finalizer,
+)
+
+register_oracle_finalizer(_inline_rbo_oracle)
+
+
 @query(
     "dataset_contrastive_triples",
     oracle=_COMMON_SQL + """,

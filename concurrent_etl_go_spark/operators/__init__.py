@@ -66,10 +66,15 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     time_windows,
 )
 from concurrent_etl_go_spark import llm  # noqa: F401  (registers llm queries)
-from concurrent_etl_go_spark.llm.retrieval_eval2 import _inline_rbo_oracle
-from concurrent_etl_go_spark.operators.registry import ORACLES, QUERIES
+from concurrent_etl_go_spark.operators.registry import (
+    ORACLES,
+    QUERIES,
+    run_oracle_finalizers,
+)
 
-# late-bound oracle composition (needs operators.search fully loaded)
-_inline_rbo_oracle()
+# late-bound oracle composition (needs operators.search fully loaded);
+# drains the registered finalizers eagerly so even ``dict(ORACLES)``'s
+# C-level fast path sees finalized SQL
+run_oracle_finalizers()
 
 __all__ = ["QUERIES", "ORACLES"]
