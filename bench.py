@@ -280,10 +280,22 @@ def main() -> None:
 
     from concurrent_etl_go_spark.session import get_spark
 
+    # Keep the status store small: even with the UI disabled the
+    # AppStatusListener retains per-job/stage/task rows (defaults: 1000
+    # jobs / 1000 stages / 100k tasks / 1000 SQL executions), and a
+    # 219-query x 4-pass session accumulates enough of them to matter
+    # inside the single 8g local-mode JVM (round-13 drift forensics).
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.retainedJobs": "50",
+            "spark.ui.retainedStages": "100",
+            "spark.ui.retainedTasks": "2000",
+            "spark.sql.ui.retainedExecutions": "20",
+            "spark.worker.ui.retainedExecutors": "10",
+        },
     )
 
     import __spark_entry__ as entry_mod
@@ -324,22 +336,84 @@ def main() -> None:
         if only
         else HEADLINE
     )
+    # Round-13 drift forensics (VERDICT r12 §Next #1): round 12's
+    # committed bench slowed a median 1.28x on UNCHANGED queries with
+    # samples rising within the session.  Instrumentation to separate
+    # session-state accumulation from host noise, recorded in
+    # BENCH_LOCAL.json:
+    # - per-query JVM state (heap, persistent-RDD count) sampled every
+    #   SENTINEL_EVERY queries;
+    # - a SENTINEL re-run of the first queries at session end — if the
+    #   same query in the same session is now slower, the session got
+    #   heavier (accumulation); if it matches, mid-run slowness was
+    #   host noise;
+    # - SPARK_GRAFT_BENCH_DEEP_CLEAN=1 additionally runs python-gc +
+    #   JVM System.gc() between queries so ContextCleaner can release
+    #   localCheckpoint RDD blocks whose py4j handles are unreachable.
+    import gc as _gc
+
+    deep_clean = os.environ.get(
+        "SPARK_GRAFT_BENCH_DEEP_CLEAN", ""
+    ).lower() in ("1", "true")
+
+    def clean_between() -> None:
+        release_caches()
+        if deep_clean:
+            spark.catalog.clearCache()
+            _gc.collect()
+            spark._jvm.java.lang.System.gc()  # noqa: SLF001
+
+    def jvm_probe() -> dict:
+        rt = spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+        jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+        return {
+            "heap_mb": round(
+                (rt.totalMemory() - rt.freeMemory()) / (1 << 20), 1
+            ),
+            "rdds": jsc.getPersistentRDDs().size(),
+        }
+
+    SENTINEL_N = 8  # first-N queries re-timed at session end
+    SENTINEL_EVERY = 25  # JVM probe cadence (every N queries)
+
     cold: dict[str, float] = {}
     samples_e2e: dict[str, list[float]] = {}
     samples_act: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     action_only: dict[str, float] = {}
-    for name in headline:
+    jvm_trace: list[dict] = []
+    for qi, name in enumerate(headline):
         cold[name], _ = run_once(name)
-        release_caches()
+        clean_between()
         samples_e2e[name], samples_act[name] = [], []
         for _ in range(n_warm):
             e2e, act = run_once(name)
-            release_caches()
+            clean_between()
             samples_e2e[name].append(e2e)
             samples_act[name].append(act)
         timings[name] = round(statistics.median(samples_e2e[name]), 3)
         action_only[name] = round(statistics.median(samples_act[name]), 3)
+        if qi % SENTINEL_EVERY == 0 or qi == len(headline) - 1:
+            probe = jvm_probe()
+            probe["after_query_idx"] = qi
+            jvm_trace.append(probe)
+
+    # sentinel re-run: the first SENTINEL_N headline queries again, at
+    # the END of the (now maximally heavy) session
+    sentinel: dict[str, float] = {}
+    for name in headline[:SENTINEL_N]:
+        reruns = []
+        for _ in range(n_warm):
+            e2e, _act = run_once(name)
+            clean_between()
+            reruns.append(e2e)
+        sentinel[name] = round(statistics.median(reruns), 3)
+    sentinel_base = sum(timings[n] for n in sentinel)
+    sentinel_drift = (
+        round(sum(sentinel.values()) / sentinel_base, 3)
+        if sentinel_base > 0
+        else None
+    )
 
     # Corpus stats alongside the timings: a regenerated or differently
     # sized localdata corpus shifts candidate-bound queries (dedup/
@@ -365,6 +439,10 @@ def main() -> None:
         "cold": cold,
         "samples_e2e": samples_e2e,
         "samples_act": samples_act,
+        "sentinel_rerun": sentinel,
+        "sentinel_drift": sentinel_drift,
+        "jvm_trace": jvm_trace,
+        "deep_clean": deep_clean,
         "n_warm": n_warm,
         "protocol": "per-query median of n_warm serialized warm passes "
         "after one cold pass; e2e = query build + eager coordination + "
@@ -395,6 +473,7 @@ def main() -> None:
         "queries": slowest,
         "act_total": full["action_only_total"],
         "cold_total": full["cold_total"],
+        "sentinel_drift": sentinel_drift,
         "corpus_rows": corpus,
     }
     print(json.dumps(compact, separators=(",", ":")))

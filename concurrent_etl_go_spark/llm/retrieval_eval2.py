@@ -325,15 +325,11 @@ def dataset_contrastive_triples(
     contrastive-loss denominator a trainer would log.
 
     Scale: the truth table is the per-query exact top-20 (the shared
-    ground-truth scan); triple assembly is |Q| x 3 rows of joins."""
-    from concurrent_etl_go_spark.llm.retrieval_eval import (
-        _int_vectors,
-        _query_set,
-        _truth,
-    )
+    ground-truth scan, memoized across the search_eval_* family);
+    triple assembly is |Q| x 3 rows of joins."""
+    from concurrent_etl_go_spark.llm.retrieval_eval import _harness
 
-    iv = scoped_persist(_int_vectors(spark, sf_dir))
-    truth = scoped_persist(_truth(iv, _query_set(iv)))
+    truth = _harness(spark, sf_dir)["truth"]
     pos = truth.where(F.col("truth_rank") <= 3).select(
         "qid",
         F.col("vec_id").alias("pos_vec_id"),

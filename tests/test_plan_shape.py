@@ -569,11 +569,28 @@ def test_round9_wma_is_hash_join_shaped(spark, sf_dir):
 
 
 def test_round9_retrieval_eval_broadcasts_query_set(spark, sf_dir):
-    # the |Q|-way corpus expansion and every LUT/probe join ride
-    # broadcasts; the only nested-loop joins are those broadcast
-    # |Q|-row expansions (never a shuffle-side cartesian)
+    # Since round 13 the corpus scan runs ONCE inside the memoized
+    # harness; the metric query's own plan is local-relation joins.
+    # The broadcast property belongs to the harness BUILD: the |Q|-way
+    # corpus expansion and every LUT/probe join ride broadcasts (never
+    # a shuffle-side cartesian).
+    from concurrent_etl_go_spark.llm.retrieval_eval import (
+        _int_vectors,
+        _query_set,
+        _truth,
+    )
+
+    iv = _int_vectors(spark, sf_dir)
+    build_plan = (
+        _truth(iv, _query_set(iv))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in build_plan
+    assert "CartesianProduct" not in build_plan
+    # the metric query itself: no cartesian, no Python-eval in the plan
     plan = plan_of(spark, sf_dir, "search_eval_recall_at_k")
-    assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
