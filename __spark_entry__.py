@@ -64,38 +64,28 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: dead-module ADVICE item), and (c) the round-12 additions.  All
 #: verified via scripts/check_queries.py at sf0.001 + sf0.01 + sf0.1
 #: before handoff.
-_ROUND12_WINDOW = [
-    # --- (a) fold-literal sweep re-proofs ---
-    "window_keltner",
-    "window_rsi",
-    "window_atr",
-    # re-proof: beta cancellation widened to DECIMAL(38,0) + ROUND(6)
-    # after the sf1 decade point overflowed the round-11 int64 form
-    "window_beta",
-    # --- (b) retail5 wired in (new to the registry this round) ---
-    "agg_price_index_laspeyres",
-    "agg_basket_size_distribution",
-    "agg_hhi_concentration",
-    "agg_gini_coefficient",
-    # --- (c) round-12 additions ---
-    "dataset_pack_efficiency",
-    "search_cross_encoder_rerank",
-    "dedup_gate_flags",
+#: Round 13 front-loads the RE-PROOF block — every query whose Spark
+#: expression changed this round: the eight search_eval_* metric
+#: queries + dataset_contrastive_triples now ride the memoized harness
+#: (materialized truth/arms/pool tables, MMR greedy selection computed
+#: driver-side over the bounded pool), and embeddings_top_component's
+#: rescale switched to the portable signed floor-division idiom.  All
+#: verified via scripts/check_queries.py at sf0.01 + sf0.1 before
+#: handoff.  The remaining ~39 slots fill automatically with the
+#: OLDEST-PROOF-FIRST rotation below (VERDICT r12 §Next #4): round 13's
+#: tail is the round-2-era block (scalar/set/window basics), reported
+#: by scripts/window_staleness.py.
+_ROUND13_WINDOW = [
+    "search_eval_recall_at_k",
+    "search_eval_ndcg_at_k",
+    "search_eval_mrr",
+    "search_eval_mmr_arm",
+    "search_eval_map_at_k",
+    "search_eval_auc",
     "search_eval_interpolated_pr",
     "search_eval_rbo",
-    "agg_trimmed_mean",
-    "agg_winsorized_mean",
-    "window_parkinson_vol",
-    "text_dedup_rate_by_source",
-    "text_readability_fk",
-    "agg_bootstrap_ci",
-    "agg_decile_lift_table",
     "dataset_contrastive_triples",
     "embeddings_top_component",
-    "dataset_tokenizer_fertility",
-    "dataset_mix_temperature_weights",
-    "text_bigram_entropy_rate",
-    "dedup_cluster_size_histogram",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48
@@ -319,21 +309,91 @@ _PROVEN_R11 = frozenset({
     "agg_time_decay_score",
 })
 
+#: Proven green in CORRECTNESS_r12 (all 50 window rows green — the
+#: fold-literal re-proofs, retail5, and the 26 round-12 additions).
+_PROVEN_R12 = frozenset({
+    "window_keltner", "window_rsi", "window_atr", "window_beta",
+    "agg_price_index_laspeyres", "agg_basket_size_distribution",
+    "agg_hhi_concentration", "agg_gini_coefficient",
+    "dataset_pack_efficiency", "search_cross_encoder_rerank",
+    "dedup_gate_flags", "search_eval_interpolated_pr", "search_eval_rbo",
+    "agg_trimmed_mean", "agg_winsorized_mean", "window_parkinson_vol",
+    "text_dedup_rate_by_source", "text_readability_fk",
+    "agg_bootstrap_ci", "agg_decile_lift_table",
+    "dataset_contrastive_triples", "embeddings_top_component",
+    "dataset_tokenizer_fertility", "dataset_mix_temperature_weights",
+    "text_bigram_entropy_rate", "dedup_cluster_size_histogram",
+    "join_attribution_last_touch", "agg_window_funnel",
+    "scalar_float_canary", "cdc_table_changes", "cdc_apply_changes",
+    "cdc_mirror_replicate", "agg_theil_decomposition",
+    "etl_transform_flat", "etl_explode_indicators", "etl_worker_route",
+    "etl_micro_batch", "agg_ab_test", "agg_ab_cuped", "agg_ab_did",
+    "agg_srm_check", "agg_sprt_ab", "agg_capture_recapture",
+    "agg_effect_size", "window_macd", "window_bollinger", "window_vwap",
+    "window_obv", "window_donchian", "window_sharpe",
+})
+
 _PROVEN = (
     _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
     | _PROVEN_R08 | _PROVEN_R09 | _PROVEN_R10 | _PROVEN_R11
+    | _PROVEN_R12
 )
 
 
+def _last_proof_rounds() -> dict[str, int]:
+    """query -> last round with a green row in committed
+    CORRECTNESS_r*.json artifacts (0 = never driver-proven).  Drives
+    the automatic oldest-proof-first rotation of the driver window
+    (VERDICT r12 §Next #4); returns {} when artifacts are unavailable
+    so ordering degrades to alphabetical-stable."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    try:
+        for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+            m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as f:
+                data = _json.load(f)
+            if not isinstance(data, dict):
+                continue
+            for name, row in data.items():
+                if not isinstance(row, dict):
+                    continue
+                green = bool(row.get("hash_match")) or (
+                    row.get("err") in ("no_oracle", None)
+                    and row.get("rows_match") is not False
+                    and row.get("spark_rows", -1) >= 0
+                )
+                if green:
+                    last[name] = max(last.get(name, 0), rnd)
+    except Exception:  # noqa: BLE001 — ordering is best-effort
+        return {}
+    return last
+
+
 def _driver_order(names: list[str]) -> list[str]:
-    """Order query names for the driver's 50-slot correctness window."""
-    window = [n for n in _ROUND12_WINDOW if n in set(names)]
+    """Order query names for the driver's 50-slot correctness window:
+    this round's re-proof block first, then never-proven queries, then
+    everything else OLDEST-PROOF-FIRST (ties alphabetical) so the
+    driver's own artifact re-verifies the stalest proofs each round."""
+    window = [n for n in _ROUND13_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names
         if n not in in_window and n not in _PROVEN
     ]
-    proven = [n for n in names if n in _PROVEN and n not in in_window]
+    last = _last_proof_rounds()
+    proven = sorted(
+        (n for n in names if n in _PROVEN and n not in in_window),
+        key=lambda n: (last.get(n, 0), n),
+    )
     return window + fresh + proven
 
 

@@ -269,6 +269,9 @@ HEADLINE = (
     "dataset_mix_temperature_weights",  # tau=0.7 sampling mix
     "text_bigram_entropy_rate",     # conditional entropy, micro-nats
     "dedup_cluster_size_histogram", # dup-cluster size distribution
+    # round-13 additions
+    "agg_trimmed_mean_scalable",    # grouped distributed-rank twin
+    "agg_winsorized_mean_scalable", # grouped distributed-rank twin
 )
 
 

@@ -92,6 +92,63 @@ def _global_rank(df: DataFrame, *order_cols: str) -> tuple[DataFrame, int]:
     return ranked, n
 
 
+def grouped_rank(
+    df: DataFrame, group_col: str, *order_cols: str
+) -> DataFrame:
+    """Attach an exact 1-based PER-GROUP rank ``rn`` (and group size
+    ``n``) over a total order within each group, with no group-sized
+    sort partition — the grouped generalization of ``_global_rank``
+    (round 13, VERDICT r12 §Next #5).
+
+    Same recipe: range-bucket on the first order column using global
+    approx-quantile boundaries frozen as literals (monotone within
+    every group, ties land in one bucket, so recomputation is
+    deterministic), rank locally within (group, bucket), then offset by
+    the broadcast cumulative size of the group's earlier buckets.
+    Driver traffic: the boundaries plus one (group, bucket) count row
+    per occupied cell — |groups| x ``_RANK_PARTITIONS`` rows, corpus-
+    independent.  Sort partitions are (group, bucket)-sized: at 100 TB
+    raise ``_RANK_PARTITIONS`` to O(cores/groups) and no partition ever
+    holds a full group."""
+    cols = [F.col(c) for c in order_cols]
+    first = order_cols[0]
+    qs = [i / _RANK_PARTITIONS for i in range(1, _RANK_PARTITIONS)]
+    boundaries = sorted(set(df.stat.approxQuantile(first, qs, 0.01)))
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(F.col(first) > F.lit(b), 1).otherwise(0)
+    parted = df.withColumn("_pid", bucket)
+    sizes = (
+        parted.groupBy(group_col, "_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    per_group: dict[object, dict[int, int]] = {}
+    for row in sizes:
+        per_group.setdefault(row[group_col], {})[row["_pid"]] = row["cnt"]
+    offset_rows = []
+    for g, cells in per_group.items():
+        total = sum(cells.values())
+        acc = 0
+        for pid in sorted(cells):
+            offset_rows.append((g, int(pid), acc, total))
+            acc += cells[pid]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        offset_rows,
+        f"{group_col} string, _pid int, _off long, n long",
+    )
+    local = Window.partitionBy(group_col, "_pid").orderBy(*cols)
+    return (
+        parted.join(F.broadcast(offsets), [group_col, "_pid"])
+        .withColumn(
+            "rn",
+            (F.row_number().over(local) + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def _ntile_expr(rn: F.Column, n: int, k: int) -> F.Column:
     """SQL-standard ``ntile(k)`` as a pure function of (rank, n): the
     first ``n % k`` buckets get ``n // k + 1`` rows, the rest ``n // k``."""

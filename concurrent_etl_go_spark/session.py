@@ -61,6 +61,15 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Kafka (or any connector) jar escape hatch: point at local jar
+    # path(s) and the real connector loads without a network fetch —
+    # e.g. SPARK_GRAFT_EXTRA_JARS=/opt/jars/spark-sql-kafka-0-10_2.13-4.0.0.jar
+    # (comma-separated).  The probe in streaming.kafka_stream then
+    # passes and tests/test_kafka_gated.py's real-connector test
+    # un-skips.
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS", "")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "").lower() in ("1", "true"):
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER

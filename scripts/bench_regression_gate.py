@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Round-over-round bench regression gate (VERDICT r12 §Next #1).
+
+Compares the current ``BENCH_LOCAL.json`` against a baseline bench
+record (default: the version committed at the given git rev) and FAILS
+close-out when, under the identical protocol:
+
+- any common query regressed more than ``--max-ratio`` (default 1.5x)
+  with an absolute slowdown above ``--min-delta`` seconds (so a
+  0.05s -> 0.09s blip cannot fail the gate), or
+- the common-query median ratio exceeds ``--max-median`` (default
+  1.15x) — the fleet-wide-drift signature round 12 shipped unnoticed.
+
+Also prints the sentinel-drift number when present (bench.py re-runs
+its first queries at session end; a high value means the session got
+heavier — accumulation — while a clean sentinel with slow mid-run
+queries means host noise).
+
+Usage:
+  python scripts/bench_regression_gate.py [--current BENCH_LOCAL.json]
+      [--baseline-rev <rev>] [--baseline-file <path>]
+      [--max-ratio 1.5] [--max-median 1.15] [--min-delta 0.3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_baseline(args) -> dict:
+    if args.baseline_file:
+        with open(args.baseline_file) as f:
+            return json.load(f)
+    out = subprocess.run(
+        ["git", "show", f"{args.baseline_rev}:BENCH_LOCAL.json"],
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--current", default=os.path.join(REPO_ROOT, "BENCH_LOCAL.json"))
+    ap.add_argument("--baseline-rev", default="HEAD")
+    ap.add_argument("--baseline-file", default="")
+    ap.add_argument("--max-ratio", type=float, default=1.5)
+    ap.add_argument("--max-median", type=float, default=1.15)
+    ap.add_argument("--min-delta", type=float, default=0.3)
+    args = ap.parse_args()
+
+    with open(args.current) as f:
+        cur = json.load(f)
+    base = load_baseline(args)
+    cq, bq = cur.get("queries", {}), base.get("queries", {})
+    common = sorted(set(cq) & set(bq))
+    if not common:
+        print("no common queries — nothing to gate")
+        return 0
+
+    ratios = []
+    offenders = []
+    for name in common:
+        b, c = bq[name], cq[name]
+        if b <= 0:
+            continue
+        r = c / b
+        ratios.append(r)
+        if r > args.max_ratio and (c - b) > args.min_delta:
+            offenders.append((r, name, b, c))
+    med = statistics.median(ratios)
+    cur_total = sum(cq[n] for n in common)
+    base_total = sum(bq[n] for n in common)
+    print(
+        f"common queries: {len(common)}; total {base_total:.1f}s -> "
+        f"{cur_total:.1f}s ({cur_total / base_total:.2f}x); "
+        f"median ratio {med:.3f}"
+    )
+    if cur.get("sentinel_drift") is not None:
+        print(
+            f"sentinel drift (end-of-session re-run of first queries): "
+            f"{cur['sentinel_drift']}x "
+            f"({'accumulation signature' if cur['sentinel_drift'] > 1.2 else 'session stayed light'})"
+        )
+    for r, name, b, c in sorted(offenders, reverse=True):
+        print(f"  REGRESSED {r:5.2f}x  {name}: {b:.2f}s -> {c:.2f}s")
+
+    fail = bool(offenders) or med > args.max_median
+    if fail:
+        print(
+            f"GATE FAILED: {len(offenders)} per-query offenders, "
+            f"median {med:.3f} (limit {args.max_median})"
+        )
+    else:
+        print("GATE OK")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

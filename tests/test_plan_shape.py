@@ -596,6 +596,21 @@ def test_round9_retrieval_eval_broadcasts_query_set(spark, sf_dir):
         assert marker not in plan
 
 
+def test_round13_robust_means_scalable_rank_is_bucketed(spark, sf_dir):
+    # the scalable robust-mean twins must never sort a whole priority
+    # group in one partition: the rank window partitions on
+    # (priority, _pid) — the grouped distributed-rank recipe
+    for name in ("agg_trimmed_mean_scalable", "agg_winsorized_mean_scalable"):
+        plan = plan_of(spark, sf_dir, name)
+        spec_lines = [
+            l for l in plan.splitlines() if "windowspecdefinition(" in l
+        ]
+        assert spec_lines, name
+        assert all("_pid" in l for l in spec_lines), (
+            f"{name}: rank window not bucketed: {spec_lines[:1]}"
+        )
+
+
 def test_round9_survival_grain_collapses_before_window(spark, sf_dir):
     # the at-risk cumulative sum must run AFTER the per-duration hash
     # aggregation (dimension-sized window), not over raw customers
