@@ -272,6 +272,15 @@ HEADLINE = (
     # round-13 additions
     "agg_trimmed_mean_scalable",    # grouped distributed-rank twin
     "agg_winsorized_mean_scalable", # grouped distributed-rank twin
+    "window_amihud_illiquidity",    # |dP|/volume price-impact series
+    "agg_kelly_fraction",           # Kelly f* from daily diff series
+    "window_drawdown_duration",     # longest below-peak spells
+    "text_gopher_rules",            # per-rule corpus quality gate
+    "text_ttr_prefix_profile",      # prefix type-token diversity
+    "dataset_cluster_balanced_sample",  # 1/cluster-size keep sampling
+    "agg_uplift_qini",              # uplift Qini curve over deciles
+    "agg_latency_slo_hourly",       # exact-rank p50/p95/p99 + breaches
+    "agg_median_polish",            # Tukey two-way robust decomposition
 )
 
 

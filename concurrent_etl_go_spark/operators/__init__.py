@@ -14,6 +14,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     experiments,
     experiments2,
     experiments3,
+    experiments4,
     finance,
     finance2,
     finance3,
@@ -53,6 +54,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     sketches,
     sketches2,
     skew,
+    slo,
     stats_tests,
     stats_tests2,
     stats_tests3,

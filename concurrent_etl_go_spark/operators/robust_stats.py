@@ -302,6 +302,169 @@ def agg_winsorized_mean_scalable(
     )
 
 
+#: Median-polish sweeps (row sweep + column sweep per iteration).
+_POLISH_SWEEPS = 2
+
+
+def _mp_oracle() -> str:
+    """Unrolled DuckDB median-polish chain: per sweep, subtract the
+    per-row lower median, then the per-column lower median (lower
+    median = value at rank (n+1)//2 under a total (value, other-dim)
+    order — integer-exact, no interpolation)."""
+    steps = [
+        """res0 AS MATERIALIZED (
+        SELECT nation, priority, cents AS resid FROM cells
+    ),
+    reff0 AS MATERIALIZED (
+        SELECT DISTINCT nation, CAST(0 AS BIGINT) AS row_eff FROM cells
+    ),
+    ceff0 AS MATERIALIZED (
+        SELECT DISTINCT priority, CAST(0 AS BIGINT) AS col_eff FROM cells
+    )"""
+    ]
+    for k in range(1, _POLISH_SWEEPS + 1):
+        p = k - 1
+        steps.append(
+            f"""rmed{k} AS MATERIALIZED (
+        SELECT nation, resid AS m FROM (
+          SELECT nation, resid,
+                 ROW_NUMBER() OVER (PARTITION BY nation
+                                    ORDER BY resid, priority) AS rn,
+                 COUNT(*) OVER (PARTITION BY nation) AS n
+          FROM res{2 * p}
+        ) WHERE rn = (n + 1) // 2
+    ),
+    res{2 * p + 1} AS MATERIALIZED (
+        SELECT r.nation, r.priority, r.resid - m.m AS resid
+        FROM res{2 * p} r JOIN rmed{k} m ON m.nation = r.nation
+    ),
+    reff{k} AS MATERIALIZED (
+        SELECT e.nation, e.row_eff + m.m AS row_eff
+        FROM reff{k - 1} e JOIN rmed{k} m ON m.nation = e.nation
+    ),
+    cmed{k} AS MATERIALIZED (
+        SELECT priority, resid AS m FROM (
+          SELECT priority, resid,
+                 ROW_NUMBER() OVER (PARTITION BY priority
+                                    ORDER BY resid, nation) AS rn,
+                 COUNT(*) OVER (PARTITION BY priority) AS n
+          FROM res{2 * p + 1}
+        ) WHERE rn = (n + 1) // 2
+    ),
+    res{2 * p + 2} AS MATERIALIZED (
+        SELECT r.nation, r.priority, r.resid - m.m AS resid
+        FROM res{2 * p + 1} r JOIN cmed{k} m ON m.priority = r.priority
+    ),
+    ceff{k} AS MATERIALIZED (
+        SELECT e.priority, e.col_eff + m.m AS col_eff
+        FROM ceff{k - 1} e JOIN cmed{k} m ON m.priority = e.priority
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    {chain}
+    SELECT r.nation, r.priority,
+           CAST(r.resid AS BIGINT) AS resid_cents,
+           CAST(e.row_eff AS BIGINT) AS row_eff_cents,
+           CAST(f.col_eff AS BIGINT) AS col_eff_cents
+    FROM res{2 * _POLISH_SWEEPS} r
+    JOIN reff{_POLISH_SWEEPS} e ON e.nation = r.nation
+    JOIN ceff{_POLISH_SWEEPS} f ON f.priority = r.priority
+    """
+
+
+@query("agg_median_polish", oracle=_mp_oracle())
+def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish of the nation x priority revenue matrix
+    (Tukey 1977, public literature): ``_POLISH_SWEEPS`` alternating
+    row/column sweeps subtract the integer LOWER median (rank
+    (n+1)//2 under a total order — the module's no-interpolation
+    discipline), decomposing each cell into row effect + column effect
+    + residual.  The residual table is the robust interaction readout:
+    a cell whose residual stays large is genuinely unusual for BOTH
+    its nation and its priority, not just a member of a big row.
+
+    Scale: one orders star-join collapse to 125 cells; every sweep is
+    a window over <= 25-element partitions — driver-trivial after the
+    grain collapse, at any corpus size."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cells = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(F.expr(_CENTS)).cast("long").alias("resid"))
+    )
+    resid = cells
+    row_eff = cells.select("nation").distinct().withColumn(
+        "row_eff", F.lit(0).cast("long")
+    )
+    col_eff = cells.select("priority").distinct().withColumn(
+        "col_eff", F.lit(0).cast("long")
+    )
+
+    def lower_median(df: DataFrame, by: str, tiebreak: str) -> DataFrame:
+        w = Window.partitionBy(by).orderBy("resid", tiebreak)
+        wn = Window.partitionBy(by)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .where(F.expr("_rn = (_n + 1) div 2"))
+            .select(by, F.col("resid").alias("m"))
+        )
+
+    for _ in range(_POLISH_SWEEPS):
+        rmed = lower_median(resid, "nation", "priority")
+        resid = resid.join(rmed, "nation").select(
+            "nation",
+            "priority",
+            (F.col("resid") - F.col("m")).alias("resid"),
+        )
+        row_eff = row_eff.join(rmed, "nation").select(
+            "nation", (F.col("row_eff") + F.col("m")).alias("row_eff")
+        )
+        cmed = lower_median(resid, "priority", "nation")
+        resid = resid.join(cmed, "priority").select(
+            "nation",
+            "priority",
+            (F.col("resid") - F.col("m")).alias("resid"),
+        )
+        col_eff = col_eff.join(cmed, "priority").select(
+            "priority", (F.col("col_eff") + F.col("m")).alias("col_eff")
+        )
+    return (
+        resid.join(row_eff, "nation")
+        .join(col_eff, "priority")
+        .select(
+            "nation",
+            "priority",
+            F.col("resid").cast("long").alias("resid_cents"),
+            F.col("row_eff").cast("long").alias("row_eff_cents"),
+            F.col("col_eff").cast("long").alias("col_eff_cents"),
+        )
+    )
+
+
 @query(
     "agg_decile_lift_table",
     oracle=f"""

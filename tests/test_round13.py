@@ -46,6 +46,186 @@ def test_pca_rescale_portable_on_signed_raw(spark, raw, m):
     assert got_duck == expected, f"DuckDB // diverged: {got_duck}"
 
 
+def _rows(spark, name, sf_dir):
+    from concurrent_etl_go_spark.operators.registry import (
+        QUERIES,
+        release_caches,
+    )
+
+    out = QUERIES[name](spark, sf_dir).collect()
+    release_caches()
+    return out
+
+
+def test_gopher_rules_match_pure_python(spark, sf_dir):
+    """Independent reference: recompute the four rule pass-counts in
+    pure Python over the same parquet and compare per source."""
+    import collections
+
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    stop = {"the", "a", "of", "to", "and", "in"}
+    exp = collections.defaultdict(
+        lambda: {"docs": 0, "w": 0, "m": 0, "s": 0, "r": 0, "all": 0}
+    )
+    for row in docs:
+        toks = row["text"].split(" ")
+        n = len(toks)
+        tf = collections.Counter(toks)
+        mean_e2 = sum(len(t) for t in toks) * 100 // n
+        r_w = 1 if 50 <= n <= 100_000 else 0
+        r_m = 1 if 300 <= mean_e2 <= 1000 else 0
+        r_s = 1 if len(set(toks) & stop) >= 2 else 0
+        r_r = 1 if max(tf.values()) * 10000 // n <= 2000 else 0
+        e = exp[row["source"]]
+        e["docs"] += 1
+        e["w"] += r_w
+        e["m"] += r_m
+        e["s"] += r_s
+        e["r"] += r_r
+        e["all"] += r_w * r_m * r_s * r_r
+    got = {r["source"]: r for r in _rows(spark, "text_gopher_rules", sf_dir)}
+    assert set(got) == set(exp)
+    for src, e in exp.items():
+        g = got[src]
+        assert (
+            g["docs"],
+            g["pass_word_count"],
+            g["pass_mean_len"],
+            g["pass_stopwords"],
+            g["pass_repetition"],
+            g["pass_all"],
+        ) == (e["docs"], e["w"], e["m"], e["s"], e["r"], e["all"]), src
+
+
+def test_ttr_prefix_matches_pure_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "text"
+    ).collect()
+    sums = defaultdict(lambda: [0, 0, 0, 0])  # docs, t10, t25, t50
+    for row in docs:
+        toks = row["text"].split(" ")
+        s = sums[row["source"]]
+        s[0] += 1
+        for j, p in enumerate((10, 25, 50)):
+            types = len(set(toks[:p]))
+            s[j + 1] += types * 10000 // min(len(toks), p)
+    got = {
+        r["source"]: r
+        for r in _rows(spark, "text_ttr_prefix_profile", sf_dir)
+    }
+    for src, (d, t10, t25, t50) in sums.items():
+        g = got[src]
+        assert g["docs"] == d
+        assert g["avg_ttr10_e4"] == t10 // d
+        assert g["avg_ttr25_e4"] == t25 // d
+        assert g["avg_ttr50_e4"] == t50 // d
+
+
+def test_qini_structure_and_null_uplift(spark, sf_dir):
+    """10 deciles, arm sizes sum to the customer count, and — because
+    the md5 split is independent of everything — the per-decile
+    treated/control conversion RATES stay close (the null)."""
+    rows = sorted(
+        _rows(spark, "agg_uplift_qini", sf_dir), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    n_cust = read_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == n_cust
+    for r in rows:
+        # both arms populated in every decile at these scales
+        assert r["n_t"] > 0 and r["n_c"] > 0
+        assert 0 <= r["rate_t_e4"] <= 10000
+        assert 0 <= r["rate_c_e4"] <= 10000
+
+
+def test_latency_slo_percentiles_ordered(spark, sf_dir):
+    for r in _rows(spark, "agg_latency_slo_hourly", sf_dir):
+        assert r["p50_centi"] <= r["p95_centi"] <= r["p99_centi"]
+        assert 0 <= r["breaches"] <= r["n"]
+        assert r["breach_e4"] == r["breaches"] * 10000 // r["n"]
+
+
+def test_drawdown_spells_are_disjoint_and_ranked(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, "window_drawdown_duration", sf_dir),
+        key=lambda r: r["spell_rank"],
+    )
+    assert rows and rows[0]["spell_rank"] == 1
+    days = [r["days"] for r in rows]
+    assert days == sorted(days, reverse=True)
+    spans = sorted((r["start_day"], r["end_day"]) for r in rows)
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert e1 < s2, "drawdown spells overlap"
+    for r in rows:
+        assert r["start_day"] <= r["end_day"]
+
+
+def test_median_polish_residuals_reconstruct_cells(spark, sf_dir):
+    """effects + residual must reproduce each cell's original cents
+    EXACTLY (the decomposition is a chain of exact subtractions)."""
+    from concurrent_etl_go_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    rows = _rows(spark, "agg_median_polish", sf_dir)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    cells = {
+        (r["nation"], r["priority"]): r["cents"]
+        for r in orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("cents")
+        )
+        .collect()
+    }
+    assert len(rows) == len(cells)
+    for r in rows:
+        total = r["resid_cents"] + r["row_eff_cents"] + r["col_eff_cents"]
+        assert total == cells[(r["nation"], r["priority"])], (
+            r["nation"],
+            r["priority"],
+        )
+
+
+def test_kelly_components_consistent(spark, sf_dir):
+    for r in _rows(spark, "agg_kelly_fraction", sf_dir):
+        assert 0 <= r["p_e4"] <= 10000
+        assert r["p_e4"] == r["n_up"] * 10000 // max(r["n_up"] + r["n_dn"], 1)
+        b_e4 = r["avg_up_cents"] * 10000 // max(r["avg_dn_cents"], 1)
+        assert r["b_e4"] == b_e4
+        assert r["kelly_e4"] == r["p_e4"] - (10000 - r["p_e4"]) * 10000 // max(
+            b_e4, 1
+        )
+
+
+def test_cluster_balanced_sample_bounds(spark, sf_dir):
+    rows = _rows(spark, "dataset_cluster_balanced_sample", sf_dir)
+    assert rows
+    for r in rows:
+        assert 0 <= r["sampled"] <= r["docs"]
+        assert 0 <= r["in_dup_clusters"] <= r["docs"]
+        assert r["sample_e4"] == r["sampled"] * 10000 // r["docs"]
+
+
 def test_rbo_oracle_no_placeholder_via_lazy_lookup():
     """ADVICE r12 (low): fetching the RBO oracle must never return
     literal '{bm25}'/'{xe}' placeholders, on any import path."""
