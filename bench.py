@@ -281,6 +281,9 @@ HEADLINE = (
     "agg_uplift_qini",              # uplift Qini curve over deciles
     "agg_latency_slo_hourly",       # exact-rank p50/p95/p99 + breaches
     "agg_median_polish",            # Tukey two-way robust decomposition
+    "embeddings_remove_top_component",  # All-but-the-Top postprocess
+    "agg_ulcer_index",              # mean-squared drawdown depth
+    "dataset_mix_waterfill",        # capped temperature-mix allocation
 )
 
 

@@ -26,6 +26,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     negatives,
     packing,
     pca,
+    postprocess,
     quality_gates,
     quantize,
     retrieval_eval,

@@ -38,7 +38,12 @@ _ROUNDS = 8
 _X_SCALE = 1_000_000
 
 
-def _pca_oracle() -> str:
+def _pca_chain_sql() -> str:
+    """The shared WITH-body: quantized vectors ``iv``, Gram matrix
+    ``g``, and the unrolled power-iteration chain ending at
+    ``x{_ROUNDS}`` (dim ``i``, weight ``w``).  Used by the
+    ``embeddings_top_component`` oracle AND the remove-top-component
+    post-processing oracle (``llm/postprocess.py``)."""
     steps = [
         f"""x0 AS MATERIALIZED (
         SELECT unnest(range(1, {_DIM + 1})) AS i,
@@ -65,8 +70,7 @@ def _pca_oracle() -> str:
     )"""
         )
     chain = ",\n    ".join(steps)
-    return f"""
-    WITH iv AS MATERIALIZED (
+    return f"""iv AS MATERIALIZED (
       SELECT vec_id,
              [CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)
               for x in embedding] AS v
@@ -83,9 +87,21 @@ def _pca_oracle() -> str:
       FROM comps a JOIN comps b ON a.vec_id = b.vec_id
       GROUP BY a.i, b.i
     ),
-    {chain}
+    {chain}"""
+
+
+def _pca_oracle() -> str:
+    return f"""
+    WITH {_pca_chain_sql()}
     SELECT i AS dim, w AS weight_e6 FROM x{_ROUNDS}
     """
+
+
+def top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dim, weight_e6): the power-iteration top principal direction —
+    the shared kernel behind ``embeddings_top_component`` and the
+    remove-top-component post-processing (``llm/postprocess.py``)."""
+    return embeddings_top_component(spark, sf_dir)
 
 
 @query("embeddings_top_component", oracle=_pca_oracle())

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from concurrent_etl_go_spark.operators.registry import query
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 #: Gopher-style rule thresholds (integer lattice; the word-count and
@@ -244,6 +244,162 @@ def text_ttr_prefix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _TTR_PREFIXES
     ]
     return per_doc.groupBy("source").agg(*out_aggs)
+
+
+#: Waterfill mix: temperature for source weights, budget as a fraction
+#: of the corpus, and the number of unrolled redistribution rounds.
+_WF_TAU = 0.7
+_WF_BUDGET_PCT = 40  # budget = 40% of total docs
+_WF_ROUNDS = 2
+
+
+def _wf_oracle() -> str:
+    steps = [
+        f"""a0 AS MATERIALIZED (
+        SELECT source, avail, q_e9,
+               LEAST(avail, CAST(b.budget * q_e9 // qs.qsum AS BIGINT))
+                 AS alloc
+        FROM q CROSS JOIN b CROSS JOIN qs
+    )"""
+    ]
+    for k in range(1, _WF_ROUNDS + 1):
+        p = k - 1
+        steps.append(
+            f"""left{k} AS MATERIALIZED (
+        SELECT b.budget - SUM(alloc) AS leftover FROM a{p} CROSS JOIN b
+        GROUP BY b.budget
+    ),
+    qs{k} AS MATERIALIZED (
+        SELECT COALESCE(SUM(q_e9) FILTER (WHERE alloc < avail), 0)
+                 AS qsum_open
+        FROM a{p}
+    ),
+    a{k} AS MATERIALIZED (
+        SELECT a.source, a.avail, a.q_e9,
+               CASE WHEN a.alloc < a.avail AND s.qsum_open > 0
+                    THEN LEAST(a.avail,
+                         a.alloc + CAST(l.leftover * a.q_e9
+                                        // s.qsum_open AS BIGINT))
+                    ELSE a.alloc END AS alloc
+        FROM a{p} a CROSS JOIN left{k} l CROSS JOIN qs{k} s
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS MATERIALIZED (SELECT SUM(avail) AS total FROM t),
+    b AS MATERIALIZED (
+      SELECT CAST(total * {_WF_BUDGET_PCT} // 100 AS BIGINT) AS budget
+      FROM tot
+    ),
+    q AS MATERIALIZED (
+      SELECT source, avail,
+             CAST(ROUND(pow(CAST(avail AS DOUBLE) / tot.total,
+                            {_WF_TAU}) * 1000000000, 0) AS BIGINT)
+               AS q_e9
+      FROM t CROSS JOIN tot
+    ),
+    qs AS MATERIALIZED (SELECT SUM(q_e9) AS qsum FROM q),
+    {chain}
+    SELECT a.source, a.avail,
+           CAST(a.q_e9 * 10000 // qs.qsum AS BIGINT) AS target_share_bp,
+           CAST(a.alloc AS BIGINT) AS alloc,
+           CASE WHEN a.alloc >= a.avail THEN 1 ELSE 0 END AS capped,
+           CAST(a.alloc * 10000 // a.avail AS BIGINT) AS fill_e4
+    FROM a{_WF_ROUNDS} a CROSS JOIN qs
+    """
+
+
+@query("dataset_mix_waterfill", oracle=_wf_oracle())
+def dataset_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained sampling-mix waterfill: allocate a document
+    budget ({_WF_BUDGET_PCT}% of the corpus) across source feeds
+    proportionally to temperature-scaled weights ``(share)^tau``
+    (tau = {_WF_TAU}, the ``dataset_mix_temperature_weights`` pinning
+    convention), CAPPED at each feed's availability, with
+    ``_WF_ROUNDS`` unrolled redistribution rounds pushing the capped
+    feeds' unused budget back onto the open feeds — the allocation a
+    mix planner actually runs when small feeds can't satisfy their
+    temperature share.  All integer: counts, e9-pinned weights, floor
+    divisions; both dialects execute the identical rounds.
+
+    Scale: one documents scan to |sources| rows; every round is
+    constant-size arithmetic over that table."""
+    t = scoped_persist(
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("avail"))
+    )
+    tot = t.agg(F.sum("avail").alias("total"))
+    budget = tot.select(
+        F.expr(
+            f"CAST(total * {_WF_BUDGET_PCT} div 100 AS BIGINT)"
+        ).alias("budget")
+    )
+    q = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.expr(
+            f"CAST(ROUND(pow(CAST(avail AS DOUBLE) / total,"
+            f" {_WF_TAU}) * 1000000000, 0) AS BIGINT)"
+        ).alias("q_e9"),
+    )
+    qs = q.agg(F.sum("q_e9").alias("qsum"))
+    a = (
+        q.crossJoin(F.broadcast(budget))
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "source",
+            "avail",
+            "q_e9",
+            F.expr(
+                "LEAST(avail, CAST(budget * q_e9 div qsum AS BIGINT))"
+            ).alias("alloc"),
+        )
+    )
+    for _ in range(_WF_ROUNDS):
+        a = scoped_persist(a)
+        leftover = a.crossJoin(F.broadcast(budget)).agg(
+            (F.first("budget") - F.sum("alloc")).alias("leftover")
+        )
+        qsum_open = a.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("alloc") < F.col("avail"), F.col("q_e9"))),
+                F.lit(0),
+            ).alias("qsum_open")
+        )
+        a = (
+            a.crossJoin(F.broadcast(leftover))
+            .crossJoin(F.broadcast(qsum_open))
+            .select(
+                "source",
+                "avail",
+                "q_e9",
+                F.expr(
+                    "CASE WHEN alloc < avail AND qsum_open > 0"
+                    " THEN LEAST(avail, alloc + CAST(leftover * q_e9"
+                    " div qsum_open AS BIGINT))"
+                    " ELSE alloc END"
+                ).alias("alloc"),
+            )
+        )
+    return a.crossJoin(F.broadcast(qs)).select(
+        "source",
+        "avail",
+        F.expr("CAST(q_e9 * 10000 div qsum AS BIGINT)").alias(
+            "target_share_bp"
+        ),
+        F.col("alloc").cast("long").alias("alloc"),
+        F.when(F.col("alloc") >= F.col("avail"), 1)
+        .otherwise(0)
+        .alias("capped"),
+        F.expr("CAST(alloc * 10000 div avail AS BIGINT)").alias(
+            "fill_e4"
+        ),
+    )
 
 
 @query(

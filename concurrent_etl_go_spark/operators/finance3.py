@@ -217,6 +217,73 @@ def agg_kelly_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_ulcer_index",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS grp, date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT grp,
+             CAST((MAX(cents) OVER w - cents) * 10000
+                  // MAX(cents) OVER w AS BIGINT) AS dd_bp
+      FROM daily
+      WINDOW w AS (PARTITION BY grp ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS days,
+           CAST(COUNT(*) FILTER (WHERE dd_bp > 0) AS BIGINT)
+             AS days_underwater,
+           CAST(MAX(dd_bp) AS BIGINT) AS max_dd_bp,
+           CAST(SUM(dd_bp * dd_bp) // COUNT(*) AS BIGINT)
+             AS ulcer_sq_bp2
+    FROM dd GROUP BY grp
+    """,
+)
+def agg_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer-index family per priority: daily drawdown from the running
+    peak in basis points, its maximum, the underwater-day count, and
+    the MEAN SQUARED drawdown (``ulcer_sq_bp2`` — the square of
+    Martin's ulcer index, kept squared so the statistic stays an exact
+    integer; take the root downstream if a float display is wanted).
+    Depth x duration in one table, complementing
+    ``window_drawdown_duration``'s spell list.
+
+    Scale: day-grain collapse, one running-max window per group, a
+    5-row report."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(F.sum(F.expr(_CENTS)).cast("long").alias("cents"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.withColumn("rm", F.max("cents").over(w)).select(
+        "grp",
+        F.expr("CAST((rm - cents) * 10000 div rm AS BIGINT)").alias(
+            "dd_bp"
+        ),
+    )
+    return dd.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("days"),
+        F.sum(F.when(F.col("dd_bp") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("days_underwater"),
+        F.max("dd_bp").cast("long").alias("max_dd_bp"),
+        F.expr(
+            "CAST(SUM(dd_bp * dd_bp) div COUNT(*) AS BIGINT)"
+        ).alias("ulcer_sq_bp2"),
+    )
+
+
 _TOP_SPELLS = 10
 
 

@@ -226,6 +226,73 @@ def test_cluster_balanced_sample_bounds(spark, sf_dir):
         assert r["sample_e4"] == r["sampled"] * 10000 // r["docs"]
 
 
+def test_remove_top_component_matches_numpy(spark, sf_dir):
+    """Exact integer recompute: derive the direction from the query's
+    own output (hash-proven), then recompute proj/norm2/resid_norm2
+    per vector in pure Python and compare exactly."""
+    import math
+
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    vdir_rows = _rows(spark, "embeddings_top_component", sf_dir)
+    v = {r["dim"]: r["weight_e6"] for r in vdir_rows}
+    denom = sum(w * w for w in v.values())
+    vecs = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    got = {
+        r["vec_id"]: r
+        for r in _rows(spark, "embeddings_remove_top_component", sf_dir)
+    }
+    assert len(got) == len(vecs)
+    for row in vecs:
+        x = [int(math.floor(float(e) * 1024)) for e in row["embedding"]]
+        proj = sum(x[i - 1] * v[i] for i in v)
+        norm2 = sum(c * c for c in x)
+        resid2 = 0
+        for i in v:
+            s = proj * v[i]
+            u = (s - ((s % denom + denom) % denom)) // denom
+            r = x[i - 1] - u
+            resid2 += r * r
+        g = got[row["vec_id"]]
+        assert (g["proj_dot"], g["norm2"], g["resid_norm2"]) == (
+            proj,
+            norm2,
+            resid2,
+        ), row["vec_id"]
+
+
+def test_remove_top_component_shrinks_on_average(spark, sf_dir):
+    rows = _rows(spark, "embeddings_remove_top_component", sf_dir)
+    before = sum(r["norm2"] for r in rows)
+    after = sum(r["resid_norm2"] for r in rows)
+    assert after < before, "removing the dominant direction must shrink mass"
+
+
+def test_ulcer_index_bounds(spark, sf_dir):
+    for r in _rows(spark, "agg_ulcer_index", sf_dir):
+        assert 0 <= r["max_dd_bp"] <= 10000
+        assert 0 <= r["days_underwater"] <= r["days"]
+        assert 0 <= r["ulcer_sq_bp2"] <= r["max_dd_bp"] ** 2
+
+
+def test_waterfill_respects_budget_and_caps(spark, sf_dir):
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = _rows(spark, "dataset_mix_waterfill", sf_dir)
+    total = read_table(spark, sf_dir, "documents").count()
+    budget = total * 40 // 100
+    assert sum(r["alloc"] for r in rows) <= budget
+    for r in rows:
+        assert 0 <= r["alloc"] <= r["avail"]
+        assert r["capped"] == (1 if r["alloc"] >= r["avail"] else 0)
+        assert r["fill_e4"] == r["alloc"] * 10000 // r["avail"]
+    # the budget is 40% of the corpus, so unless nearly every feed is
+    # capped, most of it must be spent after the redistribution rounds
+    assert sum(r["alloc"] for r in rows) >= budget * 9 // 10
+
+
 def test_rbo_oracle_no_placeholder_via_lazy_lookup():
     """ADVICE r12 (low): fetching the RBO oracle must never return
     literal '{bm25}'/'{xe}' placeholders, on any import path."""
