@@ -18,6 +18,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     finance,
     finance2,
     finance3,
+    finance4,
     forecast,
     graph,
     graph2,
