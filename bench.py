@@ -284,6 +284,10 @@ HEADLINE = (
     "embeddings_remove_top_component",  # All-but-the-Top postprocess
     "agg_ulcer_index",              # mean-squared drawdown depth
     "dataset_mix_waterfill",        # capped temperature-mix allocation
+    "graph_modularity_labels",      # Newman-Girvan Q of LPA communities
+    "dedup_minhash_calibration",    # sketch-vs-exact error histogram
+    "text_langid_confusion",        # language-ID confusion matrix
+    "dataset_epoch_coverage",       # loader permutation audit
 )
 
 

@@ -8,6 +8,7 @@ decode stubs (the image/audio libraries are not in this environment).
 """
 
 from concurrent_etl_go_spark.llm import (  # noqa: F401
+    calibration,
     corpus_diff,
     corpus_files,
     curation,

@@ -25,6 +25,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     graph3,
     graph4,
     graph5,
+    graph6,
     layout,
     ml_primitives,
     profiling,

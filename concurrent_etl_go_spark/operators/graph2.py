@@ -694,7 +694,19 @@ def _lpa_oracle() -> str:
     """Unrolled fixed-round synchronous label propagation: round k
     counts the round-(k-1) labels over each node's neighbors and keeps
     the (max count, min label) winner — the engine's min_by((-c, lbl))
-    stated as a row_number ORDER BY c DESC, lbl."""
+    stated as a row_number ORDER BY c DESC, lbl.  The chain body lives
+    in ``_lpa_chain_sql`` so the modularity oracle can extend it."""
+    return f"""
+    WITH {_lpa_chain_sql()}
+    SELECT id, CAST(lbl AS BIGINT) AS label FROM l{_LPA_ROUNDS}
+    """
+
+
+def _lpa_chain_sql() -> str:
+    """Shared WITH-body: co-purchase edges, symmetrized ``sym``, and the
+    unrolled LPA chain ending at ``l{_LPA_ROUNDS}`` (id, lbl) — used by
+    the ``graph_label_propagation`` oracle AND the community-modularity
+    oracle (``operators/graph6.py``) chained on top of it."""
     steps = [
         "l0 AS MATERIALIZED "
         "(SELECT DISTINCT src AS id, src AS lbl FROM sym)",
@@ -716,12 +728,9 @@ def _lpa_oracle() -> str:
     )"""
         )
     chain = ",\n    ".join(steps)
-    return f"""
-    WITH {_EDGE_SQL},
+    return f"""{_EDGE_SQL},
     sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-    {chain}
-    SELECT id, CAST(lbl AS BIGINT) AS label FROM l{_LPA_ROUNDS}
-    """
+    {chain}"""
 
 
 @query("graph_label_propagation", oracle=_lpa_oracle())

@@ -293,6 +293,67 @@ def test_waterfill_respects_budget_and_caps(spark, sf_dir):
     assert sum(r["alloc"] for r in rows) >= budget * 9 // 10
 
 
+def test_modularity_sums_are_consistent(spark, sf_dir):
+    """Community accounting: internal edges <= degree mass, the degree
+    sums add up to m2, and Q = sum(q_num)/m2^2 lands in [-1, 1]."""
+    rows = _rows(spark, "graph_modularity_labels", sf_dir)
+    assert rows
+    m2 = rows[0]["m2"]
+    assert all(r["m2"] == m2 for r in rows)
+    assert sum(r["degree_sum"] for r in rows) == m2
+    for r in rows:
+        assert 0 <= 2 * r["internal_edges"] <= r["degree_sum"]
+    q = sum(r["q_num"] for r in rows) / (m2 * m2)
+    assert -1.0 <= q <= 1.0
+
+
+def test_minhash_calibration_buckets_sane(spark, sf_dir):
+    rows = _rows(spark, "dedup_minhash_calibration", sf_dir)
+    assert rows, "LSH candidates must exist on this corpus"
+    for r in rows:
+        assert -10 <= r["err_bucket"] <= 10
+        assert 0 <= r["avg_est_e4"] <= 10000
+        assert 0 <= r["avg_jac_e4"] <= 10000
+        assert 0 <= r["mae_e4"] <= 10000
+    # the calibration must concentrate: the |bucket| <= 2 mass (error
+    # within 0.2, i.e. ~1.6 permutation slots) dominates
+    total = sum(r["n_pairs"] for r in rows)
+    near = sum(r["n_pairs"] for r in rows if abs(r["err_bucket"]) <= 2)
+    assert near * 2 > total, "estimate errors not concentrated near 0"
+
+
+def test_langid_confusion_rows_total(spark, sf_dir):
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = _rows(spark, "text_langid_confusion", sf_dir)
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r["lang"]] = r["lang_total"]
+        assert r["correct"] == (
+            1 if r["lang"] == r["predicted_lang"] else 0
+        )
+    assert sum(by_lang.values()) == n_docs
+
+
+def test_epoch_coverage_invariants(spark, sf_dir):
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = _rows(spark, "dataset_epoch_coverage", sf_dir)
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sorted(r["epoch"] for r in rows) == [0, 1, 2]
+    for r in rows:
+        assert r["n_docs"] == n_docs, "a document is missing from an epoch"
+        assert r["dup_rows"] == 0, "a document appears twice in an epoch"
+        assert r["min_shard"] <= r["max_shard"]
+        assert (
+            r["spread_e4"]
+            == (r["max_shard"] - r["min_shard"]) * 10000
+            // max(r["min_shard"], 1)
+        )
+
+
 def test_rbo_oracle_no_placeholder_via_lazy_lookup():
     """ADVICE r12 (low): fetching the RBO oracle must never return
     literal '{bm25}'/'{xe}' placeholders, on any import path."""
