@@ -108,7 +108,9 @@ def dedup_minhash_calibration(
         hs.select("doc_id", *_sig_cols(F.col("hs")))
     )
     hsets = hs.select("doc_id", F.array_distinct("hs").alias("hset"))
-    cand = _candidate_pairs(spark, sf_dir).select("id_a", "id_b")
+    cand = _candidate_pairs(spark, sf_dir, sigs=sigs).select(
+        "id_a", "id_b"
+    )
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(_NUM_SIGS)],

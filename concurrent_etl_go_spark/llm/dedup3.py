@@ -172,17 +172,22 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_pairs(spark, sf_dir)
 
 
-def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidate_pairs(
+    spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
+) -> DataFrame:
     """(id_a, id_b, n_shared_bands) candidate pairs from the portable
-    banded LSH — shared by the candidates query and the end-to-end
-    survivor funnel below."""
+    banded LSH — shared by the candidates query, the end-to-end
+    survivor funnel below, and the calibration histogram
+    (``llm/calibration.py``, which passes its own already-persisted
+    ``sigs`` so the signature pipeline runs once per query)."""
     from concurrent_etl_go_spark.operators.registry import scoped_persist
 
-    docs = tokenized_docs(spark, sf_dir)
-    sh = shingles_from_tokens(F.col("toks"))
-    sigs = docs.select("doc_id", _base_hashes(sh).alias("hs")).select(
-        "doc_id", *_sig_cols(F.col("hs"))
-    )
+    if sigs is None:
+        docs = tokenized_docs(spark, sf_dir)
+        sh = shingles_from_tokens(F.col("toks"))
+        sigs = docs.select("doc_id", _base_hashes(sh).alias("hs")).select(
+            "doc_id", *_sig_cols(F.col("hs"))
+        )
     n_bands = _NUM_SIGS // _BAND_SIZE
     band_structs = F.array(
         *[
