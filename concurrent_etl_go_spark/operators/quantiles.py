@@ -109,7 +109,11 @@ def grouped_rank(
     per occupied cell — |groups| x ``_RANK_PARTITIONS`` rows, corpus-
     independent.  Sort partitions are (group, bucket)-sized: at 100 TB
     raise ``_RANK_PARTITIONS`` to O(cores/groups) and no partition ever
-    holds a full group."""
+    holds a full group.  Degenerate case: if the first order column has
+    (nearly) one distinct value the buckets collapse and the plan
+    gracefully degrades to the exact form's group-sized sort — still
+    correct, just unbucketed.  The offsets frame types the group column
+    as STRING; extend the schema literal for non-string group keys."""
     cols = [F.col(c) for c in order_cols]
     first = order_cols[0]
     qs = [i / _RANK_PARTITIONS for i in range(1, _RANK_PARTITIONS)]
