@@ -366,8 +366,11 @@ def _last_proof_rounds() -> dict[str, int]:
             for name, row in data.items():
                 if not isinstance(row, dict):
                     continue
+                # an explicit hash_match == False is a failed proof even
+                # when err is clean — never count it as green (ADVICE r13)
                 green = bool(row.get("hash_match")) or (
-                    row.get("err") in ("no_oracle", None)
+                    row.get("hash_match") is not False
+                    and row.get("err") in ("no_oracle", None)
                     and row.get("rows_match") is not False
                     and row.get("spark_rows", -1) >= 0
                 )

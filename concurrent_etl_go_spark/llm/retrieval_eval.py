@@ -693,6 +693,44 @@ def _mmr_oracle() -> str:
     """
 
 
+def _mmr_greedy(
+    by_qid: dict[int, list], k: int
+) -> list[tuple[int, int, int]]:
+    """Driver-side greedy lambda-1/2 MMR over per-qid candidate pools of
+    ``(vec_id, d2, vector)`` tuples: exact-int64 squared-L2 diversity on
+    the quantized lattice, picks by (max minpd - d2, tie-break low
+    vec_id).  Pools smaller than ``k`` emit fewer picks (graceful
+    degrade, matching the replaced Spark plan — ADVICE r13).  Returns
+    ``(qid, doc_id, step)`` rows."""
+
+    def _pd2(va: list, vb: list) -> int:
+        return sum((a - b) * (a - b) for a, b in zip(va, vb))
+
+    pick_rows: list[tuple[int, int, int]] = []  # (qid, doc_id, step)
+    for qid, cands in by_qid.items():
+        if not cands:
+            continue
+        cands = sorted(cands, key=lambda c: (c[1], c[0]))
+        selected = [cands[0]]
+        pick_rows.append((qid, cands[0][0], 1))
+        remaining = cands[1:]
+        for step in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for vec_id, d2, v in remaining:
+                minpd = min(_pd2(v, s[2]) for s in selected)
+                mmr = minpd - d2
+                # max mmr, tie-break LOW vec_id (desc mmr, asc vec_id)
+                key = (-mmr, vec_id)
+                if best is None or key < best[0]:
+                    best = (key, (vec_id, d2, v))
+            selected.append(best[1])
+            pick_rows.append((qid, best[1][0], step))
+            remaining = [c for c in remaining if c[0] != best[1][0]]
+    return pick_rows
+
+
 @query("search_eval_mmr_arm", oracle=_mmr_oracle())
 def search_eval_mmr_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k AND integer NDCG@k of the MMR arm: greedy lambda-1/2
@@ -723,28 +761,7 @@ def search_eval_mmr_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_qid.setdefault(row["qid"], []).append(
             (row["vec_id"], row["d2"], row["v"])
         )
-
-    def _pd2(va: list, vb: list) -> int:
-        return sum((a - b) * (a - b) for a, b in zip(va, vb))
-
-    pick_rows: list[tuple[int, int, int]] = []  # (qid, doc_id, step)
-    for qid, cands in by_qid.items():
-        cands = sorted(cands, key=lambda c: (c[1], c[0]))
-        selected = [cands[0]]
-        pick_rows.append((qid, cands[0][0], 1))
-        remaining = cands[1:]
-        for step in range(2, _K + 1):
-            best = None
-            for vec_id, d2, v in remaining:
-                minpd = min(_pd2(v, s[2]) for s in selected)
-                mmr = minpd - d2
-                # max mmr, tie-break LOW vec_id (desc mmr, asc vec_id)
-                key = (-mmr, vec_id)
-                if best is None or key < best[0]:
-                    best = (key, (vec_id, d2, v))
-            selected.append(best[1])
-            pick_rows.append((qid, best[1][0], step))
-            remaining = [c for c in remaining if c[0] != best[1][0]]
+    pick_rows = _mmr_greedy(by_qid, _K)
     retrieved = spark.createDataFrame(
         pick_rows, "qid long, doc_id long, step long"
     )

@@ -112,8 +112,9 @@ def grouped_rank(
     holds a full group.  Degenerate case: if the first order column has
     (nearly) one distinct value the buckets collapse and the plan
     gracefully degrades to the exact form's group-sized sort — still
-    correct, just unbucketed.  The offsets frame types the group column
-    as STRING; extend the schema literal for non-string group keys."""
+    correct, just unbucketed.  The offsets frame's group column takes
+    its type from ``df.schema[group_col]`` so non-string keys (long,
+    date, ...) join without an implicit cast."""
     cols = [F.col(c) for c in order_cols]
     first = order_cols[0]
     qs = [i / _RANK_PARTITIONS for i in range(1, _RANK_PARTITIONS)]
@@ -138,9 +139,10 @@ def grouped_rank(
             offset_rows.append((g, int(pid), acc, total))
             acc += cells[pid]
     spark = df.sparkSession
+    group_type = df.schema[group_col].dataType.simpleString()
     offsets = spark.createDataFrame(
         offset_rows,
-        f"{group_col} string, _pid int, _off long, n long",
+        f"{group_col} {group_type}, _pid int, _off long, n long",
     )
     local = Window.partitionBy(group_col, "_pid").orderBy(*cols)
     return (

@@ -70,6 +70,12 @@ def replay_dlq_posts(dlq_dir: str, config) -> tuple[int, int]:
     of the reference's delete-after-enqueue); a failed re-POST leaves
     the file for the next replay.
 
+    Orphan ``.key`` sidecars — left by a crash between the sidecar
+    write and the data-file write in ``spill_batch``, or between the
+    data-file delete and the sidecar delete below — are swept first:
+    a sidecar whose data file no longer exists can never be replayed,
+    and no other path removes it.
+
     Returns ``(replayed, remaining)`` file counts.  Driver-side by
     design: the DLQ is a local spill directory, bounded by failure
     volume, not data volume."""
@@ -77,6 +83,12 @@ def replay_dlq_posts(dlq_dir: str, config) -> tuple[int, int]:
     import json as _json
 
     from concurrent_etl_go_spark.sinks.http_sink import post_batch
+
+    for sidecar in glob.glob(
+        os.path.join(dlq_dir, "buffer_failed_worker*.json.gz.key")
+    ):
+        if not os.path.exists(sidecar[: -len(".key")]):
+            os.remove(sidecar)
 
     replayed = 0
     files = dlq_files(dlq_dir)

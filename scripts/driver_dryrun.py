@@ -62,6 +62,9 @@ def main() -> int:
         window = int(sys.argv[sys.argv.index("--window") + 1])
     if "--all" in sys.argv:
         window = 10**9
+    only: list[str] = []
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -84,7 +87,7 @@ def main() -> int:
         )
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    names = list(qs)[:window]
+    names = [n for n in qs if n in only] if only else list(qs)[:window]
     failures = []
     for name in names:
         try:

@@ -32,6 +32,20 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
+def row_is_green(row: dict) -> bool:
+    """A CORRECTNESS row counts as a driver proof iff the hash matched,
+    or (rows-only by design) there is no oracle, rows are plausible AND
+    hash_match is not explicitly False — a failed hash is a failed
+    proof even when err is clean (ADVICE r13).  Mirrored inline in
+    ``__spark_entry__._last_proof_rounds``."""
+    return bool(row.get("hash_match")) or (
+        row.get("hash_match") is not False
+        and row.get("err") in ("no_oracle", None)
+        and row.get("rows_match") is not False
+        and row.get("spark_rows", -1) >= 0
+    )
+
+
 def last_proof_rounds() -> tuple[dict[str, int], int]:
     """(query -> last round with a green driver row, latest round)."""
     last: dict[str, int] = {}
@@ -54,12 +68,7 @@ def last_proof_rounds() -> tuple[dict[str, int], int]:
                 continue
             # green = hash proof, or the by-design rows-only check
             # (no_oracle) that executed with matching/plausible rows
-            green = bool(row.get("hash_match")) or (
-                row.get("err") in ("no_oracle", None)
-                and row.get("rows_match") is not False
-                and row.get("spark_rows", -1) >= 0
-            )
-            if green:
+            if row_is_green(row):
                 last[name] = max(last.get(name, 0), rnd)
     return last, latest
 
