@@ -5,6 +5,14 @@ Compares the current ``BENCH_LOCAL.json`` against a baseline bench
 record (default: the version committed at the given git rev) and FAILS
 close-out when, under the identical protocol:
 
+Round 14: both sides are reduced to the ROBUST stat — the per-query MIN
+of the raw ``samples_e2e`` when the record carries samples, else the
+headline ``queries`` value — so the gate is protocol-independent: a
+round-14 min-of-n record gates cleanly against a round-13 median-era
+baseline, and one contended sample on either side cannot fake (or mask)
+a regression.  Host contention only ever ADDS time, so the min is the
+estimator of the plan's uncontended cost.
+
 - any common query regressed more than ``--max-ratio`` (default 1.5x)
   with an absolute slowdown above ``--min-delta`` seconds (so a
   0.05s -> 0.09s blip cannot fail the gate), or
@@ -61,7 +69,16 @@ def main() -> int:
     with open(args.current) as f:
         cur = json.load(f)
     base = load_baseline(args)
-    cq, bq = cur.get("queries", {}), base.get("queries", {})
+
+    def robust(rec: dict) -> dict:
+        """Per-query min of raw samples when present, else the headline."""
+        q = dict(rec.get("queries", {}))
+        for name, samples in rec.get("samples_e2e", {}).items():
+            if samples:
+                q[name] = min(samples)
+        return q
+
+    cq, bq = robust(cur), robust(base)
     common = sorted(set(cq) & set(bq))
     if not common:
         print("no common queries — nothing to gate")
