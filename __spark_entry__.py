@@ -64,28 +64,49 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: dead-module ADVICE item), and (c) the round-12 additions.  All
 #: verified via scripts/check_queries.py at sf0.001 + sf0.01 + sf0.1
 #: before handoff.
-#: Round 13 front-loads the RE-PROOF block — every query whose Spark
-#: expression changed this round: the eight search_eval_* metric
-#: queries + dataset_contrastive_triples now ride the memoized harness
-#: (materialized truth/arms/pool tables, MMR greedy selection computed
-#: driver-side over the bounded pool), and embeddings_top_component's
-#: rescale switched to the portable signed floor-division idiom.  All
-#: verified via scripts/check_queries.py at sf0.01 + sf0.1 before
-#: handoff.  The remaining ~39 slots fill automatically with the
-#: OLDEST-PROOF-FIRST rotation below (VERDICT r12 §Next #4): round 13's
-#: tail is the round-2-era block (scalar/set/window basics), reported
-#: by scripts/window_staleness.py.
-_ROUND13_WINDOW = [
-    "search_eval_recall_at_k",
-    "search_eval_ndcg_at_k",
-    "search_eval_mrr",
+#: Round 14 front-loads the RE-PROOF block — every query whose Spark
+#: plan changed this round: the 25 graph_* queries now rebuild their
+#: co-purchase edge lists from the driver-side ``_EDGE_MEMO``
+#: (operators/graph2.py, VERDICT r13 §Next #2), the grouped_rank
+#: consumers (agg_trimmed/winsorized_mean_scalable, agg_median_polish)
+#: after the offsets-frame group-type fix, and search_eval_mmr_arm
+#: after the _mmr_greedy small-pool guard.  All verified via
+#: scripts/driver_dryrun.py --only at sf0.01 (+ sf0.1 for the
+#: grouped_rank/MMR set) before handoff.  The remaining ~21 slots fill
+#: automatically with the OLDEST-PROOF-FIRST rotation below (VERDICT
+#: r12 §Next #4): round 14's tail is the round-3/4-era block (TPC-H
+#: twins, money-sum queries, profile_table_stats), reported by
+#: scripts/window_staleness.py.
+_ROUND14_WINDOW = [
+    "graph_ppr",
+    "graph_kcore",
+    "graph_betweenness_sampled",
+    "graph_sssp_weighted",
+    "graph_bfs_hops",
+    "graph_rich_club",
+    "graph_katz_centrality",
+    "graph_closeness_centrality",
+    "graph_components_copurchase",
+    "graph_pagerank_copurchase",
+    "graph_triangles_copurchase",
+    "graph_degree_distribution",
+    "graph_label_propagation",
+    "graph_hits",
+    "graph_jaccard_neighbors",
+    "graph_common_neighbors",
+    "graph_clustering_coeff",
+    "graph_eccentricity_sample",
+    "graph_assortativity",
+    "graph_two_hop_reach",
+    "graph_transitivity",
+    "graph_edge_embeddedness",
+    "graph_resource_allocation",
+    "graph_modularity_labels",
+    "graph_pagerank",
+    "agg_trimmed_mean_scalable",
+    "agg_winsorized_mean_scalable",
+    "agg_median_polish",
     "search_eval_mmr_arm",
-    "search_eval_map_at_k",
-    "search_eval_auc",
-    "search_eval_interpolated_pr",
-    "search_eval_rbo",
-    "dataset_contrastive_triples",
-    "embeddings_top_component",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48
@@ -333,10 +354,35 @@ _PROVEN_R12 = frozenset({
     "window_obv", "window_donchian", "window_sharpe",
 })
 
+#: Proven green in CORRECTNESS_r13 (all 50 window rows green — the 10
+#: search_eval/PCA re-proofs, the 18 round-13 additions, and the
+#: round-2-era scalar/join/agg basics tail).
+_PROVEN_R13 = frozenset({
+    "agg_approx", "agg_corr_covar", "agg_count_distinct",
+    "agg_kelly_fraction", "agg_latency_slo_hourly", "agg_median_polish",
+    "agg_minmax_by", "agg_percentiles", "agg_pivot", "agg_rollup",
+    "agg_rollup_grouping", "agg_stats", "agg_string_concat",
+    "agg_trimmed_mean_scalable", "agg_ulcer_index", "agg_uplift_qini",
+    "agg_winsorized_mean_scalable", "correlated_exists_agg",
+    "dataset_cluster_balanced_sample", "dataset_contrastive_triples",
+    "dataset_epoch_coverage", "dataset_mix_waterfill",
+    "dedup_minhash_calibration", "distinct_rows",
+    "embeddings_remove_top_component", "embeddings_top_component",
+    "filter_in_subquery", "filter_project", "filter_rlike",
+    "graph_modularity_labels", "join_anti", "join_asof", "join_asof_left",
+    "join_full_outer", "join_left", "join_q3_top_shipping",
+    "join_q5_local_supplier", "search_eval_auc",
+    "search_eval_interpolated_pr", "search_eval_map_at_k",
+    "search_eval_mmr_arm", "search_eval_mrr", "search_eval_ndcg_at_k",
+    "search_eval_rbo", "search_eval_recall_at_k", "text_gopher_rules",
+    "text_langid_confusion", "text_ttr_prefix_profile",
+    "window_amihud_illiquidity", "window_drawdown_duration",
+})
+
 _PROVEN = (
     _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
     | _PROVEN_R08 | _PROVEN_R09 | _PROVEN_R10 | _PROVEN_R11
-    | _PROVEN_R12
+    | _PROVEN_R12 | _PROVEN_R13
 )
 
 
@@ -386,7 +432,7 @@ def _driver_order(names: list[str]) -> list[str]:
     this round's re-proof block first, then never-proven queries, then
     everything else OLDEST-PROOF-FIRST (ties alphabetical) so the
     driver's own artifact re-verifies the stalest proofs each round."""
-    window = [n for n in _ROUND13_WINDOW if n in set(names)]
+    window = [n for n in _ROUND14_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

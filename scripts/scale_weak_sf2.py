@@ -7,6 +7,15 @@ times (all back at round-11 levels); this records that their SCALING
 stays sub-quadratic through sf2 (same generator, seed 42, as the
 BENCH_SF1.json decade), clearing the weak labels with data.
 
+Round 14 (VERDICT r13 §Next #7) extends the set to the three costliest
+graph kernels — ``graph_ppr``, ``graph_kcore``,
+``graph_betweenness_sampled`` — the queries where scale proof matters
+most in absolute terms.  Their warm passes read the driver-side
+``_EDGE_MEMO`` edge list (operators/graph2.py), so the recorded kernel
+exponents measure the iterative rounds over a 2x-bigger graph; the
+one-time edge DERIVATION is timed separately per sf (``edge_derive``
+in the output) with its own exponent, so neither cost hides.
+
 exponent = log2(t_sf2 / t_sf1) for the 2x step (1.0 = linear).
 Action-only is the honest volume signal at these scales (e2e carries
 fixed planning/job-latency costs).
@@ -34,6 +43,10 @@ WEAK = (
     "agg_runs_test",
     "agg_wilcoxon_signed_rank",
     "search_eval_mmr_arm",
+    # round 14: the costliest absolute graph kernels (VERDICT r13 #7)
+    "graph_ppr",
+    "graph_kcore",
+    "graph_betweenness_sampled",
 )
 
 SF_DIRS = {
@@ -69,6 +82,19 @@ def main() -> None:
         release_caches()
         return t2 - t0, t2 - t1
 
+    # one-time edge-list derivation cost per sf (excluded from the
+    # memoized graph kernels' warm passes — timed explicitly so the
+    # scan+pairing prefix has its own scale record)
+    from concurrent_etl_go_spark.operators import graph2
+
+    edge_derive: dict[str, float] = {}
+    for sf, sf_dir in SF_DIRS.items():
+        graph2._EDGE_MEMO.pop((sf_dir, "plain"), None)
+        t0 = time.perf_counter()
+        graph2._copurchase_edges(spark, sf_dir)  # derives + collects
+        edge_derive[sf] = round(time.perf_counter() - t0, 3)
+        release_caches()
+
     results: dict[str, dict] = {}
     for name in WEAK:
         per_sf: dict[str, tuple[float, float]] = {}
@@ -92,7 +118,17 @@ def main() -> None:
         print(name, results[name], flush=True)
 
     out = {
-        "metric": "weak_five_sf1_to_sf2",
+        "metric": "weak_plus_graph_sf1_to_sf2",
+        "edge_derive": {
+            **edge_derive,
+            "exp": round(
+                math.log2(
+                    max(edge_derive["sf2"], 1e-3)
+                    / max(edge_derive["sf1"], 1e-3)
+                ),
+                3,
+            ),
+        },
         "generator": "scripts/gen_sf.py seed=42 (same generator at both points)",
         "points": SF_DIRS,
         "runs": args.runs,
