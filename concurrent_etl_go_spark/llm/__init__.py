@@ -11,6 +11,7 @@ from concurrent_etl_go_spark.llm import (  # noqa: F401
     calibration,
     corpus_diff,
     corpus_files,
+    corpus_stats,
     curation,
     curation2,
     datasets,

@@ -1,0 +1,311 @@
+"""Corpus-statistics operators for training-data curation, part 2:
+token-rarity scoring (the integer-exact stand-in for LM-perplexity
+filtering, CCNet-style — Wenzek et al. 2020), per-token burstiness
+(Church & Gale 1995 — variance-to-mean of per-document counts), and a
+Bloom-prefilter calibration for decontamination (Bloom 1970; the
+broadcast-bits refinement of ``corpus_decontaminate``'s shingle join).
+
+Cross-engine exactness: document frequencies, conditional sums, the
+md5-derived Bloom bit positions and every emitted ratio live on integer
+lattices (e4/e6 floor quotients, cleared-denominator variance
+cancellations) — no float exists in any emitted column.
+
+Scale:
+
+* rarity/burstiness are one tokenized-documents scan -> token-keyed
+  hash aggs (vocabulary-sized frames downstream);
+* the Bloom calibration's bit-set is BOUNDED BY THE FILTER SIZE
+  (``<= 2 * |eval shingles|`` distinct positions, never corpus-scale),
+  so at 100 TB the bits broadcast and the contamination pre-screen is
+  one map-side membership check per training shingle — the shuffle-free
+  shape that motivates Bloom prefilters in production dedup, with the
+  realized false-positive rate hash-pinned per source here.
+
+Reference parity: the reference (etl/main.go) has no text surface;
+extends SURVEY.md §2.B's text/dedup families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_go_spark.llm.datasets import _SQL_BUCKET, hash_bucket
+from concurrent_etl_go_spark.llm.text import tokenized_docs
+from concurrent_etl_go_spark.operators.registry import query, scoped_persist
+
+#: Bloom geometry: positions in [0, _BLOOM_M) from two independent md5
+#: substrings (k = 2 hash functions).  At sf0.01 the eval split sets
+#: ~2.5k of 131k bits -> load factor ~2%, realized FPR ~0.04% — sized
+#: so both sides of the calibration are non-degenerate at test scale.
+_BLOOM_M = 131072
+
+
+def _bloom_h1(col) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_h2(col) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+        % _BLOOM_M
+    )
+
+
+#: DuckDB twins of the two position hashes (same md5 nibbles).
+_SQL_H1 = f"(('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_BLOOM_M})"
+_SQL_H2 = f"(('0x' || substr(md5(shingle), 9, 8))::BIGINT % {_BLOOM_M})"
+
+
+@query(
+    "text_rarity_score",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    df AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY 1
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.doc_id, t.source,
+           CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(t.tf * d.df) * 10000
+                // (SUM(t.tf) * (SELECT n_docs FROM nd)) AS BIGINT)
+             AS mean_df_e4
+    FROM tf t JOIN df d USING (tok)
+    GROUP BY 1, 2
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-rarity score: the token-frequency-weighted
+    mean CORPUS document frequency of a document's tokens, as a
+    fraction of the corpus on the e4 lattice.  Low scores mark
+    rare-vocabulary documents — the integer-exact proxy for the
+    LM-perplexity filter CCNet applies (a document of common,
+    well-distributed tokens scores high exactly where a unigram LM
+    assigns it low perplexity), with none of the transcendental float
+    risk an actual log-likelihood would carry cross-engine.
+
+    Scale: one tokenized scan -> (doc, token) counts; the df table is
+    vocabulary-sized and re-joins token-keyed (map-side after AQE
+    broadcasts it); output is one row per document."""
+    docs = tokenized_docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            "doc_id", "source", F.explode("toks").alias("tok")
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tf = scoped_persist(tf)
+    df = tf.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = docs.count()
+    return (
+        tf.join(df, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.expr(
+                f"SUM(tf * df) * 10000 div (SUM(tf) * {n_docs})"
+            )
+            .cast("long")
+            .alias("mean_df_e4"),
+        )
+    )
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    comp AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM tf GROUP BY 1
+    )
+    SELECT tok, df, s1 AS total_count,
+           CAST(((SELECT n FROM nd) * s2 - s1 * s1) * 10000
+                // ((SELECT n FROM nd) * s1) AS BIGINT) AS vmr_e4
+    FROM comp
+    WHERE df >= 100
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness (Church & Gale): the variance-to-mean ratio
+    of per-document counts OVER ALL documents (absent docs count 0 —
+    they enter through the cleared-denominator algebra, never through a
+    dense zero-filled table).  With per-doc counts c over D documents,
+    ``VMR = (D*S2 - S1^2) / (D*S1)`` exactly — a Poisson-scattered
+    token sits at VMR ~= 1, topical/bursty tokens run higher.  Emitted
+    on the e4 lattice; tokens in fewer than 100 docs are dropped (their
+    VMR is df-noise, and the threshold keeps the output
+    vocabulary-bounded).
+
+    Scale: one tokenized scan -> (doc, token) counts -> token-keyed
+    hash agg; no shuffle ever carries more than the (doc, token)
+    count table."""
+    docs = tokenized_docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = docs.count()
+    comp = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return comp.where(F.col("df") >= 100).select(
+        "tok",
+        "df",
+        F.col("s1").alias("total_count"),
+        F.expr(f"({n} * s2 - s1 * s1) * 10000 div ({n} * s1)")
+        .cast("long")
+        .alias("vmr_e4"),
+    )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, source, {_SQL_BUCKET} AS bucket,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, source, bucket,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, greatest(len(w) - 2, 0) + 1)])) AS shingle
+      FROM toks
+    ),
+    ev AS MATERIALIZED (
+      SELECT DISTINCT shingle FROM sh WHERE bucket >= 95
+    ),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT b FROM (
+        SELECT {_SQL_H1} AS b FROM ev
+        UNION ALL SELECT {_SQL_H2} AS b FROM ev
+      )
+    ),
+    tr AS MATERIALIZED (
+      SELECT source, shingle,
+             CASE WHEN {_SQL_H1} IN (SELECT b FROM bits)
+                   AND {_SQL_H2} IN (SELECT b FROM bits)
+                  THEN 1 ELSE 0 END AS bloom_pos,
+             CASE WHEN shingle IN (SELECT shingle FROM ev)
+                  THEN 1 ELSE 0 END AS member
+      FROM sh WHERE bucket < 95
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(bloom_pos) AS BIGINT) AS bloom_hits,
+           CAST(SUM(member) AS BIGINT) AS exact_hits,
+           CAST(SUM(bloom_pos) - SUM(member) AS BIGINT) AS false_pos,
+           CAST((SUM(bloom_pos) - SUM(member)) * 1000000
+                // (COUNT(*) - SUM(member)) AS BIGINT) AS fpr_e6
+    FROM tr GROUP BY source
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter calibration for decontamination: build a Bloom
+    filter (m = {m}, k = 2 md5-derived hashes) over the eval split's
+    distinct 3-token shingles, pre-screen every TRAINING shingle
+    against it, and hash-pin the realized per-source false-positive
+    rate against exact membership.
+
+    This is the 100 TB refinement of ``corpus_decontaminate``: the
+    filter's set-bit table is bounded by 2*|eval shingles| regardless
+    of corpus size, so it broadcasts where the exact shingle set may
+    not, and the exact join then runs only over the bloom-positive
+    survivors (here both paths are computed to MEASURE the proxy's
+    error, exactly like ``dedup_minhash_calibration`` measures the LSH
+    S-curve).  A shingle is bloom-positive iff BOTH its bit positions
+    are set — the standard k=2 conjunction.
+
+    Everything is integer: md5-nibble bit positions, conditional sums,
+    one e6-lattice FPR quotient over the true negatives.
+
+    Scale: eval bits broadcast; the training side is one scan with two
+    map-side membership joins; output is source-grain."""
+    from concurrent_etl_go_spark.llm.dedup import shingles_from_tokens
+
+    docs = tokenized_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        "source",
+        hash_bucket("doc_id").alias("bucket"),
+        F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"),
+    )
+    sh = scoped_persist(sh)
+    ev = sh.where(F.col("bucket") >= 95).select("shingle").distinct()
+    ev = scoped_persist(ev)
+    bits = (
+        ev.select(_bloom_h1(F.col("shingle")).alias("b"))
+        .unionByName(ev.select(_bloom_h2(F.col("shingle")).alias("b")))
+        .distinct()
+    )
+    tr = sh.where(F.col("bucket") < 95).select(
+        "source",
+        "shingle",
+        _bloom_h1(F.col("shingle")).alias("h1"),
+        _bloom_h2(F.col("shingle")).alias("h2"),
+    )
+    b1 = bits.withColumnRenamed("b", "h1").withColumn("f1", F.lit(1))
+    b2 = bits.withColumnRenamed("b", "h2").withColumn("f2", F.lit(1))
+    evm = ev.withColumn("fm", F.lit(1))
+    flagged = (
+        tr.join(F.broadcast(b1), "h1", "left")
+        .join(F.broadcast(b2), "h2", "left")
+        .join(evm, "shingle", "left")
+        .select(
+            "source",
+            F.when(
+                F.col("f1").isNotNull() & F.col("f2").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("bloom_pos"),
+            F.when(F.col("fm").isNotNull(), 1).otherwise(0).alias("member"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("bloom_pos").cast("long").alias("bloom_hits"),
+        F.sum("member").cast("long").alias("exact_hits"),
+        (F.sum("bloom_pos") - F.sum("member"))
+        .cast("long")
+        .alias("false_pos"),
+        F.expr(
+            "(SUM(bloom_pos) - SUM(member)) * 1000000 div "
+            "(COUNT(*) - SUM(member))"
+        )
+        .cast("long")
+        .alias("fpr_e6"),
+    )
+
+
+dedup_bloom_prefilter.__doc__ = dedup_bloom_prefilter.__doc__.format(
+    m=_BLOOM_M
+)

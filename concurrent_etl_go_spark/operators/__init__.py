@@ -19,6 +19,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     finance2,
     finance3,
     finance4,
+    finance5,
     forecast,
     graph,
     graph2,

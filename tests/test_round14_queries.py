@@ -1,0 +1,109 @@
+"""Invariant tests for the round-14 additions: omega ratio, Sortino
+components, Hurst R/S (operators/finance5.py) and token rarity,
+burstiness, Bloom-prefilter calibration (llm/corpus_stats.py).  The
+driver hash proofs pin cross-engine equality; these pin the MATH."""
+
+from __future__ import annotations
+
+from concurrent_etl_go_spark.llm.corpus_stats import (
+    dedup_bloom_prefilter,
+    text_burstiness,
+    text_rarity_score,
+)
+from concurrent_etl_go_spark.operators.finance5 import (
+    agg_omega_ratio,
+    agg_sortino_sq,
+    window_hurst_rs,
+)
+
+
+def test_omega_components_consistent(spark, sf_dir):
+    rows = agg_omega_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["gain_cents"] >= 0 and r["loss_cents"] >= 0
+        assert r["n_days"] > 0
+        if r["loss_cents"] == 0:
+            assert r["omega_e4"] is None
+        else:
+            assert r["omega_e4"] == r["gain_cents"] * 10000 // r["loss_cents"]
+
+
+def test_sortino_sq_matches_components(spark, sf_dir):
+    rows = agg_sortino_sq(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["downside_msq"] >= 0
+        if r["downside_msq"] == 0:
+            assert r["sortino_sq_e6"] is None
+        else:
+            # downside_msq = floor(dd2/n): sandwich the emitted ratio
+            # between the bounds the floored component implies
+            n, s1, msq = r["n_days"], r["s1"], r["downside_msq"]
+            lo = s1 * s1 * 1_000_000 // (n * n * (msq + 1))
+            hi = s1 * s1 * 1_000_000 // (n * n * msq)
+            assert lo <= r["sortino_sq_e6"] <= hi
+            assert r["sortino_sq_e6"] >= 0
+
+
+def test_hurst_rs_invariants(spark, sf_dir):
+    rows = window_hurst_rs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] >= 20
+        # range of cumulative deviations is non-negative; the variance
+        # floor(sigma^2) is >= 0 by Cauchy-Schwarz
+        assert r["r_scaled"] >= 0
+        assert r["var_cents2"] >= 0
+        if r["var_cents2"] > 0:
+            # var_cents2 = floor(s2n/n^2): sandwich rs_sq_e4
+            n, rr, v = r["n_days"], r["r_scaled"], r["var_cents2"]
+            lo = rr * rr * 10000 // (n * n * (v + 1))
+            hi = rr * rr * 10000 // (n * n * v)
+            assert lo <= r["rs_sq_e4"] <= hi
+            # R/S of an n-point series is at most n (attained by a
+            # monotone ramp); check the squared bound with slack
+            assert r["rs_sq_e4"] <= 10000 * r["n_days"] * r["n_days"]
+
+
+def test_rarity_score_bounds(spark, sf_dir):
+    df = text_rarity_score(spark, sf_dir)
+    rows = df.collect()
+    n_docs = df.sparkSession.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+    assert len(rows) == n_docs  # one row per document
+    for r in rows:
+        assert r["n_tokens"] > 0
+        # mean df is a fraction of the corpus: (0, 1] on the e4 lattice
+        assert 0 < r["mean_df_e4"] <= 10000
+
+
+def test_burstiness_poisson_floor(spark, sf_dir):
+    rows = text_burstiness(spark, sf_dir).collect()
+    assert rows, "synthetic corpus should have tokens with df >= 100"
+    for r in rows:
+        assert r["df"] >= 100
+        assert r["total_count"] >= r["df"]
+        # VMR over all docs (zeros included) is strictly positive, and
+        # a token occurring at most once per doc has VMR = 1 - s1/D < 1
+        assert r["vmr_e4"] >= 0
+
+
+def test_bloom_prefilter_dominates_exact(spark, sf_dir):
+    rows = dedup_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    total_exact = sum(r["exact_hits"] for r in rows)
+    total_fp = sum(r["false_pos"] for r in rows)
+    for r in rows:
+        # no false negatives, ever: bloom-positive ⊇ exact members
+        assert r["bloom_hits"] >= r["exact_hits"]
+        assert r["false_pos"] == r["bloom_hits"] - r["exact_hits"]
+        assert 0 <= r["fpr_e6"] < 1_000_000
+    # calibration is non-degenerate on the shared corpus: there ARE
+    # true contaminations to catch (sf0.001+ always has cross-bucket
+    # shingle overlap in this synthetic corpus)
+    assert total_exact > 0
+    # the filter is sized so the realized FPR stays tiny (< 1%)
+    n_neg = sum(r["n_shingles"] - r["exact_hits"] for r in rows)
+    assert total_fp * 100 <= n_neg
