@@ -296,6 +296,16 @@ HEADLINE = (
     "dedup_minhash_calibration",    # sketch-vs-exact error histogram
     "text_langid_confusion",        # language-ID confusion matrix
     "dataset_epoch_coverage",       # loader permutation audit
+    # round-14 additions
+    "agg_omega_ratio",              # gains-over-losses risk ratio
+    "agg_sortino_sq",               # squared Sortino components
+    "window_hurst_rs",              # rescaled-range long-memory stat
+    "text_rarity_score",            # tf-weighted mean df per doc
+    "text_burstiness",              # variance-to-mean per token
+    "dedup_bloom_prefilter",        # bloom FPR calibration
+    "agg_expected_shortfall",       # exact-rank CVaR tail mean
+    "sketch_count_min_calibration", # CMS overestimate vs exact
+    "dataset_leakage_safe_split",   # cluster-consistent split
 )
 
 

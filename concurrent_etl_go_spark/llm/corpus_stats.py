@@ -309,3 +309,190 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_bloom_prefilter.__doc__ = dedup_bloom_prefilter.__doc__.format(
     m=_BLOOM_M
 )
+
+
+#: Count-Min geometry: d = 2 hash rows x w = 1024 counters.  Sized so
+#: the sf0.01 corpus (vocab ~40, ~300k token occurrences) realizes
+#: visible-but-small overestimates — the property the calibration
+#: hash-pins.
+_CMS_W = 1024
+
+_SQL_CH1 = f"(('0x' || substr(md5(tok), 1, 8))::BIGINT % {_CMS_W})"
+_SQL_CH2 = f"(('0x' || substr(md5(tok), 9, 8))::BIGINT % {_CMS_W})"
+
+
+def _cms_h(col, offset: int) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(col), 1 + offset, 8), 16, 10).cast("long")
+        % _CMS_W
+    )
+
+
+@query(
+    "sketch_count_min_calibration",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count,
+             {_SQL_CH1} AS h1, {_SQL_CH2} AS h2
+      FROM tok GROUP BY 1
+    ),
+    row1 AS MATERIALIZED (
+      SELECT h1 AS cell, CAST(SUM(exact_count) AS BIGINT) AS c
+      FROM tf GROUP BY 1
+    ),
+    row2 AS MATERIALIZED (
+      SELECT h2 AS cell, CAST(SUM(exact_count) AS BIGINT) AS c
+      FROM tf GROUP BY 1
+    )
+    SELECT t.tok, t.exact_count,
+           CAST(LEAST(r1.c, r2.c) AS BIGINT) AS cms_estimate,
+           CAST(LEAST(r1.c, r2.c) - t.exact_count AS BIGINT)
+             AS overestimate
+    FROM tf t
+    JOIN row1 r1 ON r1.cell = t.h1
+    JOIN row2 r2 ON r2.cell = t.h2
+    """,
+)
+def sketch_count_min_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch calibration (Cormode & Muthukrishnan 2005):
+    build the d=2 x w={w} counter array over the corpus's token stream
+    (each row's counter = the total count of tokens hashing to that
+    cell), read back every token's CMS estimate ``min(row1[h1],
+    row2[h2])``, and hash-pin the per-token OVERESTIMATE against the
+    exact count.  CMS never underestimates — ``overestimate >= 0`` is
+    the structural invariant — and the collision-driven error profile
+    this query freezes is exactly what a heavy-hitter pipeline needs to
+    size (d, w) before trusting the sketch at 100 TB, where the counter
+    array (d*w integers) is broadcastable state and exact per-token
+    counts are a corpus-scale shuffle.
+
+    All integers: md5-derived cells, counter sums, one LEAST.
+
+    Scale: token-keyed hash agg -> two w-bounded counter tables that
+    broadcast back onto the vocabulary — the corpus is scanned once."""
+    docs = tokenized_docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .select(
+            "tok",
+            "exact_count",
+            _cms_h(F.col("tok"), 0).alias("h1"),
+            _cms_h(F.col("tok"), 8).alias("h2"),
+        )
+    )
+    tf = scoped_persist(tf)
+    row1 = tf.groupBy(F.col("h1").alias("cell")).agg(
+        F.sum("exact_count").cast("long").alias("c1")
+    )
+    row2 = tf.groupBy(F.col("h2").alias("cell")).agg(
+        F.sum("exact_count").cast("long").alias("c2")
+    )
+    est = F.least(F.col("c1"), F.col("c2"))
+    return (
+        tf.join(F.broadcast(row1), tf["h1"] == row1["cell"])
+        .drop("cell")
+        .join(F.broadcast(row2), tf["h2"] == row2["cell"])
+        .select(
+            "tok",
+            "exact_count",
+            est.cast("long").alias("cms_estimate"),
+            (est - F.col("exact_count")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+sketch_count_min_calibration.__doc__ = (
+    sketch_count_min_calibration.__doc__.format(w=_CMS_W)
+)
+
+
+def _leakage_split_oracle() -> str:
+    """Chains dedup3's hash-proven signature/banding/closure oracle with
+    the md5 split bucket ON THE COMPONENT LABEL.  dedup3's fragments are
+    module constants, so the chain resolves eagerly at import."""
+    from concurrent_etl_go_spark.llm.dedup3 import (
+        _ORACLE_BANDS,
+        _ORACLE_SIGS,
+    )
+
+    bucket = (
+        "(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))::BIGINT"
+        " % 100)"
+    )
+    return (
+        "WITH RECURSIVE"
+        + _ORACLE_SIGS.lstrip().removeprefix("WITH")
+        + _ORACLE_BANDS
+        + f"""
+    , sym AS (
+      SELECT id_a AS s, id_b AS d FROM cand
+      UNION
+      SELECT id_b AS s, id_a AS d FROM cand
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT s, s FROM sym
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN sym e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    ),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           CAST({bucket} AS BIGINT) AS bucket,
+           CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """
+    )
+
+
+@query("dataset_leakage_safe_split", oracle=_leakage_split_oracle())
+def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the 80/10/10 md5-bucket
+    split of ``split_train_val_test``, but keyed on each document's
+    near-dup COMPONENT label instead of its own id — so every member of
+    a duplicate cluster lands in the same split and near-verbatim
+    copies can never straddle the train/test boundary (the
+    cross-split-leakage hole ``dataset_dedup_cross_split`` measures;
+    this operator closes it by construction).  Chains two hash-proven
+    kernels: ``dedup_survivor_portable``'s signature -> banding ->
+    connected-components closure, then the ``hash_bucket`` md5 idiom on
+    the component label.
+
+    Scale: identical to the dedup funnel (map-side signatures,
+    band-keyed join, O(log diameter) component rounds) plus one
+    map-side bucket expression; stable under corpus growth within a
+    cluster (the label is the cluster min id, so adding a NEW duplicate
+    of an existing cluster cannot move the cluster between splits)."""
+    from concurrent_etl_go_spark.llm.dedup import connected_components
+    from concurrent_etl_go_spark.llm.dedup3 import _candidate_pairs
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    cands = _candidate_pairs(spark, sf_dir)
+    labels = connected_components(
+        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(labels, docs["doc_id"] == labels["id"], "left")
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = hash_bucket(component)
+    return joined.select(
+        "doc_id",
+        component.alias("component"),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

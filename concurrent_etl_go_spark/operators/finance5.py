@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.llm.kmeans2 import _FDIV
 from concurrent_etl_go_spark.operators.finance import _CENTS
 from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.sources.readers import read_table
@@ -172,6 +173,112 @@ def agg_sortino_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sortino_sq_e6"),
     )
+
+
+#: Expected-shortfall tail fraction (worst 5% of days).
+_ES_PCT = 5
+
+
+@query(
+    "agg_expected_shortfall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS grp, date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    rets AS (
+      SELECT grp, day,
+             cents - LAG(cents) OVER (PARTITION BY grp ORDER BY day) AS d
+      FROM daily
+    ),
+    ranked AS (
+      SELECT grp, d,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d, day) AS rk,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM rets WHERE d IS NOT NULL
+    ),
+    tail AS (
+      SELECT grp,
+             CAST(MAX(n) AS BIGINT) AS n_days,
+             CAST(GREATEST(MAX(n) * {_ES_PCT} // 100, 1) AS BIGINT)
+               AS k_tail,
+             CAST(SUM(d) AS BIGINT) AS s
+      FROM ranked
+      WHERE rk <= GREATEST(n * {_ES_PCT} // 100, 1)
+      GROUP BY grp
+    )
+    SELECT grp, n_days, k_tail, s AS tail_sum_cents,
+           CAST({_FDIV.format(s="s", n="k_tail", op="//")} AS BIGINT)
+             AS es_cents
+    FROM tail
+    """,
+)
+def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) of daily revenue changes per priority:
+    the mean of the worst ``{pct}%`` of days, computed EXACTLY by rank —
+    ``k = max(floor(n * {pct}/100), 1)`` smallest changes (ties broken
+    by day for a total order), their sum, and the floored mean.  Pure
+    integer algebra end to end; no quantile interpolation, no float.
+
+    Scale: one day-grain hash agg per priority; the rank window runs
+    over day-count-sized partitions and the tail sum is k-bounded."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(F.sum(F.expr(_CENTS)).cast("long").alias("cents"))
+    rets = daily.select(
+        "grp",
+        "day",
+        (
+            F.col("cents")
+            - F.lag("cents").over(Window.partitionBy("grp").orderBy("day"))
+        ).alias("d"),
+    ).where(F.col("d").isNotNull())
+    w = Window.partitionBy("grp")
+    ranked = rets.select(
+        "grp",
+        "d",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("d", "day"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    k = F.expr(f"GREATEST(n * {_ES_PCT} div 100, 1)")
+    tail = (
+        ranked.where(F.col("rk") <= k)
+        .groupBy("grp")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.greatest(
+                F.expr(f"MAX(n) * {_ES_PCT} div 100"), F.lit(1)
+            )
+            .cast("long")
+            .alias("k_tail"),
+            F.sum("d").cast("long").alias("s"),
+        )
+    )
+    # tail_sum is negative for a loss tail: the emitted mean uses the
+    # portable SIGNED floor division (kmeans2._FDIV — Spark div
+    # truncates toward zero, DuckDB // floors; subtracting the positive
+    # modulus makes the division exact on both engines)
+    return tail.select(
+        "grp",
+        "n_days",
+        "k_tail",
+        F.col("s").alias("tail_sum_cents"),
+        F.expr(_FDIV.format(s="s", n="k_tail", op="div"))
+        .cast("long")
+        .alias("es_cents"),
+    )
+
+
+agg_expected_shortfall.__doc__ = agg_expected_shortfall.__doc__.format(
+    pct=_ES_PCT
+)
 
 
 @query(

@@ -90,6 +90,70 @@ def test_burstiness_poisson_floor(spark, sf_dir):
         assert r["vmr_e4"] >= 0
 
 
+def test_expected_shortfall_tail_math(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.finance5 import (
+        agg_expected_shortfall,
+    )
+
+    rows = agg_expected_shortfall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["k_tail"] <= max(r["n_days"] * 5 // 100, 1)
+        # worst-5% mean: es = floor(tail_sum / k) (signed floor)
+        assert r["es_cents"] == r["tail_sum_cents"] // r["k_tail"]
+        # the tail mean cannot exceed the overall best day, and for a
+        # loss tail it is <= 0 more often than not — structural bound:
+        # k * es <= tail_sum < k * (es + 1)
+        assert (
+            r["k_tail"] * r["es_cents"]
+            <= r["tail_sum_cents"]
+            < r["k_tail"] * (r["es_cents"] + 1)
+        )
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    from concurrent_etl_go_spark.llm.corpus_stats import (
+        sketch_count_min_calibration,
+    )
+
+    rows = sketch_count_min_calibration(spark, sf_dir).collect()
+    assert rows
+    total_over = 0
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"] >= 1
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_count"]
+        total_over += r["overestimate"]
+    # d=2 x w=1024 over this vocabulary: collisions are possible but
+    # the sketch must stay usable (mean overestimate < mean count)
+    mean_exact = sum(r["exact_count"] for r in rows) / len(rows)
+    assert total_over / len(rows) <= mean_exact
+
+
+def test_leakage_safe_split_cluster_consistent(spark, sf_dir):
+    from concurrent_etl_go_spark.llm.corpus_stats import (
+        dataset_leakage_safe_split,
+    )
+
+    rows = dataset_leakage_safe_split(spark, sf_dir).collect()
+    assert rows
+    by_comp: dict[int, set] = {}
+    splits = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+        splits[r["split"]] += 1
+    # THE invariant: a near-dup cluster never straddles splits
+    assert all(len(s) == 1 for s in by_comp.values())
+    # rough 80/10/10 proportions (md5 bucket is uniform)
+    n = len(rows)
+    assert splits["train"] > n // 2
+    assert splits["val"] > 0 and splits["test"] > 0
+    # non-degenerate: at least one multi-doc cluster exists
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+    assert max(sizes.values()) > 1
+
+
 def test_bloom_prefilter_dominates_exact(spark, sf_dir):
     rows = dedup_bloom_prefilter(spark, sf_dir).collect()
     assert rows
