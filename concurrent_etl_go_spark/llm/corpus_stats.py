@@ -224,8 +224,9 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(bloom_pos) AS BIGINT) AS bloom_hits,
            CAST(SUM(member) AS BIGINT) AS exact_hits,
            CAST(SUM(bloom_pos) - SUM(member) AS BIGINT) AS false_pos,
-           CAST((SUM(bloom_pos) - SUM(member)) * 1000000
-                // (COUNT(*) - SUM(member)) AS BIGINT) AS fpr_e6
+           CAST(CASE WHEN COUNT(*) = SUM(member) THEN NULL
+                ELSE (SUM(bloom_pos) - SUM(member)) * 1000000
+                     // (COUNT(*) - SUM(member)) END AS BIGINT) AS fpr_e6
     FROM tr GROUP BY source
     """,
 )
@@ -297,9 +298,13 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("bloom_pos") - F.sum("member"))
         .cast("long")
         .alias("false_pos"),
+        # NULL when every training shingle is a member (no negatives to
+        # rate — degenerate only on a fully-contaminated corpus, but a
+        # zero denominator THROWS under Spark 4 ANSI mode)
         F.expr(
-            "(SUM(bloom_pos) - SUM(member)) * 1000000 div "
-            "(COUNT(*) - SUM(member))"
+            "CASE WHEN COUNT(*) = SUM(member) THEN NULL "
+            "ELSE (SUM(bloom_pos) - SUM(member)) * 1000000 div "
+            "(COUNT(*) - SUM(member)) END"
         )
         .cast("long")
         .alias("fpr_e6"),
