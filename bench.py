@@ -306,6 +306,7 @@ HEADLINE = (
     "agg_expected_shortfall",       # exact-rank CVaR tail mean
     "sketch_count_min_calibration", # CMS overestimate vs exact
     "dataset_leakage_safe_split",   # cluster-consistent split
+    "corpus_decontaminate_bloom",   # bloom-prefiltered decontaminate
 )
 
 

@@ -416,6 +416,75 @@ sketch_count_min_calibration.__doc__ = (
 )
 
 
+@query(
+    "corpus_decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_BUCKET} AS bucket, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, bucket,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in range(1, greatest(len(w) - 2, 0) + 1)])) AS shingle
+      FROM toks
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 95),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE bucket < 95)
+    SELECT tr.doc_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1
+    """,
+)
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_decontaminate`` routed through the Bloom pre-screen —
+    and hash-proven IDENTICAL to the exact path (the oracle is the
+    exact join's SQL verbatim): training shingles first pass the k=2
+    membership conjunction against the broadcast bit-set, and only the
+    bloom-positive survivors reach the exact shingle join.  Bloom
+    filters have NO false negatives, so prefilter + exact verify is
+    lossless by construction — this query pins that claim with a value
+    hash, the ``dedup_prefix_filter_jaccard`` convention (a
+    sub-quadratic plan proven against its exhaustive twin).
+
+    Scale: this is the shape that wins at 100 TB — the bit-set is
+    bounded by the filter geometry (``<= 2 * |eval shingles|`` rows)
+    and broadcasts where the raw eval shingle set may not; the exact
+    join then shuffles only the bloom-positive sliver (contamination-
+    sized + the measured ~0.1% false-positive sliver,
+    ``dedup_bloom_prefilter``), never the corpus."""
+    from concurrent_etl_go_spark.llm.dedup import shingles_from_tokens
+
+    docs = tokenized_docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        hash_bucket("doc_id").alias("bucket"),
+        F.explode(shingles_from_tokens(F.col("toks"))).alias("shingle"),
+    )
+    sh = scoped_persist(sh)
+    ev = sh.where(F.col("bucket") >= 95).select("shingle").distinct()
+    ev = scoped_persist(ev)
+    bits = (
+        ev.select(_bloom_h1(F.col("shingle")).alias("b"))
+        .unionByName(ev.select(_bloom_h2(F.col("shingle")).alias("b")))
+        .distinct()
+    )
+    tr = sh.where(F.col("bucket") < 95)
+    b1 = bits.withColumnRenamed("b", "h1")
+    b2 = bits.withColumnRenamed("b", "h2")
+    prefiltered = (
+        tr.withColumn("h1", _bloom_h1(F.col("shingle")))
+        .withColumn("h2", _bloom_h2(F.col("shingle")))
+        .join(F.broadcast(b1), "h1", "left_semi")
+        .join(F.broadcast(b2), "h2", "left_semi")
+    )
+    return (
+        prefiltered.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def _leakage_split_oracle() -> str:
     """Chains dedup3's hash-proven signature/banding/closure oracle with
     the md5 split bucket ON THE COMPONENT LABEL.  dedup3's fragments are
