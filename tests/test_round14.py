@@ -152,6 +152,41 @@ def test_replay_keeps_sidecar_when_post_fails(mock_api, tmp_path):
     assert os.path.exists(path) and os.path.exists(path + ".key")
 
 
+# ------------------------------------------------------- graph edge memo
+
+
+def test_edge_memo_matches_fresh_derivation(spark, sf_dir):
+    """The memoized local relation must be row-identical to a fresh
+    derivation, and survive release_caches() without a corpus re-scan."""
+    from concurrent_etl_go_spark.operators import graph2
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    graph2._EDGE_MEMO.pop((sf_dir, "plain"), None)
+    memoized = {
+        (r["src"], r["dst"])
+        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    }
+    assert (sf_dir, "plain") in graph2._EDGE_MEMO
+    release_caches()
+    again = {
+        (r["src"], r["dst"])
+        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    }
+    fresh = {
+        (r["src"], r["dst"])
+        for r in graph2._derive_copurchase_edges(spark, sf_dir).collect()
+    }
+    release_caches()
+    assert memoized == again == fresh
+    assert memoized, "edge list must be non-empty"
+    # bounded: two long columns, dimension-scale row count
+    rows, schema = graph2._EDGE_MEMO[(sf_dir, "plain")]
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+
+
 # ------------------------------------------------- staleness green predicate
 
 
