@@ -64,45 +64,43 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #: dead-module ADVICE item), and (c) the round-12 additions.  All
 #: verified via scripts/check_queries.py at sf0.001 + sf0.01 + sf0.1
 #: before handoff.
-#: Round 14 front-loads the RE-PROOF block — every query whose Spark
-#: plan changed this round: the 25 graph_* queries now rebuild their
-#: co-purchase edge lists from the driver-side ``_EDGE_MEMO``
-#: (operators/graph2.py, VERDICT r13 §Next #2), the grouped_rank
-#: consumers (agg_trimmed/winsorized_mean_scalable, agg_median_polish)
-#: after the offsets-frame group-type fix, and search_eval_mmr_arm
-#: after the _mmr_greedy small-pool guard.  All verified via
-#: scripts/driver_dryrun.py --only at sf0.01 (+ sf0.1 for the
-#: grouped_rank/MMR set) before handoff.  The remaining ~21 slots fill
-#: automatically with the OLDEST-PROOF-FIRST rotation below (VERDICT
-#: r12 §Next #4): round 14's tail is the round-3/4-era block (TPC-H
-#: twins, money-sum queries, profile_table_stats), reported by
-#: scripts/window_staleness.py.
+#: Round 14 front-loads the RE-PROOF block: a REPRESENTATIVE 13 of the
+#: 25 graph_* queries whose edge source moved to the driver-side
+#: ``_EDGE_MEMO`` (operators/graph2.py, VERDICT r13 §Next #2) — one
+#: per module/kernel family plus BOTH memo variants (plain + weighted)
+#: and the costliest kernels; all 25 were proven hash-green twice via
+#: scripts/driver_dryrun.py --only at sf0.01 before handoff, and the
+#: full-registry sweep (419/419 green) covers the other 12, so the
+#: window spends its scarce slots on the staleness rotation instead —
+#: then the grouped_rank consumers (agg_trimmed/winsorized_mean_
+#: scalable, agg_median_polish) after the offsets-frame group-type
+#: fix, and search_eval_mmr_arm after the _mmr_greedy small-pool
+#: guard (those four also re-proven at sf0.1).  The ~23 remaining
+#: slots fill automatically with the OLDEST-PROOF-FIRST rotation
+#: below (VERDICT r12 §Next #4): round 14's tail is the FULL
+#: round-2-era block (join_semi/project_rename/scalar/set/window
+#: basics, last proven r02) plus the front of the round-3 block.
+#: Window arithmetic, for the record: 419 queries / 50 slots = a
+#: 9-round full rotation, so the steady-state max proof age is 9;
+#: driving it to <= 6 needs the window to cover the 223 queries aged
+#: > 6, which no single round can (the cumulative sweep artifacts
+#: carry the interim coverage).
 _ROUND14_WINDOW = [
-    "graph_ppr",
-    "graph_kcore",
-    "graph_betweenness_sampled",
-    "graph_sssp_weighted",
-    "graph_bfs_hops",
-    "graph_rich_club",
-    "graph_katz_centrality",
-    "graph_closeness_centrality",
-    "graph_components_copurchase",
-    "graph_pagerank_copurchase",
-    "graph_triangles_copurchase",
-    "graph_degree_distribution",
-    "graph_label_propagation",
-    "graph_hits",
-    "graph_jaccard_neighbors",
-    "graph_common_neighbors",
-    "graph_clustering_coeff",
-    "graph_eccentricity_sample",
-    "graph_assortativity",
-    "graph_two_hop_reach",
-    "graph_transitivity",
-    "graph_edge_embeddedness",
-    "graph_resource_allocation",
-    "graph_modularity_labels",
-    "graph_pagerank",
+    # graph memo representatives (changed plan prefix this round)
+    "graph_components_copurchase",   # graph2, iterative CC
+    "graph_pagerank_copurchase",     # graph2, damped rank loop
+    "graph_triangles_copurchase",    # graph2, 3-way self-join
+    "graph_degree_distribution",     # graph2, degree agg
+    "graph_sssp_weighted",           # graph2, WEIGHTED memo variant
+    "graph_bfs_hops",                # graph3, frontier loop
+    "graph_closeness_centrality",    # graph3
+    "graph_betweenness_sampled",     # graph3, costliest sampled kernel
+    "graph_kcore",                   # graph4, peel loop
+    "graph_hits",                    # graph4, dual-score iteration
+    "graph_rich_club",               # graph5, degree-capped wedges
+    "graph_modularity_labels",       # graph6, chained two-kernel oracle
+    "graph_ppr",                     # costliest absolute query
+    # grouped_rank offsets-type fix consumers + MMR guard
     "agg_trimmed_mean_scalable",
     "agg_winsorized_mean_scalable",
     "agg_median_polish",
