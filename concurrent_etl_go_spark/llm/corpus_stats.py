@@ -243,8 +243,13 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     not, and the exact join then runs only over the bloom-positive
     survivors (here both paths are computed to MEASURE the proxy's
     error, exactly like ``dedup_minhash_calibration`` measures the LSH
-    S-curve).  A shingle is bloom-positive iff BOTH its bit positions
-    are set — the standard k=2 conjunction.
+    S-curve; ``sketch_bloom_membership`` in operators/sketches2.py
+    hash-proves the bloom MEMBERSHIP algebra itself over a key column —
+    this query applies it to the decontamination shingle domain and
+    emits the per-source error rates, and
+    ``corpus_decontaminate_bloom`` below deploys it as the lossless
+    production pre-filter).  A shingle is bloom-positive iff BOTH its
+    bit positions are set — the standard k=2 conjunction.
 
     Everything is integer: md5-nibble bit positions, conditional sums,
     one e6-lattice FPR quotient over the true negatives.
@@ -367,10 +372,17 @@ def sketch_count_min_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each row's counter = the total count of tokens hashing to that
     cell), read back every token's CMS estimate ``min(row1[h1],
     row2[h2])``, and hash-pin the per-token OVERESTIMATE against the
-    exact count.  CMS never underestimates — ``overestimate >= 0`` is
-    the structural invariant — and the collision-driven error profile
-    this query freezes is exactly what a heavy-hitter pipeline needs to
-    size (d, w) before trusting the sketch at 100 TB, where the counter
+    exact count.  Complements ``text_countmin_portable``
+    (operators/sketches2.py), which hash-proves the ESTIMATOR itself
+    (build + min-over-rows readback at d=4 x w=256): this query emits
+    what that one deliberately doesn't — the error against ground
+    truth, at a deliberately tighter geometry (d=2, wider rows) so the
+    realized collisions are visible and measurable, the
+    ``dedup_minhash_calibration`` convention.  CMS never
+    underestimates — ``overestimate >= 0`` is the structural
+    invariant — and the collision-driven error profile this query
+    freezes is exactly what a heavy-hitter pipeline needs to size
+    (d, w) before trusting the sketch at 100 TB, where the counter
     array (d*w integers) is broadcastable state and exact per-token
     counts are a corpus-scale shuffle.
 
