@@ -307,6 +307,9 @@ HEADLINE = (
     "sketch_count_min_calibration", # CMS overestimate vs exact
     "dataset_leakage_safe_split",   # cluster-consistent split
     "corpus_decontaminate_bloom",   # bloom-prefiltered decontaminate
+    "agg_shapley_attribution",      # exact Shapley channel credit
+    "agg_pettitt_changepoint",      # rank changepoint test
+    "agg_grubbs_outlier",           # max-deviation outlier test
 )
 
 

@@ -185,3 +185,128 @@ def agg_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts
+
+
+# --- round 14: exact Shapley-value channel attribution --------------------
+
+#: Touch channels (bit positions in the exposure mask); conversion is a
+#: ``purchase`` event.  The 3-channel subset lattice has 8 cells, so
+#: the Shapley sum unrolls exactly with 3! = 6 cleared from every
+#: weight denominator.
+_SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4))
+
+
+def _v_sql(s: int) -> str:
+    """v(S) = conversions from users whose exposure mask is a subset of
+    S (the cumulative value function of Dalessandro et al. 2012 /
+    Zhao et al. 2018 Shapley attribution)."""
+    return (
+        f"(SELECT COALESCE(SUM(c), 0) FROM conv WHERE (m & {7 - s}) = 0)"
+    )
+
+
+def _phi_sql(bit: int, others: tuple[int, int]) -> str:
+    """6 * Shapley value of the channel at ``bit``: the unrolled
+    marginal-contribution sum over the other two channels' subsets,
+    weights |S|!(2-|S|)! = 2,1,1,2."""
+    x, y = others
+    return (
+        f"2 * ({_v_sql(bit)} - {_v_sql(0)})"
+        f" + ({_v_sql(bit | x)} - {_v_sql(x)})"
+        f" + ({_v_sql(bit | y)} - {_v_sql(y)})"
+        f" + 2 * ({_v_sql(7)} - {_v_sql(x | y)})"
+    )
+
+
+@query(
+    "agg_shapley_attribution",
+    oracle=f"""
+    WITH firstp AS (
+      SELECT user_id, MIN(ts) AS pts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    mask AS (
+      SELECT f.user_id,
+             {" + ".join(
+                 f"{bit} * MAX(CASE WHEN e.event_type = '{ch}' "
+                 f"AND e.ts < f.pts THEN 1 ELSE 0 END)"
+                 for ch, bit in _SHAPLEY_CHANNELS
+             )} AS m
+      FROM firstp f LEFT JOIN events e ON e.user_id = f.user_id
+      GROUP BY 1
+    ),
+    conv AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM mask GROUP BY 1)
+    SELECT channel, CAST(phi_x6 AS BIGINT) AS phi_x6 FROM (
+      SELECT 'view' AS channel, {_phi_sql(1, (2, 4))} AS phi_x6
+      UNION ALL
+      SELECT 'click' AS channel, {_phi_sql(2, (1, 4))} AS phi_x6
+      UNION ALL
+      SELECT 'signup' AS channel, {_phi_sql(4, (1, 2))} AS phi_x6
+    )
+    """,
+)
+def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953 via the
+    Dalessandro 2012 / Zhao 2018 cumulative value function): each
+    converting user's exposure mask is the set of touch channels
+    (view/click/signup) seen strictly BEFORE their first purchase;
+    ``v(S)`` counts conversions from users whose mask is a subset of
+    ``S``; each channel's Shapley value is the factorial-weighted
+    marginal-contribution sum over the 3-channel subset lattice —
+    emitted times 6 (= 3!) so every weight is the integer
+    ``|S|!(2-|S|)!`` in {{2, 1, 1, 2}} and no division exists at all.
+    Efficiency holds exactly: ``sum(phi_x6) = 6 * (v(full) -
+    v(empty))`` (pinned by a pytest identity).
+
+    Scale: the corpus-scale work is ONE events scan -> per-converter
+    exposure mask -> an 8-row mask histogram; the Shapley algebra runs
+    on those 8 integers (driver-side here, a broadcast relation at any
+    size — the lattice is 2^|channels|, not data-sized).  Last-touch
+    and position attribution (above) mis-credit assists; Shapley is
+    the game-theoretically fair split."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    mask_col = None
+    for ch, bit in _SHAPLEY_CHANNELS:
+        term = bit * F.max(
+            F.when(
+                (F.col("event_type") == ch) & (F.col("ts") < F.col("pts")),
+                1,
+            ).otherwise(0)
+        )
+        mask_col = term if mask_col is None else mask_col + term
+    masks = (
+        firstp.join(ev, "user_id", "left")
+        .groupBy("user_id", "pts")
+        .agg(mask_col.alias("m"))
+    )
+    conv = {
+        int(r["m"]): int(r["c"])
+        for r in masks.groupBy("m")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+
+    def v(s: int) -> int:
+        return sum(c for m, c in conv.items() if (m & (7 - s)) == 0)
+
+    def phi6(bit: int, x: int, y: int) -> int:
+        return (
+            2 * (v(bit) - v(0))
+            + (v(bit | x) - v(x))
+            + (v(bit | y) - v(y))
+            + 2 * (v(7) - v(x | y))
+        )
+
+    rows = [
+        ("view", phi6(1, 2, 4)),
+        ("click", phi6(2, 1, 4)),
+        ("signup", phi6(4, 1, 2)),
+    ]
+    return spark.createDataFrame(rows, "channel string, phi_x6 long")

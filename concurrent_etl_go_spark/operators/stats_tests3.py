@@ -157,3 +157,182 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_median_cents",
         "boot_hi_cents",
     )
+
+
+# --- round 14: changepoint + outlier tests on the exact lattice ----------
+
+_DAILY_CENTS = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+
+
+@query(
+    "agg_pettitt_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_DAILY_CENTS}) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, x,
+             CAST(ROW_NUMBER() OVER (ORDER BY x, day) AS BIGINT) AS r,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    u AS (
+      SELECT day, t, n,
+             2 * SUM(r) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - t * (n + 1) AS ut
+      FROM ranked
+    ),
+    k AS (SELECT MAX(ABS(ut)) AS k_stat, MAX(n) AS n_days FROM u)
+    SELECT k.n_days, CAST(k.k_stat AS BIGINT) AS k_stat,
+           (SELECT MIN(day) FROM u WHERE ABS(ut) = k.k_stat) AS cp_day,
+           CAST((SELECT MIN(ut) FROM u WHERE ABS(ut) = k.k_stat
+                   AND day = (SELECT MIN(day) FROM u
+                              WHERE ABS(ut) = k.k_stat))
+                AS BIGINT) AS u_at_cp
+    FROM k
+    """,
+)
+def agg_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979) over the daily revenue
+    series: the rank-based statistic ``U_t = 2 * sum(r_1..r_t) -
+    t*(n+1)`` (the Mann-Whitney cousin — ``agg_mann_whitney`` tests two
+    GIVEN groups; Pettitt finds the split), maximized in absolute value
+    over every prefix/suffix split.  Emits the statistic, the first day
+    attaining it (the estimated changepoint), and the signed U there.
+    Ranks use a deterministic total order (value, day) so ties resolve
+    identically cross-engine; everything is an exact integer.
+
+    Scale: one orders scan -> day-grain agg; the rank and the prefix
+    cumsum are day-count-sized windows regardless of corpus size."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(F.expr(_DAILY_CENTS)).cast("long").alias("x"))
+    ranked = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("x", "day")).cast("long").alias("r"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    u = ranked.select(
+        "day",
+        "n",
+        (2 * F.sum("r").over(cum) - F.col("t") * (F.col("n") + 1)).alias(
+            "ut"
+        ),
+    )
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    u = scoped_persist(u)
+    k = u.agg(
+        F.max(F.abs(F.col("ut"))).alias("k_stat"),
+        F.max("n").alias("n_days"),
+    )
+    cp = (
+        u.join(k, F.abs(F.col("ut")) == F.col("k_stat"))
+        .orderBy("day")
+        .limit(1)
+        .select(
+            F.col("n_days"),
+            F.col("k_stat").cast("long").alias("k_stat"),
+            F.col("day").alias("cp_day"),
+            F.col("ut").cast("long").alias("u_at_cp"),
+        )
+    )
+    return cp
+
+
+@query(
+    "agg_grubbs_outlier",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS grp, date_trunc('day', o_orderdate) AS day,
+             CAST(SUM({_DAILY_CENTS}) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT grp, day, x,
+             CAST(SUM(x) OVER (PARTITION BY grp) AS BIGINT) AS s1,
+             SUM(CAST(x AS HUGEINT) * x) OVER (PARTITION BY grp) AS s2,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM daily
+    ),
+    dev AS (
+      SELECT grp, day, n,
+             ABS(n * x - s1) AS d,
+             n * s2 - CAST(s1 AS HUGEINT) * s1 AS s2n
+      FROM sized
+    ),
+    top AS (
+      SELECT grp, day, n, d, s2n,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d DESC, day)
+               AS rk
+      FROM dev
+    )
+    SELECT grp, n AS n_days, day AS outlier_day,
+           CAST(d AS BIGINT) AS dev_scaled,
+           CAST(CASE WHEN s2n = 0 THEN NULL
+                ELSE CAST(d AS HUGEINT) * d * 10000 // s2n END AS BIGINT)
+             AS g_sq_e4
+    FROM top WHERE rk = 1
+    """,
+)
+def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs outlier test (Grubbs 1950) per order priority over daily
+    revenue, emitted SQUARED on the cleared-denominator lattice:
+    ``G^2 = (x* - mean)^2 / sigma^2 = (n*x* - s1)^2 / (n*s2 - s1^2)``
+    exactly (both rescalings by n^2 cancel), where x* maximizes the
+    absolute deviation (tie-broken by earliest day).  The emitted
+    ``dev_scaled = |n*x* - s1|`` is n times the raw deviation; the e4
+    statistic compares against the Grubbs critical value squared.
+    Wide products run in DECIMAL(38,0)/HUGEINT.
+
+    Scale: one day-grain hash agg per priority; the deviation scan and
+    top-1 window are day-count-sized."""
+    big = "DECIMAL(38,0)"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(F.sum(F.expr(_DAILY_CENTS)).cast("long").alias("x"))
+    wg = Window.partitionBy("grp")
+    sized = daily.select(
+        "grp",
+        "day",
+        "x",
+        F.sum("x").over(wg).cast("long").alias("s1"),
+        F.sum(F.expr(f"CAST(x AS {big}) * x")).over(wg).alias("s2"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("n"),
+    )
+    dev = sized.select(
+        "grp",
+        "day",
+        "n",
+        F.abs(F.col("n") * F.col("x") - F.col("s1")).alias("d"),
+        F.expr(f"n * s2 - CAST(s1 AS {big}) * s1").alias("s2n"),
+    )
+    top = dev.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.desc("d"), "day")
+        ),
+    ).where(F.col("rk") == 1)
+    return top.select(
+        "grp",
+        F.col("n").alias("n_days"),
+        F.col("day").alias("outlier_day"),
+        F.col("d").cast("long").alias("dev_scaled"),
+        F.when(F.col("s2n") == 0, F.lit(None))
+        .otherwise(F.expr(f"CAST(d AS {big}) * d * 10000 div s2n"))
+        .cast("long")
+        .alias("g_sq_e4"),
+    )

@@ -154,6 +154,82 @@ def test_leakage_safe_split_cluster_consistent(spark, sf_dir):
     assert max(sizes.values()) > 1
 
 
+def test_shapley_efficiency_identity(spark, sf_dir):
+    """sum(phi) = v(full) - v(empty), exactly (times 6)."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_go_spark.operators.attribution import (
+        _SHAPLEY_CHANNELS,
+        agg_shapley_attribution,
+    )
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    rows = {r["channel"]: r["phi_x6"] for r in
+            agg_shapley_attribution(spark, sf_dir).collect()}
+    assert set(rows) == {"view", "click", "signup"}
+
+    # recompute the mask histogram independently
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    m = None
+    for ch, bit in _SHAPLEY_CHANNELS:
+        t = bit * F.max(
+            F.when(
+                (F.col("event_type") == ch) & (F.col("ts") < F.col("pts")), 1
+            ).otherwise(0)
+        )
+        m = t if m is None else m + t
+    conv = {
+        int(r["m"]): int(r["c"])
+        for r in firstp.join(ev, "user_id", "left")
+        .groupBy("user_id")
+        .agg(m.alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    v_full = sum(conv.values())
+    v_empty = conv.get(0, 0)
+    assert sum(rows.values()) == 6 * (v_full - v_empty)
+    # each channel's credit is non-negative under the cumulative v
+    # (v is monotone in S by construction)
+    assert all(p >= 0 for p in rows.values())
+
+
+def test_pettitt_statistic_structure(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.stats_tests3 import (
+        agg_pettitt_changepoint,
+    )
+
+    rows = agg_pettitt_changepoint(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k_stat"] == abs(r["u_at_cp"])
+    # |U_t| <= t*(n-t) + ... loose structural bound: K < n^2
+    assert 0 < r["k_stat"] < r["n_days"] * r["n_days"]
+    assert r["cp_day"] is not None
+
+
+def test_grubbs_outlier_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.stats_tests3 import (
+        agg_grubbs_outlier,
+    )
+
+    rows = agg_grubbs_outlier(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dev_scaled"] >= 0
+        if r["g_sq_e4"] is not None:
+            # G^2 <= (n-1)^2 / n, so G^2_e4 < 10000 * n
+            assert 0 <= r["g_sq_e4"] < 10000 * r["n_days"]
+
+
 def test_bloom_prefilter_dominates_exact(spark, sf_dir):
     rows = dedup_bloom_prefilter(spark, sf_dir).collect()
     assert rows
