@@ -4,18 +4,27 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Round-14 protocol (the spike fix, VERDICT r13 §Next #1): each query
-runs once cold, then ``$SPARK_GRAFT_BENCH_N`` (default 3) warm passes, and
-the recorded per-query number is the MIN of the warm passes.  Round 11's
-median-of-3 absorbed one contended pass but not two: round 13 committed a
-0.3 s query as 2.39 s from samples [3.35, 2.39, 0.28] — the median chased
-the spikes while the min sat at the true warm time (the driver's
-same-protocol run read [0.39, 0.30, 0.34]).  Min-of-n is the right
-estimator here because the quantity of interest is the PLAN's cost — host
-contention only ever adds time, never subtracts it, so the min converges
-on the uncontended cost.  All samples, the per-query 1-minute loadavg,
-and corpus row counts (so data regeneration can't masquerade as a
-regression either) are written to BENCH_LOCAL.json (committed per round);
+Round-14 protocol (the spike fix, VERDICT r13 §Next #1): each query runs
+once cold, then ``$SPARK_GRAFT_BENCH_N`` (default 3) PASS-MAJOR warm
+passes — the WHOLE headline list runs once per pass (not 3 back-to-back
+passes per query) — and the recorded per-query number is the MIN of the
+warm passes.  Two fixes in one:
+
+* MIN, not median: round 11's median-of-3 absorbed one contended pass
+  but not two — round 13 committed a 0.3 s query as 2.39 s from samples
+  [3.35, 2.39, 0.28].  Host contention is strictly additive, so the min
+  converges on the uncontended plan cost.
+* PASS-MAJOR, not query-major: this host's contention comes in bursts of
+  tens of seconds — longer than 3 consecutive warm passes of one query —
+  so query-major sampling let a single burst inflate ALL of a query's
+  samples (two round-14 sessions each flagged a different burst-struck
+  contiguous stretch at 2-3x with clean neighbors; BENCH_AB_r14.json has
+  the code-A/B exoneration).  Interleaving decorrelates bursts from
+  per-query sampling at identical session cost.
+
+All samples, the per-pass 1-minute loadavg, and corpus row counts (so
+data regeneration can't masquerade as a regression either) are written
+to BENCH_LOCAL.json (committed per round);
 ``scripts/bench_regression_gate.py`` re-derives the min from raw samples
 on BOTH sides so it compares protocol-independently against older
 median-era baselines.
@@ -419,31 +428,45 @@ def main() -> None:
     SENTINEL_N = 8  # first-N queries re-timed at session end
     SENTINEL_EVERY = 25  # JVM probe cadence (every N queries)
 
+    # PASS-MAJOR interleaving (round 14, v3.1): the host's contention
+    # comes in bursts of tens of seconds — longer than 3 back-to-back
+    # warm passes of one query, so query-major sampling let a burst
+    # inflate ALL of a query's samples at once (two full sessions this
+    # round each flagged a different burst-struck stretch at 2-3x with
+    # clean neighbors).  Running the whole headline list once per pass
+    # decorrelates bursts from per-query sampling: a burst lands on
+    # DIFFERENT queries in different passes and the per-query min
+    # recovers the uncontended cost.  Session cost is identical (same
+    # total work, different order).
     cold: dict[str, float] = {}
     samples_e2e: dict[str, list[float]] = {}
     samples_act: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
     timings_median: dict[str, float] = {}
     action_only: dict[str, float] = {}
-    loadavg1: dict[str, float] = {}
+    loadavg1: dict[str, list[float]] = {}
     jvm_trace: list[dict] = []
+    for name in headline:
+        samples_e2e[name], samples_act[name] = [], []
+        loadavg1[name] = []
     for qi, name in enumerate(headline):
-        loadavg1[name] = round(os.getloadavg()[0], 2)
         cold[name], _ = run_once(name)
         clean_between()
-        samples_e2e[name], samples_act[name] = [], []
-        for _ in range(n_warm):
-            e2e, act = run_once(name)
-            clean_between()
-            samples_e2e[name].append(e2e)
-            samples_act[name].append(act)
-        timings[name] = round(min(samples_e2e[name]), 3)
-        timings_median[name] = round(statistics.median(samples_e2e[name]), 3)
-        action_only[name] = round(min(samples_act[name]), 3)
         if qi % SENTINEL_EVERY == 0 or qi == len(headline) - 1:
             probe = jvm_probe()
             probe["after_query_idx"] = qi
             jvm_trace.append(probe)
+    for _pass in range(n_warm):
+        for name in headline:
+            loadavg1[name].append(round(os.getloadavg()[0], 2))
+            e2e, act = run_once(name)
+            clean_between()
+            samples_e2e[name].append(e2e)
+            samples_act[name].append(act)
+    for name in headline:
+        timings[name] = round(min(samples_e2e[name]), 3)
+        timings_median[name] = round(statistics.median(samples_e2e[name]), 3)
+        action_only[name] = round(min(samples_act[name]), 3)
 
     # sentinel re-run: the first SENTINEL_N headline queries again, at
     # the END of the (now maximally heavy) session
@@ -493,10 +516,12 @@ def main() -> None:
         "jvm_trace": jvm_trace,
         "deep_clean": deep_clean,
         "n_warm": n_warm,
-        "protocol": "per-query MIN of n_warm serialized warm passes "
-        "after one cold pass (round 14 — contention is additive, min "
-        "estimates the uncontended plan cost; medians also recorded); "
-        "e2e = query build + eager coordination + action",
+        "protocol": "per-query MIN of n_warm PASS-MAJOR warm passes "
+        "(whole headline list per pass, so multi-second host bursts "
+        "land on different queries in different passes and the min "
+        "recovers the uncontended cost) after one cold pass per query; "
+        "medians + raw samples + per-pass loadavg recorded; e2e = "
+        "query build + eager coordination + action",
         "corpus_rows": corpus,
         "sf": sf,
     }
@@ -517,9 +542,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(headline),
         "n_warm": n_warm,
-        "protocol": "per-query min of n_warm warm passes; full "
-        "per-query maps + samples + loadavg + corpus rows in committed "
-        "BENCH_LOCAL.json",
+        "protocol": "per-query min of n_warm pass-major warm passes; "
+        "full per-query maps + samples + loadavg + corpus rows in "
+        "committed BENCH_LOCAL.json",
         "queries": slowest,
         "act_total": full["action_only_total"],
         "cold_total": full["cold_total"],
