@@ -558,9 +558,14 @@ def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical to the dedup funnel (map-side signatures,
     band-keyed join, O(log diameter) component rounds) plus one
-    map-side bucket expression; stable under corpus growth within a
-    cluster (the label is the cluster min id, so adding a NEW duplicate
-    of an existing cluster cannot move the cluster between splits)."""
+    map-side bucket expression.  Stability under corpus growth: with
+    monotone doc ids (new documents get larger ids, the usual
+    ingestion contract) a new duplicate of an existing cluster keeps
+    the cluster's min-id label and therefore its split; the one event
+    that CAN move documents is a bridge document merging two clusters
+    (their union takes the smaller label) — which is precisely when
+    re-splitting is correct, because the merged cluster must not
+    straddle the boundary either."""
     from concurrent_etl_go_spark.llm.dedup import connected_components
     from concurrent_etl_go_spark.llm.dedup3 import _candidate_pairs
     from concurrent_etl_go_spark.sources.readers import read_table
