@@ -157,7 +157,11 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     they enter through the cleared-denominator algebra, never through a
     dense zero-filled table).  With per-doc counts c over D documents,
     ``VMR = (D*S2 - S1^2) / (D*S1)`` exactly — a Poisson-scattered
-    token sits at VMR ~= 1, topical/bursty tokens run higher.  Emitted
+    token sits at VMR ~= 1, topical/bursty tokens run higher.  The
+    cancellation runs in DECIMAL(38,0)/HUGEINT (the round-11 beta
+    lesson, mirroring finance5): at larger sf a frequent token's
+    ``D*S2`` / ``S1^2`` / ``*10000`` rescale would overflow int64 and
+    die under ANSI mode.  Emitted
     on the e4 lattice; tokens in fewer than 100 docs are dropped (their
     VMR is df-noise, and the threshold keeps the output
     vocabulary-bounded).
@@ -181,7 +185,10 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         "df",
         F.col("s1").alias("total_count"),
-        F.expr(f"({n} * s2 - s1 * s1) * 10000 div ({n} * s1)")
+        F.expr(
+            f"(CAST({n} AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            f" * 10000 div (CAST({n} AS DECIMAL(38,0)) * s1)"
+        )
         .cast("long")
         .alias("vmr_e4"),
     )

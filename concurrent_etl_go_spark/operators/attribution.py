@@ -254,7 +254,7 @@ def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``S``; each channel's Shapley value is the factorial-weighted
     marginal-contribution sum over the 3-channel subset lattice —
     emitted times 6 (= 3!) so every weight is the integer
-    ``|S|!(2-|S|)!`` in {{2, 1, 1, 2}} and no division exists at all.
+    ``|S|!(2-|S|)!`` in {2, 1, 1, 2} and no division exists at all.
     Efficiency holds exactly: ``sum(phi_x6) = 6 * (v(full) -
     v(empty))`` (pinned by a pytest identity).
 

@@ -52,7 +52,9 @@ def clear_dlq(paths: list[str]) -> None:
                 os.remove(target)
 
 
-def replay_dlq_posts(dlq_dir: str, config) -> tuple[int, int]:
+def replay_dlq_posts(
+    dlq_dir: str, config, orphan_min_age_s: float = 300.0
+) -> tuple[int, int]:
     """Re-POST every spilled batch under its ORIGINAL idempotency key,
     ack-then-delete — the exactly-once half of the DLQ story.
 
@@ -74,20 +76,38 @@ def replay_dlq_posts(dlq_dir: str, config) -> tuple[int, int]:
     write and the data-file write in ``spill_batch``, or between the
     data-file delete and the sidecar delete below — are swept first:
     a sidecar whose data file no longer exists can never be replayed,
-    and no other path removes it.
+    and no other path removes it.  The sweep is AGE-GATED
+    (``orphan_min_age_s``, default 5 minutes): sidecar-without-data is
+    also the normal transient state of a LIVE spill (``spill_batch``
+    deliberately writes the sidecar first), so an un-gated sweep racing
+    an in-flight spill would delete the live sidecar and the eventual
+    replay would POST under the fallback ``dlq/<filename>`` key instead
+    of the original chunk key — reopening the crash-after-spill
+    double-delivery hole the sidecar exists to close.  A genuine crash
+    orphan only ages; a live spill writes its data file milliseconds
+    after the sidecar, so the age gate separates the two states without
+    requiring quiescence.
 
     Returns ``(replayed, remaining)`` file counts.  Driver-side by
     design: the DLQ is a local spill directory, bounded by failure
     volume, not data volume."""
     import gzip as _gzip
     import json as _json
+    import time as _time
 
     from concurrent_etl_go_spark.sinks.http_sink import post_batch
 
+    now = _time.time()
     for sidecar in glob.glob(
         os.path.join(dlq_dir, "buffer_failed_worker*.json.gz.key")
     ):
-        if not os.path.exists(sidecar[: -len(".key")]):
+        if os.path.exists(sidecar[: -len(".key")]):
+            continue
+        try:
+            age = now - os.path.getmtime(sidecar)
+        except OSError:
+            continue  # vanished: its spill just completed — not an orphan
+        if age >= orphan_min_age_s:
             os.remove(sidecar)
 
     replayed = 0

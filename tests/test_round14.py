@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 
@@ -117,6 +118,10 @@ def test_replay_sweeps_orphan_key_sidecars(mock_api, tmp_path):
     )
     with open(orphan, "w", encoding="utf-8") as fh:
         fh.write("run1/p9/c9")
+    # age the orphan past the sweep gate (round 15: fresh sidecars are a
+    # live spill's normal transient state and must NOT be swept)
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
 
     replayed, remaining = replay_dlq_posts(dlq_dir, config)
     assert replayed == 1 and remaining == 0
