@@ -516,6 +516,13 @@ def main() -> None:
         "jvm_trace": jvm_trace,
         "deep_clean": deep_clean,
         "n_warm": n_warm,
+        # FROZEN at v3 (round 15, VERDICT r14 §Next #2): three protocol
+        # changes in three rounds broke per-query round-over-round
+        # comparability each time (action-only -> median-of-3
+        # query-major -> min-of-3 pass-major).  v3 = min-of-n_warm
+        # PASS-MAJOR is final; the regression gate refuses
+        # cross-protocol baselines unless --allow-cross-protocol.
+        "protocol_version": 3,
         "protocol": "per-query MIN of n_warm PASS-MAJOR warm passes "
         "(whole headline list per pass, so multi-second host bursts "
         "land on different queries in different passes and the min "

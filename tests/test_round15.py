@@ -114,3 +114,100 @@ def test_sweep_spares_live_spill_sidecar_toctou(mock_api, tmp_path):
         "fallback dlq/<filename> key means the sidecar was lost — the "
         "double-delivery hole is open"
     )
+
+
+# ---------------------------------------------------------------------------
+# 2. Persisted co-purchase edge table (VERDICT r14 §Next #3 + ADVICE r14 #3):
+#    the production path derives the edge list once, persists it as a
+#    fingerprinted versioned table, and serves later consumers by SCAN —
+#    the build_ivfpq_index pattern; the driver memo is only the bench-tier
+#    cache on top, keyed by the source fingerprint so an in-process
+#    testdata refresh can never serve stale edges.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def edge_roots(tmp_path, monkeypatch):
+    """Isolate the persisted edge tables AND the memo in tmp_path."""
+    from concurrent_etl_go_spark.operators import graph2
+
+    monkeypatch.setattr(
+        graph2,
+        "_edge_table_root",
+        lambda sf_dir, kind: str(tmp_path / "edges" / kind),
+    )
+    monkeypatch.setattr(graph2, "_EDGE_MEMO", {})
+    return graph2
+
+
+def test_edge_table_build_then_pure_read(spark, sf_dir, edge_roots):
+    """First call derives + persists; a cold-process load (memo cleared)
+    returns identical rows WITHOUT writing a new table version."""
+    import concurrent_etl_go_spark.sources.versioned as vt
+
+    graph2 = edge_roots
+    first = sorted(
+        (r.src, r.dst)
+        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    )
+    assert first, "smoke corpus must produce co-purchase edges"
+    root = graph2._edge_table_root(sf_dir, "plain")
+    v0 = vt.snapshot(os.path.join(root, "edges")).version
+
+    graph2._EDGE_MEMO.clear()  # simulate a fresh process
+    again = sorted(
+        (r.src, r.dst)
+        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    )
+    assert again == first
+    assert vt.snapshot(os.path.join(root, "edges")).version == v0, (
+        "a fresh-fingerprint reload must be a pure read, not a rebuild"
+    )
+
+
+def test_edge_table_stale_fingerprint_rebuilds(spark, sf_dir, edge_roots):
+    """A fingerprint mismatch (refreshed source parquet) forces a
+    re-derive into a NEW table version; results stay identical because
+    the derivation is deterministic."""
+    import json as _json
+
+    import concurrent_etl_go_spark.sources.versioned as vt
+
+    graph2 = edge_roots
+    first = sorted(
+        (r.src, r.dst)
+        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    )
+    root = graph2._edge_table_root(sf_dir, "plain")
+    meta_path = os.path.join(root, "meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    v0 = meta["edges_version"]
+    meta["fingerprint"] = [0, 0, 0, 0]
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+
+    graph2._EDGE_MEMO.clear()
+    again = sorted(
+        (r.src, r.dst)
+        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    )
+    assert again == first
+    with open(meta_path) as fh:
+        assert _json.load(fh)["edges_version"] > v0, (
+            "stale fingerprint must trigger a rebuild"
+        )
+
+
+def test_edge_memo_keyed_by_source_fingerprint(spark, sf_dir, edge_roots):
+    """ADVICE r14 #3: the memo key folds in the source fingerprint, so
+    touching the source parquet evicts the in-process entry instead of
+    silently serving stale edges (verified via the memo keys — the
+    testdata itself is read-only here)."""
+    graph2 = edge_roots
+    graph2._copurchase_edges(spark, sf_dir)
+    (key,) = list(graph2._EDGE_MEMO)
+    assert key[0] == sf_dir and key[1] == "plain"
+    assert key[2] == tuple(graph2._edges_fingerprint(sf_dir)), (
+        "memo key must carry the live source fingerprint"
+    )
