@@ -27,22 +27,16 @@ surface; this extends SURVEY.md §2.B alongside ``graph_pagerank``.
 
 from __future__ import annotations
 
-import hashlib
-import json
-import os
-import tempfile
-import threading
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators import relation_cache
 from concurrent_etl_go_spark.operators.registry import (
     query,
     release_df,
     scoped_persist,
     track_cache,
 )
-from concurrent_etl_go_spark.sources import versioned as vt
 from concurrent_etl_go_spark.sources.readers import read_table
 
 #: Drop (part, week) groups larger than this before pairing — the skew
@@ -75,125 +69,23 @@ _EDGE_SQL = f"""
 """
 
 
-#: Bench-tier driver-side memo of the derived co-purchase edge lists,
-#: keyed by (sf_dir, variant, source fingerprint) — round 14 added the
-#: memo (the proven ``_HARNESS_MEMO`` pattern from
-#: ``llm/retrieval_eval.py``: ~20 ``graph_*`` queries each re-derived
-#: the SAME (part, week) join + window + pairing subtree, ~55 s of a
-#: 283 s bench session); round 15 (VERDICT r14 §Next #3, ADVICE r14 #3)
-#: demoted it to the BENCH-TIER cache on top of the persisted table
-#: below and folded the source fingerprint into the key, so a testdata
-#: refresh within one process can never serve stale edges.
-#:
-#: The memo's driver-collect is a bench-session amortization, valid
-#: because the edge list is DIMENSION-scale at test SFs (the
-#: ``_GROUP_CAP`` pairing bound makes it linear in distinct customers:
-#: 2,666 rows at sf0.01, 26,173 at sf0.1 — two longs per row).  It is
-#: NOT the production pattern: at 100 TB the edge list grows with the
-#: customer dimension into billions of rows, so the production path is
-#: ``_load_or_build_edge_table`` — derive once with the fully
-#: distributed plan, persist as a fingerprinted versioned table (the
-#: ``llm/ivfpq.py::build_ivfpq_index`` build-offline/serve-cheap
-#: split), and have every consumer SCAN it; no driver rows anywhere on
-#: that path.
-_EDGE_MEMO: dict[tuple[str, str, tuple], tuple[list, object]] = {}
-
-#: Guards first derivation per process: concurrent first calls would
-#: otherwise race and double-derive (ADVICE r14 #3).  Held across the
-#: build job — concurrent builds of DIFFERENT keys serialize too, which
-#: is acceptable (builds are rare: once per corpus version).
-_EDGE_BUILD_LOCK = threading.Lock()
-
-
-def _edges_fingerprint(sf_dir: str) -> list[int]:
-    """(size, mtime_ns) of the two source parquets the edge derivation
-    reads — cheap staleness guard (no data read), same contract as
-    ``llm/ivfpq.py::_source_fingerprint``."""
-    out: list[int] = []
-    for t in ("lineitem", "orders"):
-        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
-        out.extend([st.st_size, st.st_mtime_ns])
-    return out
-
-
-def _edge_table_root(sf_dir: str, kind: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"cetl_copurchase_edges_{key}", kind
-    )
-
-
-def _load_or_build_edge_table(
-    spark: SparkSession, sf_dir: str, kind: str, build
-) -> DataFrame:
-    """PRODUCTION path (round 15, VERDICT r14 §Next #3): return the
-    co-purchase edge list as a scan of a persisted versioned table,
-    deriving + writing it only when absent or when the source
-    fingerprint changed.  Mirrors ``llm/ivfpq.py::load_ivfpq_index``:
-    ``meta.json`` pins the exact table version its fingerprint was
-    stamped for (atomic ``os.replace``), reads are version-pinned so a
-    reader racing a rebuild gets a consistent (meta, edges) pair, and a
-    lost ``CommitConflictError`` race falls back to the winner's
-    byte-equivalent table (the derivation is deterministic)."""
-    root = _edge_table_root(sf_dir, kind)
-    edges_root = os.path.join(root, "edges")
-    fp = _edges_fingerprint(sf_dir)
-    meta_path = os.path.join(root, "meta.json")
-    # Narrow catch, like load_ivfpq_index: only EXPECTED load failures
-    # (missing/corrupt/stale meta, vacuumed table) fall through to a
-    # rebuild; genuine bugs must surface.
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta["fingerprint"] == fp:
-            return vt.read_table_version(
-                spark, edges_root, version=meta["edges_version"]
-            )
-    except (FileNotFoundError, json.JSONDecodeError, KeyError):
-        pass
-    df = build()
-    try:
-        snap = vt.write_table(df, edges_root, mode="overwrite")
-    except vt.CommitConflictError:
-        # a concurrent builder won; deterministic derivation makes its
-        # table byte-equivalent — adopt it
-        snap = vt.snapshot(edges_root)
-    release_df(df)
-    meta = {"fingerprint": fp, "edges_version": snap.version}
-    os.makedirs(root, exist_ok=True)
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
-    return vt.read_table_version(
-        spark, edges_root, version=meta["edges_version"]
-    )
-
-
+#: Co-purchase edge lists are served through the fingerprinted
+#: persisted-relation cache (``operators/relation_cache.py`` — round
+#: 15, VERDICT r14 §Next #3 + ADVICE r14 #3): the PRODUCTION path
+#: derives the edge list once with the fully distributed plan below,
+#: persists it as a versioned table keyed by the lineitem/orders
+#: source fingerprint, and consumers scan it — no driver rows at any
+#: scale (at 100 TB the edge list grows with the customer dimension
+#: into billions of rows).  The driver-side memo on top is a
+#: BENCH-TIER amortization, valid because the list is dimension-scale
+#: at test SFs (the ``_GROUP_CAP`` pairing bound makes it linear in
+#: distinct customers: 2,666 rows at sf0.01, 26,173 at sf0.1 — two
+#: longs per row); its key carries the source fingerprint, so an
+#: in-process testdata refresh can never serve stale edges.
 def _memoized_edges(spark: SparkSession, sf_dir: str, kind: str, build):
-    """Bench-tier wrapper: rebuild the memoized edge list as a local
-    relation; on first use per (sf_dir, kind, fingerprint) load it from
-    the persisted versioned table (building that if needed)."""
-    fp = tuple(_edges_fingerprint(sf_dir))
-    key = (sf_dir, kind, fp)
-    ent = _EDGE_MEMO.get(key)
-    if ent is None:
-        with _EDGE_BUILD_LOCK:
-            ent = _EDGE_MEMO.get(key)  # lost the race → winner filled it
-            if ent is None:
-                df = _load_or_build_edge_table(spark, sf_dir, kind, build)
-                ent = (df.collect(), df.schema)
-                # evict entries for stale fingerprints of the same table
-                for old in [
-                    k
-                    for k in _EDGE_MEMO
-                    if k[0] == sf_dir and k[1] == kind
-                ]:
-                    del _EDGE_MEMO[old]
-                _EDGE_MEMO[key] = ent
-                release_df(df)
-    rows, schema = ent
-    return scoped_persist(spark.createDataFrame(rows, schema))
+    return relation_cache.memoized_local(
+        spark, sf_dir, f"copurchase_{kind}", ("lineitem", "orders"), build
+    )
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators import relation_cache
 from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -82,27 +83,37 @@ _MODEL_SQL = f"""
     )"""
 
 
-def _model(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(model, li, item) where model = (i, j, n_ab, cos2_bp): the
-    symmetric item-item cosine² model plus the intermediate frames it
-    was built from — distinct basket membership ``li`` and per-item
-    counts ``item`` — so callers derive anchors / owned sets from the
-    SAME persisted relations instead of re-scanning lineitem and
-    re-paying the distinct shuffle (VERDICT r9 advice).
-
-    PERSISTED (scoped): model and li; both queries read each more than
-    once (the neighbor query joins anchors then windows; the user query
-    fans the model out per owned item)."""
-    li = scoped_persist(
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) basket membership, served as a
+    SCAN of the fingerprinted persisted relation (round 15, VERDICT r14
+    §Next #6 via ``relation_cache``): the distinct shuffle runs once
+    per corpus version, not once per rec query.  Corpus-scale (600k
+    rows at sf0.1), so it stays on the ``load_or_build`` scan tier —
+    never driver rows.  Scoped-persisted because most consumers read
+    it more than once (self-joins, owned sets)."""
+    return scoped_persist(
+        relation_cache.load_or_build(
+            spark,
+            sf_dir,
+            "rec_baskets",
+            ("lineitem",),
+            lambda: read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct(),
+        )
     )
-    item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+
+
+def _derive_item(li: DataFrame) -> DataFrame:
+    return li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.count(F.lit(1)).alias("c")
     )
+
+
+def _derive_model(li: DataFrame, item: DataFrame) -> DataFrame:
+    """The symmetric item-item cosine² model plan — one basket
+    self-join on the order key, min-support filter, integer
+    basis-point scores."""
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
@@ -124,7 +135,7 @@ def _model(
     )
     ci = item.select(F.col("pk").alias("i"), F.col("c").alias("c_i"))
     cj = item.select(F.col("pk").alias("j"), F.col("c").alias("c_j"))
-    model = scoped_persist(
+    return (
         sym.join(ci, "i")
         .join(cj, "j")
         .select(
@@ -136,6 +147,36 @@ def _model(
                 " div (CAST(c_i AS DECIMAL(38,0)) * c_j) AS BIGINT)"
             ).alias("cos2_bp"),
         )
+    )
+
+
+def _model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(model, li, item) where model = (i, j, n_ab, cos2_bp): the
+    symmetric item-item cosine² model plus the intermediate frames it
+    was built from — distinct basket membership ``li`` and per-item
+    counts ``item`` — so callers derive anchors / owned sets from the
+    SAME persisted relations instead of re-scanning lineitem and
+    re-paying the distinct shuffle (VERDICT r9 advice).
+
+    Round 15 (VERDICT r14 §Next #6): the model and item frames are
+    min-support-/part-dimension-bounded (7,146 and 20,000 rows at
+    sf0.1), so they ride ``relation_cache.memoized_local`` — derived
+    and persisted once per corpus fingerprint, corpus-scan-free on
+    every later call.  ``li`` is corpus-scale and stays a scan of its
+    persisted relation.  Lazy construction keeps a memo-hit call from
+    touching ``li`` at all unless the caller uses it."""
+    li = _baskets(spark, sf_dir)
+    item = relation_cache.memoized_local(
+        spark, sf_dir, "rec_item", ("lineitem",), lambda: _derive_item(li)
+    )
+    model = relation_cache.memoized_local(
+        spark,
+        sf_dir,
+        "rec_model",
+        ("lineitem",),
+        lambda: _derive_model(li, item),
     )
     return model, li, item
 
@@ -339,42 +380,20 @@ def rec_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (customer, seq+1); the basket x basket fan-out is
     bounded by basket-size² (~16 rows per order pair, independent of
     table size); transition counts shuffle once on the (src, next)
-    pair key.  Pure integer counts — no float discipline needed."""
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
-    )
-    w_seq = Window.partitionBy("o_custkey").orderBy(
-        "o_orderdate", "o_orderkey"
-    )
-    seq = orders.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("o_orderkey").alias("okey"),
-        F.row_number().over(w_seq).alias("rn"),
-    )
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    s1 = seq.alias("s1")
-    s2 = seq.select(
-        F.col("ck"), (F.col("rn") - 1).alias("rn"),
-        F.col("okey").alias("okey2"),
-    ).alias("s2")
-    pairs = s1.join(s2, ["ck", "rn"])
-    a = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("src_part")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("okey2"),
-        F.col("l_partkey").alias("next_part"),
-    )
+    pair key.  Pure integer counts — no float discipline needed.
+
+    The transition table is (part x part)-keyed but NOT min-support
+    bounded (2.15M rows at sf0.1 — corpus-scale), so it rides the
+    ``relation_cache.load_or_build`` SCAN tier: derived once per
+    corpus fingerprint, never driver rows."""
     trans = scoped_persist(
-        pairs.join(a, "okey")
-        .join(b, "okey2")
-        .where(F.col("src_part") != F.col("next_part"))
-        .groupBy("src_part", "next_part")
-        .agg(F.count(F.lit(1)).alias("n_trans"))
+        relation_cache.load_or_build(
+            spark,
+            sf_dir,
+            "rec_trans",
+            ("lineitem", "orders"),
+            lambda: _derive_trans(spark, sf_dir),
+        )
     )
     anchors = (
         trans.groupBy("src_part")
@@ -396,6 +415,44 @@ def rec_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans").cast("long").alias("n_trans"),
             "nxt_rank",
         )
+    )
+
+
+def _derive_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (src_part, next_part, n_trans) Markov transition plan:
+    per-customer order sequencing, consecutive-pair equi-join, basket x
+    basket expansion, one pair-keyed count shuffle."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("okey"),
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    li = _baskets(spark, sf_dir)
+    s1 = seq.alias("s1")
+    s2 = seq.select(
+        F.col("ck"), (F.col("rn") - 1).alias("rn"),
+        F.col("okey").alias("okey2"),
+    ).alias("s2")
+    pairs = s1.join(s2, ["ck", "rn"])
+    a = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("src_part")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey2"),
+        F.col("l_partkey").alias("next_part"),
+    )
+    return (
+        pairs.join(a, "okey")
+        .join(b, "okey2")
+        .where(F.col("src_part") != F.col("next_part"))
+        .groupBy("src_part", "next_part")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
     )
 
 
@@ -508,6 +565,32 @@ _EVAL_CUSTS = 20  # leave-last-basket-out evaluation customers
 _EVAL_K = 5  # recommendations scored per customer
 
 
+def _eval_split(
+    spark: SparkSession, orders: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(custs, held): the deterministic leave-last-basket-out split —
+    the ``_EVAL_CUSTS`` heaviest multi-order customers and each one's
+    last order key ((date DESC, key DESC) argmax)."""
+    custs = (
+        orders.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .orderBy(F.desc("n"), "ck")
+        .limit(_EVAL_CUSTS)
+        .select("ck")
+    )
+    w_last = Window.partitionBy("ck").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    held = (
+        custs.join(orders, custs["ck"] == orders["o_custkey"])
+        .withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("ck", F.col("o_orderkey").alias("held_okey"))
+    )
+    return custs, held
+
+
 @query(
     "rec_eval_hit_rate",
     oracle=f"""
@@ -608,33 +691,19 @@ def rec_eval_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out selection is a deterministic (date DESC, key DESC)
     argmax.  Scale: the train-set model is the ``_model`` plan with
     one extra anti-join on the held-out order keys (a broadcast-sized
-    list); evaluation joins touch |custs| x k rows."""
+    list); evaluation joins touch |custs| x k rows.
+
+    Round 15: the TRAIN-set model is min-support-bounded like the full
+    model, so it rides ``relation_cache.memoized_local`` under its own
+    name (the held-out split is a deterministic function of orders, so
+    the fingerprint covers it); the held/owned/test frames stay inline
+    — they are panel-sized."""
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
-    custs = (
-        orders.groupBy(F.col("o_custkey").alias("ck"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .orderBy(F.desc("n"), "ck")
-        .limit(_EVAL_CUSTS)
-        .select("ck")
-    )
-    w_last = Window.partitionBy("ck").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    held = (
-        custs.join(orders, custs["ck"] == orders["o_custkey"])
-        .withColumn("rn", F.row_number().over(w_last))
-        .where(F.col("rn") == 1)
-        .select("ck", F.col("o_orderkey").alias("held_okey"))
-    )
+    custs, held = _eval_split(spark, orders)
     held = scoped_persist(held)
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _baskets(spark, sf_dir)
     train = scoped_persist(
         li.join(
             F.broadcast(held.select(F.col("held_okey").alias("l_orderkey"))),
@@ -642,41 +711,12 @@ def rec_eval_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
-    item = train.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    a, b = train.alias("a"), train.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= _MIN_SUPPORT)
-    )
-    sym = pairs.select(
-        F.col("pa").alias("i"), F.col("pb").alias("j"), "n_ab"
-    ).unionAll(
-        pairs.select(F.col("pb").alias("i"), F.col("pa").alias("j"), "n_ab")
-    )
-    model = (
-        sym.join(item.select(F.col("pk").alias("i"),
-                             F.col("c").alias("c_i")), "i")
-        .join(item.select(F.col("pk").alias("j"),
-                          F.col("c").alias("c_j")), "j")
-        .select(
-            "i",
-            "j",
-            F.expr(
-                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 10000"
-                " div (CAST(c_i AS DECIMAL(38,0)) * c_j) AS BIGINT)"
-            ).alias("cos2_bp"),
-        )
+    model = relation_cache.memoized_local(
+        spark,
+        sf_dir,
+        "rec_eval_model",
+        ("lineitem", "orders"),
+        lambda: _derive_model(train, _derive_item(train)).drop("n_ab"),
     )
     owned = scoped_persist(
         custs.join(orders, custs["ck"] == orders["o_custkey"])

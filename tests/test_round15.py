@@ -128,15 +128,16 @@ def test_sweep_spares_live_spill_sidecar_toctou(mock_api, tmp_path):
 
 @pytest.fixture()
 def edge_roots(tmp_path, monkeypatch):
-    """Isolate the persisted edge tables AND the memo in tmp_path."""
-    from concurrent_etl_go_spark.operators import graph2
+    """Isolate the persisted relation tables AND the memo in tmp_path."""
+    from concurrent_etl_go_spark.operators import graph2, relation_cache
 
     monkeypatch.setattr(
-        graph2,
-        "_edge_table_root",
-        lambda sf_dir, kind: str(tmp_path / "edges" / kind),
+        relation_cache,
+        "table_root",
+        lambda sf_dir, name: str(tmp_path / "relcache" / name),
     )
-    monkeypatch.setattr(graph2, "_EDGE_MEMO", {})
+    monkeypatch.setattr(relation_cache, "_MEMO", {})
+    graph2.relation_cache = relation_cache
     return graph2
 
 
@@ -151,16 +152,17 @@ def test_edge_table_build_then_pure_read(spark, sf_dir, edge_roots):
         for r in graph2._copurchase_edges(spark, sf_dir).collect()
     )
     assert first, "smoke corpus must produce co-purchase edges"
-    root = graph2._edge_table_root(sf_dir, "plain")
-    v0 = vt.snapshot(os.path.join(root, "edges")).version
+    from concurrent_etl_go_spark.operators import relation_cache
+    root = relation_cache.table_root(sf_dir, "copurchase_plain")
+    v0 = vt.snapshot(os.path.join(root, "data")).version
 
-    graph2._EDGE_MEMO.clear()  # simulate a fresh process
+    relation_cache._MEMO.clear()  # simulate a fresh process
     again = sorted(
         (r.src, r.dst)
         for r in graph2._copurchase_edges(spark, sf_dir).collect()
     )
     assert again == first
-    assert vt.snapshot(os.path.join(root, "edges")).version == v0, (
+    assert vt.snapshot(os.path.join(root, "data")).version == v0, (
         "a fresh-fingerprint reload must be a pure read, not a rebuild"
     )
 
@@ -178,23 +180,24 @@ def test_edge_table_stale_fingerprint_rebuilds(spark, sf_dir, edge_roots):
         (r.src, r.dst)
         for r in graph2._copurchase_edges(spark, sf_dir).collect()
     )
-    root = graph2._edge_table_root(sf_dir, "plain")
+    from concurrent_etl_go_spark.operators import relation_cache
+    root = relation_cache.table_root(sf_dir, "copurchase_plain")
     meta_path = os.path.join(root, "meta.json")
     with open(meta_path) as fh:
         meta = _json.load(fh)
-    v0 = meta["edges_version"]
+    v0 = meta["version"]
     meta["fingerprint"] = [0, 0, 0, 0]
     with open(meta_path, "w") as fh:
         _json.dump(meta, fh)
 
-    graph2._EDGE_MEMO.clear()
+    relation_cache._MEMO.clear()
     again = sorted(
         (r.src, r.dst)
         for r in graph2._copurchase_edges(spark, sf_dir).collect()
     )
     assert again == first
     with open(meta_path) as fh:
-        assert _json.load(fh)["edges_version"] > v0, (
+        assert _json.load(fh)["version"] > v0, (
             "stale fingerprint must trigger a rebuild"
         )
 
@@ -206,8 +209,47 @@ def test_edge_memo_keyed_by_source_fingerprint(spark, sf_dir, edge_roots):
     testdata itself is read-only here)."""
     graph2 = edge_roots
     graph2._copurchase_edges(spark, sf_dir)
-    (key,) = list(graph2._EDGE_MEMO)
-    assert key[0] == sf_dir and key[1] == "plain"
-    assert key[2] == tuple(graph2._edges_fingerprint(sf_dir)), (
+    from concurrent_etl_go_spark.operators import relation_cache
+    (key,) = list(relation_cache._MEMO)
+    assert key[0] == sf_dir and key[1] == "copurchase_plain"
+    assert key[2] == tuple(
+        relation_cache.source_fingerprint(sf_dir, ("lineitem", "orders"))
+    ), (
         "memo key must carry the live source fingerprint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Recommender model frames through the relation cache (VERDICT r14
+#    §Next #6): cold build vs memo-hit vs cold-process reload must all
+#    serve identical model rows; corpus-scale frames (baskets, trans)
+#    stay on the scan tier — never driver rows.
+# ---------------------------------------------------------------------------
+
+
+def test_rec_model_cache_tiers_identical(spark, sf_dir, edge_roots, tmp_path):
+    from concurrent_etl_go_spark.operators import recommender, relation_cache
+
+    def neighbors():
+        rows = recommender.rec_item_neighbors(spark, sf_dir).collect()
+        return sorted((r.item, r.neighbor, r.n_ab, r.cos2_bp, r.nbr_rank)
+                      for r in rows)
+
+    cold = neighbors()           # derives + persists rec_model/rec_item
+    assert cold
+    warm = neighbors()           # memo hit
+    relation_cache._MEMO.clear()
+    reload = neighbors()         # cold process: pure read of the table
+    assert cold == warm == reload
+
+    # dimension-scale frames are memoized; corpus-scale ones are NOT
+    memo_names = {k[1] for k in relation_cache._MEMO}
+    assert "rec_model" in memo_names and "rec_item" in memo_names
+    assert "rec_baskets" not in memo_names, (
+        "baskets are corpus-scale — scan tier only, never driver rows"
+    )
+    # ...but baskets ARE persisted for the scan tier
+    assert os.path.exists(
+        os.path.join(relation_cache.table_root(sf_dir, "rec_baskets"),
+                     "meta.json")
     )
