@@ -107,6 +107,35 @@ _ROUND14_WINDOW = [
     "search_eval_mmr_arm",
 ]
 
+#: Round 15 front-loads the RE-PROOF block for the relation-cache
+#: migration (operators/relation_cache.py, VERDICT r14 §Next #3/#6):
+#: all six rec_* queries (model/item/eval-model frames moved to the
+#: fingerprinted driver memo; baskets/trans to the persisted scan
+#: tier) plus five graph representatives covering both memo variants
+#: and every kernel shape the shared ``_memoized_edges`` plumbing now
+#: routes through relation_cache (all 25 graph queries were re-proven
+#: hash-green via scripts/driver_dryrun.py --only at sf0.01 before
+#: handoff; the full-registry sweep covers the rest).  The ~39
+#: remaining slots fill with the OLDEST-PROOF-FIRST rotation: post-r14
+#: the stalest block is the 47 round-3-era text/dedup/similarity/
+#: scalar queries (VERDICT r14 §Next #5), so the tail re-proves ~39
+#: of them and round 16 inherits the last ~8.
+_ROUND15_WINDOW = [
+    # relation-cache rec consumers (model frames memoized this round)
+    "rec_item_neighbors",
+    "rec_user_items",
+    "rec_next_part",
+    "rec_rfm_next_action",
+    "rec_eval_hit_rate",
+    "rec_coverage",
+    # graph representatives through the shared relation_cache plumbing
+    "graph_components_copurchase",
+    "graph_pagerank_copurchase",
+    "graph_sssp_weighted",           # WEIGHTED memo variant
+    "graph_kcore",
+    "graph_triangles_copurchase",
+]
+
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48
 #: round-10 additions plus the two rec_* re-proofs; the fifth
 #: consecutive all-clean window).
@@ -377,10 +406,35 @@ _PROVEN_R13 = frozenset({
     "window_amihud_illiquidity", "window_drawdown_duration",
 })
 
+#: Proven green in CORRECTNESS_r14 (all 50 window rows hash-green —
+#: no rows-only rows in that window).
+_PROVEN_R14 = frozenset({
+    "agg_expected_shortfall", "agg_funnel", "agg_grubbs_outlier",
+    "agg_histogram", "agg_median_polish", "agg_omega_ratio",
+    "agg_pettitt_changepoint", "agg_shapley_attribution",
+    "agg_sortino_sq", "agg_trimmed_mean_scalable",
+    "agg_winsorized_mean_scalable", "corpus_decontaminate_bloom",
+    "dataset_leakage_safe_split", "dedup_bloom_prefilter",
+    "graph_betweenness_sampled", "graph_bfs_hops",
+    "graph_closeness_centrality", "graph_components_copurchase",
+    "graph_degree_distribution", "graph_hits", "graph_kcore",
+    "graph_modularity_labels", "graph_pagerank_copurchase", "graph_ppr",
+    "graph_rich_club", "graph_sssp_weighted",
+    "graph_triangles_copurchase", "join_semi", "project_rename",
+    "scalar_date_format", "scalar_map_functions", "scalar_subquery",
+    "search_eval_mmr_arm", "set_except", "set_intersect",
+    "set_union_all", "set_union_missing_cols",
+    "sketch_count_min_calibration", "sort_limit_topk",
+    "text_burstiness", "text_rarity_score", "unpivot_stack",
+    "window_first_last", "window_hurst_rs", "window_lag_delta",
+    "window_ntile_cume", "window_range_frame", "window_rank_dense",
+    "window_running_sum", "window_topk_per_group"
+})
+
 _PROVEN = (
     _PROVEN_R01_R04 | _PROVEN_R05 | _PROVEN_R06 | _PROVEN_R07
     | _PROVEN_R08 | _PROVEN_R09 | _PROVEN_R10 | _PROVEN_R11
-    | _PROVEN_R12 | _PROVEN_R13
+    | _PROVEN_R12 | _PROVEN_R13 | _PROVEN_R14
 )
 
 
@@ -430,7 +484,7 @@ def _driver_order(names: list[str]) -> list[str]:
     this round's re-proof block first, then never-proven queries, then
     everything else OLDEST-PROOF-FIRST (ties alphabetical) so the
     driver's own artifact re-verifies the stalest proofs each round."""
-    window = [n for n in _ROUND14_WINDOW if n in set(names)]
+    window = [n for n in _ROUND15_WINDOW if n in set(names)]
     in_window = set(window)
     fresh = [
         n for n in names

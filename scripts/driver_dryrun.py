@@ -65,6 +65,12 @@ def main() -> int:
     only: list[str] = []
     if "--only" in sys.argv:
         only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    json_out = ""
+    if "--json-out" in sys.argv:
+        # the committed full-sweep transcript (FULLSWEEP_r{N}.json,
+        # VERDICT r14 §Next #5): per-query status + runtime, so the
+        # all-queries re-proof is auditable, not just claimed
+        json_out = sys.argv[sys.argv.index("--json-out") + 1]
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -89,7 +95,11 @@ def main() -> int:
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     names = [n for n in qs if n in only] if only else list(qs)[:window]
     failures = []
+    transcript: dict[str, dict] = {}
+    import time as _time
+
     for name in names:
+        t0 = _time.time()
         try:
             got = canonicalize(qs[name](spark, sf_dir).toPandas())
             release_caches()
@@ -105,8 +115,27 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — report, don't abort
             status = f"ERROR {type(exc).__name__}: {str(exc)[:100]}"
             failures.append(name)
+        transcript[name] = {
+            "status": status,
+            "sec": round(_time.time() - t0, 2),
+        }
         print(f"{name:40s} {status}")
     print(f"\n{len(names)} checked, {len(failures)} failing: {failures}")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "checked": len(names),
+                    "failing": failures,
+                    "queries": transcript,
+                },
+                f,
+                indent=1,
+            )
+        print(f"transcript written: {json_out}")
     return 1 if failures else 0
 
 
