@@ -29,6 +29,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     graph6,
     layout,
     ml_primitives,
+    privacy,
     profiling,
     quantiles,
     recommender,
