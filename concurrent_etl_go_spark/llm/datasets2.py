@@ -683,3 +683,50 @@ def dataset_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+_QUOTA_PER_SOURCE = 50  # sampled docs kept per source feed
+
+
+@query(
+    "dataset_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT,
+                        doc_id
+             ) AS pick_rank
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM ranked WHERE pick_rank <= {_QUOTA_PER_SOURCE}
+    """,
+)
+def dataset_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep (up to) {_QUOTA_PER_SOURCE}
+    documents per source feed, chosen by a deterministic md5 hash rank
+    (ties broken by doc_id) — the "equal voice per feed" audit sample
+    every ingest review pulls, stable across runs, engines, and
+    retries because the rank key is a pure function of the row
+    (``llm/datasets.py::hash_bucket`` md5-prefix convention, 8 hex
+    chars so collisions are rare and the doc_id tie-break resolves
+    the rest).
+
+    Scale: one source-partitioned top-k window — with a per-partition
+    rank cutoff this is the classic "sampled top-k per group" that
+    Spark executes with partial limits per partition; no global
+    sort."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "doc_id")
+    rank_key = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    w = Window.partitionBy("source").orderBy(rank_key, F.col("doc_id"))
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= _QUOTA_PER_SOURCE)
+        .select("source", "doc_id", "pick_rank")
+    )

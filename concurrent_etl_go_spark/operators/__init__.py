@@ -62,6 +62,7 @@ from concurrent_etl_go_spark.operators import (  # noqa: F401
     stats_tests,
     stats_tests2,
     stats_tests3,
+    stats_tests4,
     survival,
     timeseries,
     timeseries2,
