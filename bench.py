@@ -319,6 +319,15 @@ HEADLINE = (
     "agg_shapley_attribution",      # exact Shapley channel credit
     "agg_pettitt_changepoint",      # rank changepoint test
     "agg_grubbs_outlier",           # max-deviation outlier test
+    # round-15 additions
+    "privacy_k_anonymity",          # QI equivalence-class histogram
+    "privacy_l_diversity",          # distinct-sensitive-value classes
+    "privacy_generalization_ladder",  # k vs suppression trade-off
+    "privacy_pii_density",          # per-source PII hits / 10k chars
+    "window_page_hinkley",          # mean-shift drift detector
+    "agg_cvm_test",                 # integrated ECDF distance
+    "profile_chi2_drift",           # epoch chi-square drift gate
+    "dataset_quota_sample",         # per-source hash-ranked quota
 )
 
 
