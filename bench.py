@@ -328,6 +328,8 @@ HEADLINE = (
     "agg_cvm_test",                 # integrated ECDF distance
     "profile_chi2_drift",           # epoch chi-square drift gate
     "dataset_quota_sample",         # per-source hash-ranked quota
+    "agg_survival_na",              # integer Nelson-Aalen hazard
+    "agg_logrank_test",             # segment survival chi-square
 )
 
 
