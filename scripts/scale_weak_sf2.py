@@ -85,11 +85,17 @@ def main() -> None:
     # one-time edge-list derivation cost per sf (excluded from the
     # memoized graph kernels' warm passes — timed explicitly so the
     # scan+pairing prefix has its own scale record)
-    from concurrent_etl_go_spark.operators import graph2
+    from concurrent_etl_go_spark.operators import graph2, relation_cache
 
     edge_derive: dict[str, float] = {}
     for sf, sf_dir in SF_DIRS.items():
-        graph2._EDGE_MEMO.pop((sf_dir, "plain"), None)
+        # cold derivation: drop the driver memo AND the persisted table
+        for k in [k for k in relation_cache._MEMO
+                  if k[0] == sf_dir and k[1] == "copurchase_plain"]:
+            relation_cache._MEMO.pop(k, None)
+        import shutil
+        shutil.rmtree(relation_cache.table_root(sf_dir, "copurchase_plain"),
+                      ignore_errors=True)
         t0 = time.perf_counter()
         graph2._copurchase_edges(spark, sf_dir)  # derives + collects
         edge_derive[sf] = round(time.perf_counter() - t0, 3)
