@@ -93,7 +93,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same week.  One equi-join on the (part, week) block key; group
     sizes are capped, so the pair fan-out is linear in the input.
 
-    MEMOIZED driver-side per sf_dir (see ``_EDGE_MEMO``) and PERSISTED
+    MEMOIZED via ``relation_cache`` (persisted table + driver memo) and PERSISTED
     (scoped) per call: every consumer reuses the edge list several
     times — the triangle query aliases it three ways, the PageRank loop
     reads it every iteration, components reads it twice for the

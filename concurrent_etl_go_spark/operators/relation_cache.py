@@ -55,8 +55,9 @@ _MEMO: dict[tuple[str, str, tuple], tuple[list, object]] = {}
 #: Guards first derivation per process (concurrent first calls would
 #: race and double-derive).  Held across the build job — builds of
 #: DIFFERENT relations serialize too, which is acceptable: builds run
-#: once per corpus version, not once per query.
-_BUILD_LOCK = threading.Lock()
+#: once per corpus version, not once per query.  Re-entrant so a build
+#: lambda may itself call ``memoized_local`` for a sub-relation.
+_BUILD_LOCK = threading.RLock()
 
 
 def source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> list[int]:

@@ -11,7 +11,7 @@ Round 14 (VERDICT r13 §Next #7) extends the set to the three costliest
 graph kernels — ``graph_ppr``, ``graph_kcore``,
 ``graph_betweenness_sampled`` — the queries where scale proof matters
 most in absolute terms.  Their warm passes read the driver-side
-``_EDGE_MEMO`` edge list (operators/graph2.py), so the recorded kernel
+relation-cache edge list (operators/relation_cache.py), so the recorded kernel
 exponents measure the iterative rounds over a 2x-bigger graph; the
 one-time edge DERIVATION is timed separately per sf (``edge_derive``
 in the output) with its own exponent, so neither cost hides.

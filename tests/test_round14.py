@@ -162,16 +162,28 @@ def test_replay_keeps_sidecar_when_post_fails(mock_api, tmp_path):
 
 def test_edge_memo_matches_fresh_derivation(spark, sf_dir):
     """The memoized local relation must be row-identical to a fresh
-    derivation, and survive release_caches() without a corpus re-scan."""
-    from concurrent_etl_go_spark.operators import graph2
+    derivation, and survive release_caches() without a corpus re-scan.
+    (Round 15 moved the memo into operators/relation_cache keyed by
+    (sf_dir, name, fingerprint); the contract is unchanged.)"""
+    from concurrent_etl_go_spark.operators import graph2, relation_cache
     from concurrent_etl_go_spark.operators.registry import release_caches
 
-    graph2._EDGE_MEMO.pop((sf_dir, "plain"), None)
+    def memo_key():
+        return next(
+            (
+                k
+                for k in relation_cache._MEMO
+                if k[0] == sf_dir and k[1] == "copurchase_plain"
+            ),
+            None,
+        )
+
+    relation_cache._MEMO.pop(memo_key(), None)
     memoized = {
         (r["src"], r["dst"])
         for r in graph2._copurchase_edges(spark, sf_dir).collect()
     }
-    assert (sf_dir, "plain") in graph2._EDGE_MEMO
+    assert memo_key() is not None
     release_caches()
     again = {
         (r["src"], r["dst"])
@@ -185,7 +197,7 @@ def test_edge_memo_matches_fresh_derivation(spark, sf_dir):
     assert memoized == again == fresh
     assert memoized, "edge list must be non-empty"
     # bounded: two long columns, dimension-scale row count
-    rows, schema = graph2._EDGE_MEMO[(sf_dir, "plain")]
+    rows, schema = relation_cache._MEMO[memo_key()]
     assert [f.dataType.simpleString() for f in schema.fields] == [
         "bigint",
         "bigint",
