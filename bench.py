@@ -330,6 +330,8 @@ HEADLINE = (
     "dataset_quota_sample",         # per-source hash-ranked quota
     "agg_survival_na",              # integer Nelson-Aalen hazard
     "agg_logrank_test",             # segment survival chi-square
+    "rec_novelty_epc",              # rank-based list novelty
+    "rec_intra_list_diversity",     # pairwise list dissimilarity
 )
 
 

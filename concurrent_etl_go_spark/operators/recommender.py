@@ -904,3 +904,153 @@ def rec_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_decile_share_e6"),
         )
     )
+
+
+#: Shared oracle fragment: the rec_user_items panel lists (custs ->
+#: owned -> scored -> recs), verbatim from the rec_coverage oracle so
+#: every beyond-accuracy metric provably scores the same lists.
+_RECS_SQL = f"""
+    custs AS MATERIALIZED (
+      SELECT o_custkey AS ck FROM orders
+      GROUP BY 1 ORDER BY COUNT(*) DESC, ck LIMIT {_REC_CUSTS}
+    ),
+    owned AS MATERIALIZED (
+      SELECT DISTINCT c.ck, l.l_partkey AS pk
+      FROM custs c
+      JOIN orders o ON o.o_custkey = c.ck
+      JOIN li l ON l.l_orderkey = o.o_orderkey
+    ),
+    scored AS MATERIALIZED (
+      SELECT w.ck, m.j AS item,
+             CAST(SUM(m.cos2_bp) AS BIGINT) AS score
+      FROM owned w
+      JOIN model m ON m.i = w.pk
+      LEFT JOIN owned o2 ON o2.ck = w.ck AND o2.pk = m.j
+      WHERE o2.pk IS NULL
+      GROUP BY w.ck, m.j
+    ),
+    recs AS MATERIALIZED (
+      SELECT ck, item FROM (
+        SELECT ck, item,
+               row_number() OVER (
+                 PARTITION BY ck ORDER BY score DESC, item
+               ) AS rec_rank
+        FROM scored
+      ) WHERE rec_rank <= {_REC_TOP}
+    )"""
+
+
+@query(
+    "rec_novelty_epc",
+    oracle=f"""
+    WITH {_MODEL_SQL},
+    {_RECS_SQL},
+    ranked AS MATERIALIZED (
+      SELECT pk,
+             row_number() OVER (ORDER BY c DESC, pk) AS r,
+             COUNT(*) OVER () AS n_items
+      FROM item
+    )
+    SELECT r.ck AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_recs,
+           CAST(SUM((rk.r - 1) * 1000000 // (rk.n_items - 1))
+                // COUNT(*) AS BIGINT) AS mean_novelty_e6
+    FROM recs r JOIN ranked rk ON rk.pk = r.item
+    GROUP BY r.ck
+    """,
+)
+def rec_novelty_epc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based novelty of each customer's recommendation list (the
+    integer-exact expected-popularity-complement variant of Vargas &
+    Castells 2011): every catalog item gets a popularity rank
+    (order-count DESC, id tie-break); a recommended item's novelty is
+    its normalized rank position in millionths — 0 for the most
+    popular item, 1e6 for the rarest — and the readout is the
+    floor-mean per customer.  Popular-item echo chambers score near 0;
+    long-tail explorers near 1e6.  Complements ``rec_coverage``'s
+    catalog-level concentration with a per-user readout.
+
+    Scale: rides the SAME persisted plan as ``rec_user_items`` plus a
+    part-dimension rank window and a panel*k-row join."""
+    model, _li, item = _model(spark, sf_dir)
+    recs = scoped_persist(
+        _user_recs(spark, sf_dir).select("custkey", "item")
+    )
+    w_all = Window.orderBy(F.desc("c"), "pk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = item.select(
+        "pk",
+        F.row_number().over(Window.orderBy(F.desc("c"), "pk")).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n_items"),
+    )
+    return (
+        recs.join(ranked, recs["item"] == ranked["pk"])
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_recs"),
+            F.expr(
+                "CAST(SUM((CAST(r AS BIGINT) - 1) * 1000000"
+                " div (n_items - 1)) div COUNT(*) AS BIGINT)"
+            ).alias("mean_novelty_e6"),
+        )
+    )
+
+
+@query(
+    "rec_intra_list_diversity",
+    oracle=f"""
+    WITH {_MODEL_SQL},
+    {_RECS_SQL}
+    SELECT r1.ck AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(10000 - COALESCE(m.cos2_bp, 0)) // COUNT(*)
+             AS BIGINT) AS ild_e4
+    FROM recs r1
+    JOIN recs r2 ON r2.ck = r1.ck AND r1.item < r2.item
+    LEFT JOIN model m ON m.i = r1.item AND m.j = r2.item
+    GROUP BY r1.ck
+    """,
+)
+def rec_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-list diversity (Ziegler et al. 2005): the floor-mean
+    pairwise DISSIMILARITY ``1e4 - cos2_bp`` inside each customer's
+    top-{_REC_TOP} list, using the same item-item cosine² model the
+    recommendations were scored with.  A list of three accessories for
+    one product scores near 0; three unrelated departments near 1e4.
+    Item pairs absent from the min-support model have no co-purchase
+    evidence and count as fully dissimilar (COALESCE 0) — the standard
+    sparse-model convention.  Customers with a single recommendation
+    have no pairs and are out of scope (pair self-join).
+
+    Scale: the pair fan-out is panel * C(k,2) rows (k={_REC_TOP});
+    everything else rides the persisted model/recs frames."""
+    model, _li, _item = _model(spark, sf_dir)
+    recs = scoped_persist(
+        _user_recs(spark, sf_dir).select("custkey", "item")
+    )
+    r1 = recs.alias("r1")
+    r2 = recs.select(
+        F.col("custkey"), F.col("item").alias("item2")
+    ).alias("r2")
+    pairs = r1.join(
+        r2,
+        (F.col("r1.custkey") == F.col("r2.custkey"))
+        & (F.col("r1.item") < F.col("item2")),
+    )
+    m = model.select(
+        F.col("i").alias("item"),
+        F.col("j").alias("item2"),
+        "cos2_bp",
+    )
+    return (
+        pairs.join(m, ["item", "item2"], "left")
+        .groupBy(F.col("r1.custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(10000 - COALESCE(cos2_bp, 0)) div COUNT(*)"
+                " AS BIGINT)"
+            ).alias("ild_e4"),
+        )
+    )

@@ -162,3 +162,31 @@ def test_logrank_structure(spark, sf_dir):
     # group-1 events cannot exceed total observed events
     orders = read_table(spark, sf_dir, "orders")
     assert row.o1 <= orders.select("o_custkey").distinct().count()
+
+
+def test_rec_novelty_bounds(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.recommender import (
+        _REC_CUSTS,
+        _REC_TOP,
+        rec_novelty_epc,
+    )
+
+    rows = rec_novelty_epc(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _REC_CUSTS
+    for r in rows:
+        assert 1 <= r.n_recs <= _REC_TOP
+        assert 0 <= r.mean_novelty_e6 <= 1_000_000
+
+
+def test_rec_ild_bounds_and_pair_count(spark, sf_dir):
+    from concurrent_etl_go_spark.operators.recommender import (
+        _REC_TOP,
+        rec_intra_list_diversity,
+    )
+
+    rows = rec_intra_list_diversity(spark, sf_dir).collect()
+    assert rows
+    max_pairs = _REC_TOP * (_REC_TOP - 1) // 2
+    for r in rows:
+        assert 1 <= r.n_pairs <= max_pairs
+        assert 0 <= r.ild_e4 <= 10_000
