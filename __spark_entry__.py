@@ -115,11 +115,13 @@ _ROUND14_WINDOW = [
 #: and every kernel shape the shared ``_memoized_edges`` plumbing now
 #: routes through relation_cache (all 25 graph queries were re-proven
 #: hash-green via scripts/driver_dryrun.py --only at sf0.01 before
-#: handoff; the full-registry sweep covers the rest).  The ~39
-#: remaining slots fill with the OLDEST-PROOF-FIRST rotation: post-r14
-#: the stalest block is the 47 round-3-era text/dedup/similarity/
-#: scalar queries (VERDICT r14 §Next #5), so the tail re-proves ~39
-#: of them and round 16 inherits the last ~8.
+#: handoff; the full-registry sweep covers the rest).  The 12 new
+#: round-15 queries (privacy 4, drift 4, survival 2, rec beyond-
+#: accuracy 2 — all 4-SF proven incl. sf1) slot in as never-proven,
+#: and the remaining 27 slots fill with the OLDEST-PROOF-FIRST
+#: rotation: post-r14 the stalest block is the 47 round-3-era
+#: text/dedup/similarity/scalar queries (VERDICT r14 §Next #5), so
+#: the tail re-proves 27 of them and round 16 inherits the rest.
 _ROUND15_WINDOW = [
     # relation-cache rec consumers (model frames memoized this round)
     "rec_item_neighbors",
