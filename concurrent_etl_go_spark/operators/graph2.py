@@ -82,9 +82,19 @@ _EDGE_SQL = f"""
 #: distinct customers: 2,666 rows at sf0.01, 26,173 at sf0.1 — two
 #: longs per row); its key carries the source fingerprint, so an
 #: in-process testdata refresh can never serve stale edges.
+#: Derivation-code tag for the persisted edge tables — bump when the
+#: derivation semantics change (group cap, week rule, pairing).
+_EDGE_TAG = "v1"
+
+
 def _memoized_edges(spark: SparkSession, sf_dir: str, kind: str, build):
     return relation_cache.memoized_local(
-        spark, sf_dir, f"copurchase_{kind}", ("lineitem", "orders"), build
+        spark,
+        sf_dir,
+        f"copurchase_{kind}",
+        ("lineitem", "orders"),
+        build,
+        tag=_EDGE_TAG,
     )
 
 

@@ -45,6 +45,10 @@ from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 _MIN_SUPPORT = 2  # minimum co-basket count for a pair to enter the model
+
+#: Derivation-code tag for the persisted rec relations — bump when any
+#: derivation's semantics change (min support, transition rule, split).
+_REC_TAG = "v1"
 _NBR_TOP = 5  # neighbors kept per anchor item
 _ANCHORS = 20  # anchor items (most-ordered first)
 _REC_CUSTS = 5  # customers recommended for (most orders first)
@@ -100,6 +104,7 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: read_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
             .distinct(),
+            tag=_REC_TAG,
         )
     )
 
@@ -169,7 +174,12 @@ def _model(
     touching ``li`` at all unless the caller uses it."""
     li = _baskets(spark, sf_dir)
     item = relation_cache.memoized_local(
-        spark, sf_dir, "rec_item", ("lineitem",), lambda: _derive_item(li)
+        spark,
+        sf_dir,
+        "rec_item",
+        ("lineitem",),
+        lambda: _derive_item(li),
+        tag=_REC_TAG,
     )
     model = relation_cache.memoized_local(
         spark,
@@ -177,6 +187,7 @@ def _model(
         "rec_model",
         ("lineitem",),
         lambda: _derive_model(li, item),
+        tag=_REC_TAG,
     )
     return model, li, item
 
@@ -393,6 +404,7 @@ def rec_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rec_trans",
             ("lineitem", "orders"),
             lambda: _derive_trans(spark, sf_dir),
+            tag=_REC_TAG,
         )
     )
     anchors = (
@@ -717,6 +729,7 @@ def rec_eval_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_eval_model",
         ("lineitem", "orders"),
         lambda: _derive_model(train, _derive_item(train)).drop("n_ab"),
+        tag=_REC_TAG,
     )
     owned = scoped_persist(
         custs.join(orders, custs["ck"] == orders["o_custkey"])

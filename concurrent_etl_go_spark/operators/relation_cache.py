@@ -81,11 +81,21 @@ def load_or_build(
     name: str,
     tables: tuple[str, ...],
     build,
+    tag: str = "",
 ) -> DataFrame:
     """Return ``name``'s relation as a scan of its persisted versioned
     table, deriving + writing it only when absent or when the source
-    fingerprint changed.  ``build()`` must return a deterministic
-    DataFrame derived from ``tables`` under ``sf_dir``."""
+    fingerprint OR derivation tag changed.  ``build()`` must return a
+    deterministic DataFrame derived from ``tables`` under ``sf_dir``.
+
+    ``tag`` is the DERIVATION-CODE fingerprint: the source fingerprint
+    detects refreshed DATA, but a changed derivation (new column, new
+    cap, different pairing rule) would otherwise keep serving the old
+    persisted rows until the data moved.  Callers bump their tag (see
+    ``_TAGS`` in the calling modules) whenever the build's semantics
+    change; a mismatch forces a rebuild.  The driver's oracle compare
+    would catch a stale table loudly (the oracle recomputes from
+    scratch), but the tag keeps the failure from happening at all."""
     root = table_root(sf_dir, name)
     data_root = os.path.join(root, "data")
     fp = source_fingerprint(sf_dir, tables)
@@ -96,7 +106,7 @@ def load_or_build(
     try:
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta["fingerprint"] == fp:
+        if meta["fingerprint"] == fp and meta.get("tag", "") == tag:
             return vt.read_table_version(
                 spark, data_root, version=meta["version"]
             )
@@ -110,7 +120,7 @@ def load_or_build(
         # table byte-equivalent — adopt it
         snap = vt.snapshot(data_root)
     release_df(df)
-    meta = {"fingerprint": fp, "version": snap.version}
+    meta = {"fingerprint": fp, "version": snap.version, "tag": tag}
     os.makedirs(root, exist_ok=True)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
@@ -125,20 +135,21 @@ def memoized_local(
     name: str,
     tables: tuple[str, ...],
     build,
+    tag: str = "",
 ) -> DataFrame:
     """Bench-tier wrapper over ``load_or_build``: rebuild the relation
     as a local (driver-row-backed) DataFrame, collecting it once per
-    (sf_dir, name, fingerprint).  ONLY for dimension-scale relations —
-    the caller asserts, by choosing this tier, that row count is
-    bounded by a dimension/cap, not by the corpus."""
+    (sf_dir, name, fingerprint, tag).  ONLY for dimension-scale
+    relations — the caller asserts, by choosing this tier, that row
+    count is bounded by a dimension/cap, not by the corpus."""
     fp = tuple(source_fingerprint(sf_dir, tables))
-    key = (sf_dir, name, fp)
+    key = (sf_dir, name, (fp, tag))
     ent = _MEMO.get(key)
     if ent is None:
         with _BUILD_LOCK:
             ent = _MEMO.get(key)  # lost the race -> winner filled it
             if ent is None:
-                df = load_or_build(spark, sf_dir, name, tables, build)
+                df = load_or_build(spark, sf_dir, name, tables, build, tag)
                 ent = (df.collect(), df.schema)
                 # evict entries for stale fingerprints of the same name
                 for old in [

@@ -212,11 +212,12 @@ def test_edge_memo_keyed_by_source_fingerprint(spark, sf_dir, edge_roots):
     from concurrent_etl_go_spark.operators import relation_cache
     (key,) = list(relation_cache._MEMO)
     assert key[0] == sf_dir and key[1] == "copurchase_plain"
-    assert key[2] == tuple(
+    from concurrent_etl_go_spark.operators.graph2 import _EDGE_TAG
+    fp, tag = key[2]
+    assert fp == tuple(
         relation_cache.source_fingerprint(sf_dir, ("lineitem", "orders"))
-    ), (
-        "memo key must carry the live source fingerprint"
-    )
+    ), "memo key must carry the live source fingerprint"
+    assert tag == _EDGE_TAG, "memo key must carry the derivation tag"
 
 
 # ---------------------------------------------------------------------------
@@ -253,3 +254,40 @@ def test_rec_model_cache_tiers_identical(spark, sf_dir, edge_roots, tmp_path):
         os.path.join(relation_cache.table_root(sf_dir, "rec_baskets"),
                      "meta.json")
     )
+
+
+def test_stale_derivation_tag_rebuilds(spark, sf_dir, edge_roots):
+    """A derivation-code change (tag bump) must force a rebuild even
+    when the source data fingerprint is unchanged — otherwise a new
+    derivation silently serves the old persisted rows."""
+    import json as _json
+
+    from concurrent_etl_go_spark.operators import relation_cache
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return (
+            read_spark_range(spark)
+        )
+
+    def read_spark_range(s):
+        return s.range(3).selectExpr("id AS src", "id + 1 AS dst")
+
+    relation_cache.load_or_build(
+        spark, sf_dir, "tagged_rel", ("lineitem",), build, tag="v1"
+    )
+    relation_cache.load_or_build(
+        spark, sf_dir, "tagged_rel", ("lineitem",), build, tag="v1"
+    )
+    assert calls["n"] == 1, "same tag + same data must be a pure read"
+    relation_cache.load_or_build(
+        spark, sf_dir, "tagged_rel", ("lineitem",), build, tag="v2"
+    )
+    assert calls["n"] == 2, "a tag bump must force a rebuild"
+    meta_path = os.path.join(
+        relation_cache.table_root(sf_dir, "tagged_rel"), "meta.json"
+    )
+    with open(meta_path) as fh:
+        assert _json.load(fh)["tag"] == "v2"
