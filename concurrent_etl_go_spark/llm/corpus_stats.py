@@ -573,14 +573,10 @@ def dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (their union takes the smaller label) — which is precisely when
     re-splitting is correct, because the merged cluster must not
     straddle the boundary either."""
-    from concurrent_etl_go_spark.llm.dedup import connected_components
-    from concurrent_etl_go_spark.llm.dedup3 import _candidate_pairs
+    from concurrent_etl_go_spark.llm.dedup3 import _candidate_labels
     from concurrent_etl_go_spark.sources.readers import read_table
 
-    cands = _candidate_pairs(spark, sf_dir)
-    labels = connected_components(
-        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    labels = _candidate_labels(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     joined = docs.join(labels, docs["doc_id"] == labels["id"], "left")
     component = F.coalesce(F.col("component"), F.col("doc_id"))

@@ -471,6 +471,41 @@ def connected_components(
     return labels
 
 
+#: Derivation-code tag for the persisted verified-pair labels — bump
+#: when the MinHash/verify/closure semantics change.
+_VLABELS_TAG = "v1"
+
+
+def _verified_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, component) connected-component labels over the VERIFIED
+    near-dup pairs (``minhash_lsh_pairs`` at threshold 0.5) — the
+    engine-hash clustering the production funnel and the total corpus
+    labeling share.  Served as a scan of the fingerprinted persisted
+    table (``relation_cache``): the signature/band/verify/closure
+    pipeline runs once per corpus version.  Document-dimension rows
+    (matched docs only) — the scan tier, never driver rows."""
+    from concurrent_etl_go_spark.operators import relation_cache
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    def build():
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = minhash_lsh_pairs(docs, threshold=0.5).select(
+            "id_a", "id_b"
+        )
+        return connected_components(pairs)
+
+    return scoped_persist(
+        relation_cache.load_or_build(
+            spark,
+            sf_dir,
+            "dedup_verified_labels",
+            ("documents",),
+            build,
+            tag=_VLABELS_TAG,
+        )
+    )
+
+
 @query("dedup_components")  # iterative graph algorithm — rows-only check
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS over the MinHash-LSH near-dup graph, as a TOTAL
@@ -479,8 +514,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     set for a 100 TB dedup pass is exactly ``component == doc_id`` — one
     row per cluster representative, isolated (unique) docs included."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    labels = connected_components(pairs)
+    labels = _verified_labels(spark, sf_dir)
     return (
         docs.select(F.col("doc_id").alias("id"))
         .join(labels, "id", "left")
@@ -645,8 +679,7 @@ def dedup_survivor_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors + removed == corpus exactly.
     """
     docs = read_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    labels = connected_components(pairs)
+    labels = _verified_labels(spark, sf_dir)
     total = (
         docs.select(F.col("doc_id").alias("id"), "lang", "n_chars")
         .join(labels, "id", "left")

@@ -172,6 +172,45 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_pairs(spark, sf_dir)
 
 
+#: Derivation-code tag for the persisted candidate-closure labels —
+#: bump when the signature/banding/closure semantics change.
+_LABELS_TAG = "v1"
+
+
+def _candidate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, component) connected-component labels over the portable
+    banded-LSH candidate pairs — THE dup-cluster assignment relation a
+    production corpus persists (every re-ingest decision, split, and
+    audit reads it).  Served as a scan of the fingerprinted persisted
+    table (``relation_cache`` round 15): the signature pass, band join,
+    and O(log diameter) closure rounds run once per corpus version;
+    the three consumers (survivor funnel, cluster-size histogram,
+    leakage-safe split) read label rows.  Document-dimension row count
+    (matched docs only), so the scan tier — never driver rows."""
+    from concurrent_etl_go_spark.llm.dedup import connected_components
+    from concurrent_etl_go_spark.operators import relation_cache
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    def build():
+        cands = _candidate_pairs(spark, sf_dir)
+        return connected_components(
+            cands.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+        )
+
+    return scoped_persist(
+        relation_cache.load_or_build(
+            spark,
+            sf_dir,
+            "dedup_candidate_labels",
+            ("documents",),
+            build,
+            tag=_LABELS_TAG,
+        )
+    )
+
+
 def _candidate_pairs(
     spark: SparkSession, sf_dir: str, sigs: DataFrame | None = None
 ) -> DataFrame:
@@ -331,13 +370,9 @@ def dedup_survivor_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, narrow-key band join, O(log diameter) component rounds;
     the oracle's recursive closure is the bounded correctness form at
     driver scale (the ``graph_components_copurchase`` convention)."""
-    from concurrent_etl_go_spark.llm.dedup import connected_components
     from concurrent_etl_go_spark.sources.readers import read_table
 
-    cands = _candidate_pairs(spark, sf_dir)
-    labels = connected_components(
-        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    labels = _candidate_labels(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     joined = docs.join(
         labels, docs["doc_id"] == labels["id"], "left"
@@ -607,12 +642,7 @@ def dedup_cluster_size_histogram(
     Scale: components via the iterative min-label loop (O(log
     diameter) rounds); the histogram is two tiny hash aggs over
     |components| rows."""
-    from concurrent_etl_go_spark.llm.dedup import connected_components
-
-    cands = _candidate_pairs(spark, sf_dir)
-    labels = connected_components(
-        cands.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    labels = _candidate_labels(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     assigned = docs.join(
         labels, docs["doc_id"] == labels["id"], "left"
