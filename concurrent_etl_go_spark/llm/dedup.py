@@ -471,39 +471,19 @@ def connected_components(
     return labels
 
 
-#: Derivation-code tag for the persisted verified-pair labels — bump
-#: when the MinHash/verify/closure semantics change.
-_VLABELS_TAG = "v1"
-
-
 def _verified_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, component) connected-component labels over the VERIFIED
     near-dup pairs (``minhash_lsh_pairs`` at threshold 0.5) — the
     engine-hash clustering the production funnel and the total corpus
-    labeling share.  Served as a scan of the fingerprinted persisted
-    table (``relation_cache``): the signature/band/verify/closure
-    pipeline runs once per corpus version.  Document-dimension rows
-    (matched docs only) — the scan tier, never driver rows."""
-    from concurrent_etl_go_spark.operators import relation_cache
+    labeling share.  Derived FRESH per call from the documents parquet
+    (no cross-run persistence — every bench/oracle invocation computes
+    from the inputs) and scoped-persisted for the consumers' repeated
+    reads.  Document-dimension rows (matched docs only)."""
     from concurrent_etl_go_spark.operators.registry import scoped_persist
 
-    def build():
-        docs = read_table(spark, sf_dir, "documents")
-        pairs = minhash_lsh_pairs(docs, threshold=0.5).select(
-            "id_a", "id_b"
-        )
-        return connected_components(pairs)
-
-    return scoped_persist(
-        relation_cache.load_or_build(
-            spark,
-            sf_dir,
-            "dedup_verified_labels",
-            ("documents",),
-            build,
-            tag=_VLABELS_TAG,
-        )
-    )
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return scoped_persist(connected_components(pairs))
 
 
 @query("dedup_components")  # iterative graph algorithm — rows-only check

@@ -198,22 +198,13 @@ def _source_fingerprint(sf_dir: str) -> list[int]:
     return [st.st_size, st.st_mtime_ns]
 
 
-def build_ivfpq_index(
-    spark: SparkSession, sf_dir: str, root: str | None = None
-) -> dict:
-    """Offline index build: fit the coarse quantizer + PQ codebooks, then
-    persist (a) per-vector ``(vec_id, cluster, code_0..code_{M-1})`` rows
-    as a versioned table under ``root/codes`` and (b) the centroid /
-    codebook matrices + source fingerprint as ``root/meta.json``.
-
-    This is the build-offline / serve-cheap split every real ANN
-    deployment uses: the Lloyd fits re-scan the corpus (distributed,
-    batched — see ``pq_fit_joint``), but they run once per corpus
-    version, not once per query. The codes table is ~M bytes-ish per
-    vector — the 250x compression that lets a 100 TB corpus's index fit
-    in a fraction of one executor's scan budget.
-    """
-    root = root or _default_index_root(sf_dir)
+def fit_ivfpq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """Fit the IVF-PQ index IN MEMORY: coarse quantizer + PQ codebooks +
+    the per-vector ``(vec_id, cluster, code_0..code_{M-1})`` codes frame,
+    with no on-disk persistence.  ``build_ivfpq_index`` wraps this with
+    the versioned-table persist (the production build-offline path);
+    the registry query calls it directly so every bench/oracle
+    invocation computes the index from the parquet inputs."""
     vectors = _vectors(spark, sf_dir)
     first = vectors.select(F.size("v").alias("d")).first()
     if first is None:
@@ -241,6 +232,29 @@ def build_ivfpq_index(
             for m in range(PQ_SUBSPACES)
         ],
     )
+    meta = {"dim": dim, "centroids": centroids, "codebooks": codebooks}
+    return codes, meta
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> dict:
+    """Offline index build: fit the coarse quantizer + PQ codebooks, then
+    persist (a) per-vector ``(vec_id, cluster, code_0..code_{M-1})`` rows
+    as a versioned table under ``root/codes`` and (b) the centroid /
+    codebook matrices + source fingerprint as ``root/meta.json``.
+
+    This is the build-offline / serve-cheap split every real ANN
+    deployment uses: the Lloyd fits re-scan the corpus (distributed,
+    batched — see ``pq_fit_joint``), but they run once per corpus
+    version, not once per query. The codes table is ~M bytes-ish per
+    vector — the 250x compression that lets a 100 TB corpus's index fit
+    in a fraction of one executor's scan budget.
+    """
+    root = root or _default_index_root(sf_dir)
+    codes, fit_meta = fit_ivfpq(spark, sf_dir)
+    dim = fit_meta["dim"]
+    centroids, codebooks = fit_meta["centroids"], fit_meta["codebooks"]
     codes_root = os.path.join(root, "codes")
     try:
         snap = vt.write_table(codes, codes_root, mode="overwrite")
@@ -318,13 +332,16 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-join back to the corpus, return the top
     ``IVFPQ_TOP_K``.
 
-    The index loads from ``load_ivfpq_index`` (built once per corpus
-    version); repeated queries pay only the probed-codes scan + a
-    shortlist-sized join. Deterministic end to end: k-means inits are
-    id-ordered, argmin ties break low, and every ordering carries a
-    vec_id tie-break — required for the driver's rows-only determinism
-    check (and identical whether the index was freshly built or read
-    back, which ``tests/test_search_layout.py`` pins).
+    The index is FIT FRESH per invocation (``fit_ivfpq``) so every
+    bench/oracle run computes from the parquet inputs — the persisted
+    build/serve split (``build_ivfpq_index``/``load_ivfpq_index``)
+    remains the production API for repeated serving, where query cost
+    is only the probed-codes scan + a shortlist-sized join.
+    Deterministic end to end: k-means inits are id-ordered, argmin ties
+    break low, and every ordering carries a vec_id tie-break — required
+    for the driver's rows-only determinism check (and identical whether
+    the index was freshly built or read back, which
+    ``tests/test_search_layout.py`` pins).
     """
     vectors = _vectors(spark, sf_dir)
     qrow = vectors.where(F.col("vec_id") == 0).select("v", "norm").first()
@@ -334,7 +351,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(q)
     sub_dim = dim // PQ_SUBSPACES
 
-    codes, meta = load_ivfpq_index(spark, sf_dir)
+    codes, meta = fit_ivfpq(spark, sf_dir)
     centroids, codebooks = meta["centroids"], meta["codebooks"]
 
     # --- query-time: probe decision on k tiny centroids (driver-side) ---

@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from concurrent_etl_go_spark.operators import relation_cache
 from concurrent_etl_go_spark.operators.registry import (
     query,
     release_df,
@@ -69,86 +68,67 @@ _EDGE_SQL = f"""
 """
 
 
-#: Co-purchase edge lists are served through the fingerprinted
-#: persisted-relation cache (``operators/relation_cache.py`` — round
-#: 15, VERDICT r14 §Next #3 + ADVICE r14 #3): the PRODUCTION path
-#: derives the edge list once with the fully distributed plan below,
-#: persists it as a versioned table keyed by the lineitem/orders
-#: source fingerprint, and consumers scan it — no driver rows at any
-#: scale (at 100 TB the edge list grows with the customer dimension
-#: into billions of rows).  The driver-side memo on top is a
-#: BENCH-TIER amortization, valid because the list is dimension-scale
-#: at test SFs (the ``_GROUP_CAP`` pairing bound makes it linear in
-#: distinct customers: 2,666 rows at sf0.01, 26,173 at sf0.1 — two
-#: longs per row); its key carries the source fingerprint, so an
-#: in-process testdata refresh can never serve stale edges.
-#: Derivation-code tag for the persisted edge tables — bump when the
-#: derivation semantics change (group cap, week rule, pairing).
-_EDGE_TAG = "v1"
+def _group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pk, wk, cks): the ASCENDING-sorted distinct customers of every
+    (part, week) block whose distinct-member count is within
+    ``_GROUP_CAP`` — the shared upstream of both edge derivations.
 
-
-def _memoized_edges(spark: SparkSession, sf_dir: str, kind: str, build):
-    return relation_cache.memoized_local(
-        spark,
-        sf_dir,
-        f"copurchase_{kind}",
-        ("lineitem", "orders"),
-        build,
-        tag=_EDGE_TAG,
-    )
-
-
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (src < dst) customer pairs that bought the same part in
-    the same week.  One equi-join on the (part, week) block key; group
-    sizes are capped, so the pair fan-out is linear in the input.
-
-    MEMOIZED via ``relation_cache`` (persisted table + driver memo) and PERSISTED
-    (scoped) per call: every consumer reuses the edge list several
-    times — the triangle query aliases it three ways, the PageRank loop
-    reads it every iteration, components reads it twice for the
-    symmetric union.  Without the persist each reuse re-derives the
-    whole join+window+distinct subtree from the parquet scans (the
-    audit showed 36 scans / 55 shuffles for triangles)."""
-    return _memoized_edges(
-        spark, sf_dir, "plain", lambda: _derive_copurchase_edges(spark, sf_dir)
-    )
-
-
-def _derive_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ONE hash aggregation replaces the round-14 shape's
+    distinct + count-window + self-join: ``collect_set`` dedups the
+    (pk, wk, ck) triples and gathers the group in the same shuffle
+    (the count-window buffered the identical group per partition, so
+    the memory envelope is unchanged), and the cap filter reads the
+    set size directly.  At a scale where one viral part could exceed
+    the agg buffer, split this into count-filter-then-collect (two
+    aggs, same result); at every measured SF the max group is 5."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    pc = (
+    return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
+        .groupBy(
             F.col("l_partkey").alias("pk"),
             F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
-            F.col("o_custkey").alias("ck"),
         )
-        .distinct()
+        .agg(F.array_sort(F.collect_set("o_custkey")).alias("cks"))
+        .where(F.size("cks") <= _GROUP_CAP)
     )
-    from pyspark.sql import Window
 
-    pc_ok = (
-        pc.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("pk", "wk"))
-        )
-        .where(F.col("n") <= _GROUP_CAP)
-        .drop("n")
-    )
-    a, b = pc_ok.alias("a"), pc_ok.alias("b")
-    return scoped_persist(
-        a.join(
-            b,
-            (F.col("a.pk") == F.col("b.pk"))
-            & (F.col("a.wk") == F.col("b.wk"))
-            & (F.col("a.ck") < F.col("b.ck")),
-        )
-        .select(F.col("a.ck").alias("src"), F.col("b.ck").alias("dst"))
-        .distinct()
-    )
+
+def _pair_rows(grp: DataFrame) -> DataFrame:
+    """Explode each block's sorted member array into its (src < dst)
+    combinations — the map-side equivalent of the (pk, wk) self-join,
+    with the identical linear fan-out bound (group size is capped)."""
+    return grp.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(cks, (x, i) -> transform("
+                    "slice(cks, i + 2, size(cks) - i - 1), "
+                    "y -> struct(x AS src, y AS dst)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src < dst) customer pairs that bought the same part in
+    the same week — DERIVED FRESH on every call, from the parquet
+    sources, with a fully distributed plan (no cross-run persistence,
+    no driver-side memo: every bench/oracle invocation computes from
+    the inputs).  PERSISTED (scoped) per call: every consumer reuses
+    the edge list several times — the triangle query aliases it three
+    ways, the PageRank loop reads it every iteration, components reads
+    it twice for the symmetric union.  Without the persist each reuse
+    re-derives the whole subtree from the parquet scans (the audit
+    showed 36 scans / 55 shuffles for triangles).
+
+    Plan (round 15): one join + one hash agg + the pair explode +
+    distinct — two shuffles total, versus four in the round-14 shape
+    (distinct, count-window repartition, pair self-join, distinct)."""
+    return scoped_persist(_pair_rows(_group_members(spark, sf_dir)).distinct())
 
 
 @query(
@@ -612,53 +592,12 @@ def _copurchase_edges_weighted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(src, dst, len): the co-purchase pairs of ``_copurchase_edges``
-    with the tie-strength length rule applied — same capped pairing
-    join, but aggregating shared-block counts instead of distinct-ing,
-    so the fan-out bound is identical.  Memoized like the plain list."""
-    return _memoized_edges(
-        spark,
-        sf_dir,
-        "weighted",
-        lambda: _derive_copurchase_edges_weighted(spark, sf_dir),
-    )
-
-
-def _derive_copurchase_edges_weighted(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    pc = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.col("l_partkey").alias("pk"),
-            F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
-            F.col("o_custkey").alias("ck"),
-        )
-        .distinct()
-    )
-    from pyspark.sql import Window
-
-    pc_ok = (
-        pc.withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("pk", "wk"))
-        )
-        .where(F.col("n") <= _GROUP_CAP)
-        .drop("n")
-    )
-    a, b = pc_ok.alias("a"), pc_ok.alias("b")
+    with the tie-strength length rule applied — the same capped block
+    explode, but counting shared blocks per pair instead of
+    distinct-ing, so the fan-out bound is identical.  Derived fresh on
+    every call from the parquet sources, like the plain list."""
     pairs = (
-        a.join(
-            b,
-            (F.col("a.pk") == F.col("b.pk"))
-            & (F.col("a.wk") == F.col("b.wk"))
-            & (F.col("a.ck") < F.col("b.ck")),
-        )
-        .select(F.col("a.ck").alias("src"), F.col("b.ck").alias("dst"))
+        _pair_rows(_group_members(spark, sf_dir))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

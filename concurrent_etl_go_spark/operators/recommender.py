@@ -40,15 +40,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from concurrent_etl_go_spark.operators import relation_cache
 from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
 _MIN_SUPPORT = 2  # minimum co-basket count for a pair to enter the model
 
-#: Derivation-code tag for the persisted rec relations — bump when any
-#: derivation's semantics change (min support, transition rule, split).
-_REC_TAG = "v1"
 _NBR_TOP = 5  # neighbors kept per anchor item
 _ANCHORS = 20  # anchor items (most-ordered first)
 _REC_CUSTS = 5  # customers recommended for (most orders first)
@@ -88,24 +84,15 @@ _MODEL_SQL = f"""
 
 
 def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (l_orderkey, l_partkey) basket membership, served as a
-    SCAN of the fingerprinted persisted relation (round 15, VERDICT r14
-    §Next #6 via ``relation_cache``): the distinct shuffle runs once
-    per corpus version, not once per rec query.  Corpus-scale (600k
-    rows at sf0.1), so it stays on the ``load_or_build`` scan tier —
-    never driver rows.  Scoped-persisted because most consumers read
-    it more than once (self-joins, owned sets)."""
+    """Distinct (l_orderkey, l_partkey) basket membership, derived
+    FRESH per call from the lineitem parquet (no cross-run persistence
+    — every bench/oracle invocation computes from the inputs).
+    Scoped-persisted because most consumers read it more than once
+    (self-joins, owned sets)."""
     return scoped_persist(
-        relation_cache.load_or_build(
-            spark,
-            sf_dir,
-            "rec_baskets",
-            ("lineitem",),
-            lambda: read_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct(),
-            tag=_REC_TAG,
-        )
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
     )
 
 
@@ -165,30 +152,15 @@ def _model(
     SAME persisted relations instead of re-scanning lineitem and
     re-paying the distinct shuffle (VERDICT r9 advice).
 
-    Round 15 (VERDICT r14 §Next #6): the model and item frames are
-    min-support-/part-dimension-bounded (7,146 and 20,000 rows at
-    sf0.1), so they ride ``relation_cache.memoized_local`` — derived
-    and persisted once per corpus fingerprint, corpus-scan-free on
-    every later call.  ``li`` is corpus-scale and stays a scan of its
-    persisted relation.  Lazy construction keeps a memo-hit call from
-    touching ``li`` at all unless the caller uses it."""
+    Derived FRESH per call from the parquet sources (no cross-run
+    persistence, no driver-side memo — every bench/oracle invocation
+    computes from the inputs); the item and model frames are
+    scoped-persisted because consumers read them repeatedly (the model
+    join is aliased per owned item, the item counts feed both cosine
+    denominators)."""
     li = _baskets(spark, sf_dir)
-    item = relation_cache.memoized_local(
-        spark,
-        sf_dir,
-        "rec_item",
-        ("lineitem",),
-        lambda: _derive_item(li),
-        tag=_REC_TAG,
-    )
-    model = relation_cache.memoized_local(
-        spark,
-        sf_dir,
-        "rec_model",
-        ("lineitem",),
-        lambda: _derive_model(li, item),
-        tag=_REC_TAG,
-    )
+    item = scoped_persist(_derive_item(li))
+    model = scoped_persist(_derive_model(li, item))
     return model, li, item
 
 
@@ -393,20 +365,11 @@ def rec_next_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     table size); transition counts shuffle once on the (src, next)
     pair key.  Pure integer counts — no float discipline needed.
 
-    The transition table is (part x part)-keyed but NOT min-support
-    bounded (2.15M rows at sf0.1 — corpus-scale), so it rides the
-    ``relation_cache.load_or_build`` SCAN tier: derived once per
-    corpus fingerprint, never driver rows."""
-    trans = scoped_persist(
-        relation_cache.load_or_build(
-            spark,
-            sf_dir,
-            "rec_trans",
-            ("lineitem", "orders"),
-            lambda: _derive_trans(spark, sf_dir),
-            tag=_REC_TAG,
-        )
-    )
+    The transition table is derived FRESH per call from the parquet
+    sources (no cross-run persistence — every bench/oracle invocation
+    computes from the inputs) and scoped-persisted for the two reads
+    below (anchor selection + the ranked join)."""
+    trans = scoped_persist(_derive_trans(spark, sf_dir))
     anchors = (
         trans.groupBy("src_part")
         .agg(F.sum("n_trans").alias("out"))
@@ -705,10 +668,9 @@ def rec_eval_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra anti-join on the held-out order keys (a broadcast-sized
     list); evaluation joins touch |custs| x k rows.
 
-    Round 15: the TRAIN-set model is min-support-bounded like the full
-    model, so it rides ``relation_cache.memoized_local`` under its own
-    name (the held-out split is a deterministic function of orders, so
-    the fingerprint covers it); the held/owned/test frames stay inline
+    The train-set model is derived FRESH per call (no cross-run
+    persistence, no driver memo — every bench/oracle invocation
+    computes from the inputs); the held/owned/test frames stay inline
     — they are panel-sized."""
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
@@ -723,13 +685,8 @@ def rec_eval_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
-    model = relation_cache.memoized_local(
-        spark,
-        sf_dir,
-        "rec_eval_model",
-        ("lineitem", "orders"),
-        lambda: _derive_model(train, _derive_item(train)).drop("n_ab"),
-        tag=_REC_TAG,
+    model = scoped_persist(
+        _derive_model(train, scoped_persist(_derive_item(train))).drop("n_ab")
     )
     owned = scoped_persist(
         custs.join(orders, custs["ck"] == orders["o_custkey"])

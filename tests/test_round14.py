@@ -157,51 +157,34 @@ def test_replay_keeps_sidecar_when_post_fails(mock_api, tmp_path):
     assert os.path.exists(path) and os.path.exists(path + ".key")
 
 
-# ------------------------------------------------------- graph edge memo
+# ------------------------------------------------- graph edge derivation
 
 
-def test_edge_memo_matches_fresh_derivation(spark, sf_dir):
-    """The memoized local relation must be row-identical to a fresh
-    derivation, and survive release_caches() without a corpus re-scan.
-    (Round 15 moved the memo into operators/relation_cache keyed by
-    (sf_dir, name, fingerprint); the contract is unchanged.)"""
-    from concurrent_etl_go_spark.operators import graph2, relation_cache
+def test_edge_derivation_fresh_and_deterministic(spark, sf_dir):
+    """The co-purchase edge list derives FRESH per call (optimization
+    round 15 removed the cross-run relation cache from the query path:
+    every bench/oracle invocation computes from the parquet inputs) and
+    is deterministic across calls, including across release_caches()."""
+    from concurrent_etl_go_spark.operators import graph2
     from concurrent_etl_go_spark.operators.registry import release_caches
 
-    def memo_key():
-        return next(
-            (
-                k
-                for k in relation_cache._MEMO
-                if k[0] == sf_dir and k[1] == "copurchase_plain"
-            ),
-            None,
-        )
-
-    relation_cache._MEMO.pop(memo_key(), None)
-    memoized = {
+    first = {
         (r["src"], r["dst"])
         for r in graph2._copurchase_edges(spark, sf_dir).collect()
     }
-    assert memo_key() is not None
     release_caches()
-    again = {
-        (r["src"], r["dst"])
-        for r in graph2._copurchase_edges(spark, sf_dir).collect()
-    }
-    fresh = {
-        (r["src"], r["dst"])
-        for r in graph2._derive_copurchase_edges(spark, sf_dir).collect()
-    }
+    df = graph2._copurchase_edges(spark, sf_dir)
+    again = {(r["src"], r["dst"]) for r in df.collect()}
     release_caches()
-    assert memoized == again == fresh
-    assert memoized, "edge list must be non-empty"
+    assert first == again
+    assert first, "edge list must be non-empty"
     # bounded: two long columns, dimension-scale row count
-    rows, schema = relation_cache._MEMO[memo_key()]
-    assert [f.dataType.simpleString() for f in schema.fields] == [
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
         "bigint",
         "bigint",
     ]
+    # src < dst orientation everywhere
+    assert all(s < d for s, d in first)
 
 
 # ------------------------------------------------- staleness green predicate

@@ -117,19 +117,20 @@ def test_sweep_spares_live_spill_sidecar_toctou(mock_api, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# 2. Persisted co-purchase edge table (VERDICT r14 §Next #3 + ADVICE r14 #3):
-#    the production path derives the edge list once, persists it as a
-#    fingerprinted versioned table, and serves later consumers by SCAN —
-#    the build_ivfpq_index pattern; the driver memo is only the bench-tier
-#    cache on top, keyed by the source fingerprint so an in-process
-#    testdata refresh can never serve stale edges.
+# 2. relation_cache machinery (production build-offline/serve-cheap
+#    split).  Optimization round 15 REMOVED this cache from every
+#    registry-query path — a bench/oracle invocation must compute from
+#    the parquet inputs, so cross-run persisted intermediates and
+#    driver-side result memos are prohibited there.  The machinery
+#    itself stays (it is the versioned-table serving pattern real
+#    pipelines use), exercised here with synthetic relations only.
 # ---------------------------------------------------------------------------
 
 
 @pytest.fixture()
-def edge_roots(tmp_path, monkeypatch):
+def cache_root(tmp_path, monkeypatch):
     """Isolate the persisted relation tables AND the memo in tmp_path."""
-    from concurrent_etl_go_spark.operators import graph2, relation_cache
+    from concurrent_etl_go_spark.operators import relation_cache
 
     monkeypatch.setattr(
         relation_cache,
@@ -137,51 +138,59 @@ def edge_roots(tmp_path, monkeypatch):
         lambda sf_dir, name: str(tmp_path / "relcache" / name),
     )
     monkeypatch.setattr(relation_cache, "_MEMO", {})
-    graph2.relation_cache = relation_cache
-    return graph2
+    return relation_cache
 
 
-def test_edge_table_build_then_pure_read(spark, sf_dir, edge_roots):
+def _synthetic_build(spark, calls):
+    def build():
+        calls["n"] += 1
+        return spark.range(5).selectExpr("id AS src", "id + 1 AS dst")
+
+    return build
+
+
+def test_relation_cache_build_then_pure_read(spark, sf_dir, cache_root):
     """First call derives + persists; a cold-process load (memo cleared)
-    returns identical rows WITHOUT writing a new table version."""
+    is a pure read — identical rows, no new table version, no rebuild."""
     import concurrent_etl_go_spark.sources.versioned as vt
 
-    graph2 = edge_roots
+    relation_cache = cache_root
+    calls = {"n": 0}
+    build = _synthetic_build(spark, calls)
     first = sorted(
         (r.src, r.dst)
-        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+        for r in relation_cache.memoized_local(
+            spark, sf_dir, "syn_rel", ("lineitem",), build, tag="v1"
+        ).collect()
     )
-    assert first, "smoke corpus must produce co-purchase edges"
-    from concurrent_etl_go_spark.operators import relation_cache
-    root = relation_cache.table_root(sf_dir, "copurchase_plain")
+    assert first and calls["n"] == 1
+    root = relation_cache.table_root(sf_dir, "syn_rel")
     v0 = vt.snapshot(os.path.join(root, "data")).version
 
     relation_cache._MEMO.clear()  # simulate a fresh process
     again = sorted(
         (r.src, r.dst)
-        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+        for r in relation_cache.memoized_local(
+            spark, sf_dir, "syn_rel", ("lineitem",), build, tag="v1"
+        ).collect()
     )
     assert again == first
-    assert vt.snapshot(os.path.join(root, "data")).version == v0, (
-        "a fresh-fingerprint reload must be a pure read, not a rebuild"
-    )
+    assert calls["n"] == 1, "fresh-fingerprint reload must be a pure read"
+    assert vt.snapshot(os.path.join(root, "data")).version == v0
 
 
-def test_edge_table_stale_fingerprint_rebuilds(spark, sf_dir, edge_roots):
+def test_relation_cache_stale_fingerprint_rebuilds(spark, sf_dir, cache_root):
     """A fingerprint mismatch (refreshed source parquet) forces a
-    re-derive into a NEW table version; results stay identical because
-    the derivation is deterministic."""
+    re-derive into a NEW table version."""
     import json as _json
 
-    import concurrent_etl_go_spark.sources.versioned as vt
-
-    graph2 = edge_roots
-    first = sorted(
-        (r.src, r.dst)
-        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    relation_cache = cache_root
+    calls = {"n": 0}
+    build = _synthetic_build(spark, calls)
+    relation_cache.load_or_build(
+        spark, sf_dir, "syn_rel2", ("lineitem",), build, tag="v1"
     )
-    from concurrent_etl_go_spark.operators import relation_cache
-    root = relation_cache.table_root(sf_dir, "copurchase_plain")
+    root = relation_cache.table_root(sf_dir, "syn_rel2")
     meta_path = os.path.join(root, "meta.json")
     with open(meta_path) as fh:
         meta = _json.load(fh)
@@ -190,73 +199,73 @@ def test_edge_table_stale_fingerprint_rebuilds(spark, sf_dir, edge_roots):
     with open(meta_path, "w") as fh:
         _json.dump(meta, fh)
 
-    relation_cache._MEMO.clear()
+    relation_cache.load_or_build(
+        spark, sf_dir, "syn_rel2", ("lineitem",), build, tag="v1"
+    )
+    assert calls["n"] == 2, "stale fingerprint must trigger a rebuild"
+    with open(meta_path) as fh:
+        assert _json.load(fh)["version"] > v0
+
+
+def test_memo_keyed_by_source_fingerprint(spark, sf_dir, cache_root):
+    """The memo key folds in the source fingerprint and derivation tag,
+    so touching the source parquet (or changing the derivation) evicts
+    the in-process entry instead of silently serving stale rows."""
+    relation_cache = cache_root
+    calls = {"n": 0}
+    relation_cache.memoized_local(
+        spark, sf_dir, "syn_rel3", ("lineitem",),
+        _synthetic_build(spark, calls), tag="vX",
+    )
+    (key,) = list(relation_cache._MEMO)
+    assert key[0] == sf_dir and key[1] == "syn_rel3"
+    fp, tag = key[2]
+    assert fp == tuple(
+        relation_cache.source_fingerprint(sf_dir, ("lineitem",))
+    ), "memo key must carry the live source fingerprint"
+    assert tag == "vX", "memo key must carry the derivation tag"
+
+
+def test_query_paths_do_not_touch_relation_cache(spark, sf_dir, cache_root):
+    """Optimization round 15: registry queries must compute from the
+    parquet inputs on EVERY invocation — no persisted-relation reads or
+    writes, no driver-side result memo.  Run the former cache consumers
+    (graph edges via a graph query, the recommender model) end to end
+    and assert the isolated cache root stays empty and the memo stays
+    unused — and that two invocations agree (fresh derivation is
+    deterministic)."""
+    from concurrent_etl_go_spark.operators import graph2, recommender
+    from concurrent_etl_go_spark.operators.registry import release_caches
+
+    relation_cache = cache_root
+    first = sorted(
+        (r.src, r.dst)
+        for r in graph2._copurchase_edges(spark, sf_dir).collect()
+    )
+    release_caches()
+    rec1 = sorted(
+        map(tuple, recommender.rec_item_neighbors(spark, sf_dir).collect())
+    )
+    release_caches()
     again = sorted(
         (r.src, r.dst)
         for r in graph2._copurchase_edges(spark, sf_dir).collect()
     )
-    assert again == first
-    with open(meta_path) as fh:
-        assert _json.load(fh)["version"] > v0, (
-            "stale fingerprint must trigger a rebuild"
-        )
-
-
-def test_edge_memo_keyed_by_source_fingerprint(spark, sf_dir, edge_roots):
-    """ADVICE r14 #3: the memo key folds in the source fingerprint, so
-    touching the source parquet evicts the in-process entry instead of
-    silently serving stale edges (verified via the memo keys — the
-    testdata itself is read-only here)."""
-    graph2 = edge_roots
-    graph2._copurchase_edges(spark, sf_dir)
-    from concurrent_etl_go_spark.operators import relation_cache
-    (key,) = list(relation_cache._MEMO)
-    assert key[0] == sf_dir and key[1] == "copurchase_plain"
-    from concurrent_etl_go_spark.operators.graph2 import _EDGE_TAG
-    fp, tag = key[2]
-    assert fp == tuple(
-        relation_cache.source_fingerprint(sf_dir, ("lineitem", "orders"))
-    ), "memo key must carry the live source fingerprint"
-    assert tag == _EDGE_TAG, "memo key must carry the derivation tag"
-
-
-# ---------------------------------------------------------------------------
-# 3. Recommender model frames through the relation cache (VERDICT r14
-#    §Next #6): cold build vs memo-hit vs cold-process reload must all
-#    serve identical model rows; corpus-scale frames (baskets, trans)
-#    stay on the scan tier — never driver rows.
-# ---------------------------------------------------------------------------
-
-
-def test_rec_model_cache_tiers_identical(spark, sf_dir, edge_roots, tmp_path):
-    from concurrent_etl_go_spark.operators import recommender, relation_cache
-
-    def neighbors():
-        rows = recommender.rec_item_neighbors(spark, sf_dir).collect()
-        return sorted((r.item, r.neighbor, r.n_ab, r.cos2_bp, r.nbr_rank)
-                      for r in rows)
-
-    cold = neighbors()           # derives + persists rec_model/rec_item
-    assert cold
-    warm = neighbors()           # memo hit
-    relation_cache._MEMO.clear()
-    reload = neighbors()         # cold process: pure read of the table
-    assert cold == warm == reload
-
-    # dimension-scale frames are memoized; corpus-scale ones are NOT
-    memo_names = {k[1] for k in relation_cache._MEMO}
-    assert "rec_model" in memo_names and "rec_item" in memo_names
-    assert "rec_baskets" not in memo_names, (
-        "baskets are corpus-scale — scan tier only, never driver rows"
+    release_caches()
+    rec2 = sorted(
+        map(tuple, recommender.rec_item_neighbors(spark, sf_dir).collect())
     )
-    # ...but baskets ARE persisted for the scan tier
-    assert os.path.exists(
-        os.path.join(relation_cache.table_root(sf_dir, "rec_baskets"),
-                     "meta.json")
+    release_caches()
+    assert first == again and rec1 == rec2
+    assert first and rec1
+    assert relation_cache._MEMO == {}, "query paths must not memoize"
+    root = relation_cache.table_root(sf_dir, "copurchase_plain")
+    assert not os.path.exists(os.path.dirname(root)), (
+        "query paths must not write persisted relations"
     )
 
 
-def test_stale_derivation_tag_rebuilds(spark, sf_dir, edge_roots):
+def test_stale_derivation_tag_rebuilds(spark, sf_dir, cache_root):
     """A derivation-code change (tag bump) must force a rebuild even
     when the source data fingerprint is unchanged — otherwise a new
     derivation silently serves the old persisted rows."""
@@ -268,9 +277,7 @@ def test_stale_derivation_tag_rebuilds(spark, sf_dir, edge_roots):
 
     def build():
         calls["n"] += 1
-        return (
-            read_spark_range(spark)
-        )
+        return read_spark_range(spark)
 
     def read_spark_range(s):
         return s.range(3).selectExpr("id AS src", "id + 1 AS dst")
