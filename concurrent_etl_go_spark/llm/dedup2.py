@@ -30,10 +30,17 @@ _K = 3  # shingle width
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, distinct 3-token shingles) per document."""
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", tokens("text").alias("w")
-    )
+    """(doc_id, lang, distinct 3-token shingles) per document.  The
+    scan is spread across cores before the CPU-heavy shingle transform
+    (single-row-group parquet otherwise tokenizes on one task)."""
+    from concurrent_etl_go_spark.operators.lib import parallelize_narrow_scan
+
+    docs = parallelize_narrow_scan(
+        read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        "doc_id",
+    ).select("doc_id", "lang", tokens("text").alias("w"))
     idx = F.when(
         F.size("w") >= _K, F.sequence(F.lit(1), F.size("w") - (_K - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -260,9 +267,12 @@ def dedup_prefix_filter_jaccard(
     (-24.5%) at sf1 — the cut ratio HOLDS across the decade, so the
     verify join's input shrinks by the same constant factor at any
     scale."""
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("w")
-    )
+    from concurrent_etl_go_spark.operators.lib import parallelize_narrow_scan
+
+    docs = parallelize_narrow_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    ).select("doc_id", tokens("text").alias("w"))
     idx = F.when(
         F.size("w") >= _K, F.sequence(F.lit(1), F.size("w") - (_K - 1))
     ).otherwise(F.array().cast("array<int>"))

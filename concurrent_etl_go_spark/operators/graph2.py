@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators.lib import parallelize_narrow_scan
 from concurrent_etl_go_spark.operators.registry import (
     query,
     release_df,
@@ -68,49 +69,48 @@ _EDGE_SQL = f"""
 """
 
 
-def _group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(pk, wk, cks): the ASCENDING-sorted distinct customers of every
-    (part, week) block whose distinct-member count is within
-    ``_GROUP_CAP`` — the shared upstream of both edge derivations.
+def _pc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (pk, wk, ck) triples with the ``_GROUP_CAP`` filter —
+    the shared upstream of both edge derivations."""
+    from pyspark.sql import Window
 
-    ONE hash aggregation replaces the round-14 shape's
-    distinct + count-window + self-join: ``collect_set`` dedups the
-    (pk, wk, ck) triples and gathers the group in the same shuffle
-    (the count-window buffered the identical group per partition, so
-    the memory envelope is unchanged), and the cap filter reads the
-    set size directly.  At a scale where one viral part could exceed
-    the agg buffer, split this into count-filter-then-collect (two
-    aggs, same result); at every measured SF the max group is 5."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = parallelize_narrow_scan(
+        read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ),
+        "l_orderkey",
+    )
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    return (
+    pc = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy(
+        .select(
             F.col("l_partkey").alias("pk"),
             F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
+            F.col("o_custkey").alias("ck"),
         )
-        .agg(F.array_sort(F.collect_set("o_custkey")).alias("cks"))
-        .where(F.size("cks") <= _GROUP_CAP)
+        .distinct()
+    )
+    return (
+        pc.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("pk", "wk"))
+        )
+        .where(F.col("n") <= _GROUP_CAP)
+        .drop("n")
     )
 
 
-def _pair_rows(grp: DataFrame) -> DataFrame:
-    """Explode each block's sorted member array into its (src < dst)
-    combinations — the map-side equivalent of the (pk, wk) self-join,
-    with the identical linear fan-out bound (group size is capped)."""
-    return grp.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(cks, (x, i) -> transform("
-                    "slice(cks, i + 2, size(cks) - i - 1), "
-                    "y -> struct(x AS src, y AS dst)))"
-                )
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
+def _pair_rows(pc_ok: DataFrame) -> DataFrame:
+    """(src < dst) pair instances via the (pk, wk) self-join — one pair
+    row per shared block; the fan-out is linear (group size capped)."""
+    a, b = pc_ok.alias("a"), pc_ok.alias("b")
+    return a.join(
+        b,
+        (F.col("a.pk") == F.col("b.pk"))
+        & (F.col("a.wk") == F.col("b.wk"))
+        & (F.col("a.ck") < F.col("b.ck")),
+    ).select(F.col("a.ck").alias("src"), F.col("b.ck").alias("dst"))
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,12 +123,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways, the PageRank loop reads it every iteration, components reads
     it twice for the symmetric union.  Without the persist each reuse
     re-derives the whole subtree from the parquet scans (the audit
-    showed 36 scans / 55 shuffles for triangles).
-
-    Plan (round 15): one join + one hash agg + the pair explode +
-    distinct — two shuffles total, versus four in the round-14 shape
-    (distinct, count-window repartition, pair self-join, distinct)."""
-    return scoped_persist(_pair_rows(_group_members(spark, sf_dir)).distinct())
+    showed 36 scans / 55 shuffles for triangles)."""
+    return scoped_persist(_pair_rows(_pc_triples(spark, sf_dir)).distinct())
 
 
 @query(
@@ -592,12 +588,12 @@ def _copurchase_edges_weighted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(src, dst, len): the co-purchase pairs of ``_copurchase_edges``
-    with the tie-strength length rule applied — the same capped block
-    explode, but counting shared blocks per pair instead of
-    distinct-ing, so the fan-out bound is identical.  Derived fresh on
-    every call from the parquet sources, like the plain list."""
+    with the tie-strength length rule applied — the same capped pairing
+    join, but counting shared blocks per pair instead of distinct-ing,
+    so the fan-out bound is identical.  Derived fresh on every call
+    from the parquet sources, like the plain list."""
     pairs = (
-        _pair_rows(_group_members(spark, sf_dir))
+        _pair_rows(_pc_triples(spark, sf_dir))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

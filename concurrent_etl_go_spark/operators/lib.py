@@ -15,6 +15,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def parallelize_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``key_cols`` when its scan yields
+    fewer partitions than the session's parallelism.  The shared
+    testdata parquets are single-row-group files, so a scan (and every
+    map-side partial aggregation fused onto it) runs as ONE task —
+    the optimization guide's §2.5 'one huge unsplittable file:
+    repartition immediately after the read'.  At production scale the
+    scan already produces >= parallelism partitions and this returns
+    ``df`` unchanged — no exchange is added, and map-side partial
+    aggregation keeps its shuffle-byte reduction."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(*[F.col(c) for c in key_cols])
+    return df
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

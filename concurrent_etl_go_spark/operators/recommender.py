@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from concurrent_etl_go_spark.operators.lib import parallelize_narrow_scan
 from concurrent_etl_go_spark.operators.registry import query, scoped_persist
 from concurrent_etl_go_spark.sources.readers import read_table
 
@@ -90,9 +91,12 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scoped-persisted because most consumers read it more than once
     (self-joins, owned sets)."""
     return scoped_persist(
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        parallelize_narrow_scan(
+            read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            "l_orderkey",
+        ).distinct()
     )
 
 

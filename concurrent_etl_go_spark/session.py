@@ -55,6 +55,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE re-plan the output partitioning of persisted plans:
+        # cached subtrees otherwise pin their pre-AQE partition count
+        # (default false), so every scoped_persist'd dimension-scale
+        # frame kept one partition per core and every downstream stage
+        # over it launched that many tasks for microseconds of work —
+        # measured 1.7 s/round -> ~0.4 s/round on the PPR kernel at
+        # sf0.1.  Size-adaptive, not core-count-tuned: AQE's coalescing
+        # (parallelismFirst default) still keeps parallelism for
+        # anything above its 1 MB minimum partition size, so real data
+        # keeps real parallelism at any scale.  (A/B note, round 15:
+        # coalescePartitions.parallelismFirst=false was measured 1.4x
+        # WORSE across the heavy bench subset — byte-targeted 64 MB
+        # coalescing serializes compute-dense explode stages whose
+        # bytes-per-CPU-second are tiny — so it stays at default.)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

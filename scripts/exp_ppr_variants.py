@@ -65,7 +65,7 @@ def main() -> int:
         return sym, deg
 
     def v0_current():
-        return graph2.graph_ppr(spark, sf_dir)
+        return graph2.graph_ppr(spark, sf_dir)  # (spark, sf_dir) bound via closure
 
     def v1_hoist():
         sym, deg = build_base()
@@ -157,7 +157,7 @@ def main() -> int:
     # correctness: identical rows across variants
     baseline_rows = None
     for name, fn in variants:
-        df = fn(spark, sf_dir) if fn is v0_current else fn()
+        df = fn()
         rows = sorted((r.id, r.rank) for r in df.collect())
         release_caches()
         if baseline_rows is None:
@@ -171,7 +171,7 @@ def main() -> int:
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir) if fn is v0_current else fn()
+            df = fn()
             df.write.format("noop").mode("overwrite").save()
             t1 = time.perf_counter()
             release_caches()

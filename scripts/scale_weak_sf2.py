@@ -10,10 +10,9 @@ BENCH_SF1.json decade), clearing the weak labels with data.
 Round 14 (VERDICT r13 §Next #7) extends the set to the three costliest
 graph kernels — ``graph_ppr``, ``graph_kcore``,
 ``graph_betweenness_sampled`` — the queries where scale proof matters
-most in absolute terms.  Their warm passes read the driver-side
-relation-cache edge list (operators/relation_cache.py), so the recorded kernel
-exponents measure the iterative rounds over a 2x-bigger graph; the
-one-time edge DERIVATION is timed separately per sf (``edge_derive``
+most in absolute terms.  Since the optimization round the query path
+derives the edge list fresh per invocation, so kernel passes include
+the derivation; it is ALSO timed separately per sf (``edge_derive``
 in the output) with its own exponent, so neither cost hides.
 
 exponent = log2(t_sf2 / t_sf1) for the 2x step (1.0 = linear).
@@ -82,22 +81,16 @@ def main() -> None:
         release_caches()
         return t2 - t0, t2 - t1
 
-    # one-time edge-list derivation cost per sf (excluded from the
-    # memoized graph kernels' warm passes — timed explicitly so the
-    # scan+pairing prefix has its own scale record)
-    from concurrent_etl_go_spark.operators import graph2, relation_cache
+    # edge-list derivation cost per sf, timed explicitly so the
+    # scan+pairing prefix has its own scale record.  (Since the
+    # optimization round the query path derives fresh per invocation —
+    # there is no memo or persisted table to clear.)
+    from concurrent_etl_go_spark.operators import graph2
 
     edge_derive: dict[str, float] = {}
     for sf, sf_dir in SF_DIRS.items():
-        # cold derivation: drop the driver memo AND the persisted table
-        for k in [k for k in relation_cache._MEMO
-                  if k[0] == sf_dir and k[1] == "copurchase_plain"]:
-            relation_cache._MEMO.pop(k, None)
-        import shutil
-        shutil.rmtree(relation_cache.table_root(sf_dir, "copurchase_plain"),
-                      ignore_errors=True)
         t0 = time.perf_counter()
-        graph2._copurchase_edges(spark, sf_dir)  # derives + collects
+        graph2._copurchase_edges(spark, sf_dir).count()
         edge_derive[sf] = round(time.perf_counter() - t0, 3)
         release_caches()
 

@@ -298,3 +298,38 @@ def test_stale_derivation_tag_rebuilds(spark, sf_dir, cache_root):
     )
     with open(meta_path) as fh:
         assert _json.load(fh)["tag"] == "v2"
+
+
+# ---------------------------------------------------------------------------
+# 4. Round-15 optimization internals.
+# ---------------------------------------------------------------------------
+
+
+def test_parallelize_narrow_scan_spreads_single_split(spark, sf_dir):
+    """A single-row-group parquet scan repartitions to session
+    parallelism; an input already at/above parallelism passes through
+    unchanged (no exchange added)."""
+    from concurrent_etl_go_spark.operators.lib import parallelize_narrow_scan
+    from concurrent_etl_go_spark.sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    par = spark.sparkContext.defaultParallelism
+    assert li.rdd.getNumPartitions() < par, (
+        "fixture assumption: the testdata parquet is a single split"
+    )
+    spread = parallelize_narrow_scan(li, "l_orderkey")
+    # the exchange is present in the plan (its runtime partition count
+    # is AQE's size-adaptive decision, deliberately not pinned here)
+    plan = spread._jdf.queryExecution().optimizedPlan().toString()
+    assert "l_orderkey" in plan and "Repartition" in plan
+    # row-identical
+    assert sorted(map(tuple, spread.collect())) == sorted(
+        map(tuple, li.collect())
+    )
+    # already-parallel input is returned unchanged (same plan object)
+    wide = spark.range(0, 1000, 1, numPartitions=par).selectExpr(
+        "id AS l_orderkey", "id AS l_partkey"
+    )
+    assert parallelize_narrow_scan(wide, "l_orderkey") is wide
