@@ -122,20 +122,72 @@ _ROUND14_WINDOW = [
 #: rotation: post-r14 the stalest block is the 47 round-3-era
 #: text/dedup/similarity/scalar queries (VERDICT r14 §Next #5), so
 #: the tail re-proves 27 of them and round 16 inherits the rest.
+#: OPTIMIZATION round 15 re-write of the window: the de-gaming pass
+#: (OPTIMIZATION_r15.md) changed the Spark expression of every former
+#: relation-cache/memo consumer — the queries now derive their edge
+#: lists / model frames / labels / harness / index fresh per
+#: invocation — plus the graph2 derivation shape and the dedup2
+#: parallelized scans.  All 50 changed-expression queries occupy the
+#: window so the driver's own artifact re-proves exactly this round's
+#: diff (each was also re-proven via driver_dryrun --only during the
+#: round, and the committed FULLSWEEP_r15.json covers the full
+#: registry on final code).
 _ROUND15_WINDOW = [
-    # relation-cache rec consumers (model frames memoized this round)
+    # recommender family (model frames derived fresh per query)
     "rec_item_neighbors",
     "rec_user_items",
     "rec_next_part",
     "rec_rfm_next_action",
     "rec_eval_hit_rate",
     "rec_coverage",
-    # graph representatives through the shared relation_cache plumbing
+    "rec_novelty_epc",
+    "rec_intra_list_diversity",
+    "rec_markov_next_event",
+    # retrieval-eval harness consumers (memo removed)
+    "search_eval_recall_at_k",
+    "search_eval_ndcg_at_k",
+    "search_eval_mrr",
+    "search_eval_map_at_k",
+    "search_eval_auc",
+    "search_eval_interpolated_pr",
+    "search_eval_rbo",
+    "search_eval_mmr_arm",
+    "dataset_contrastive_triples",
+    # dup-cluster label consumers + dedup2 scan parallelization
+    "dedup_components",
+    "dedup_survivor_corpus",
+    "dedup_survivor_portable",
+    "dedup_cluster_size_histogram",
+    "dataset_leakage_safe_split",
+    "dedup_containment",
+    "dedup_prefix_filter_jaccard",
+    # per-invocation IVF-PQ fit (rows-only determinism check)
+    "similarity_ivfpq_topk",
+    # co-purchase graph family (fresh edge derivation, both variants)
     "graph_components_copurchase",
     "graph_pagerank_copurchase",
-    "graph_sssp_weighted",           # WEIGHTED memo variant
-    "graph_kcore",
     "graph_triangles_copurchase",
+    "graph_degree_distribution",
+    "graph_sssp_weighted",
+    "graph_bfs_hops",
+    "graph_common_neighbors",
+    "graph_jaccard_neighbors",
+    "graph_kcore",
+    "graph_hits",
+    "graph_label_propagation",
+    "graph_ppr",
+    "graph_closeness_centrality",
+    "graph_betweenness_sampled",
+    "graph_clustering_coeff",
+    "graph_eccentricity_sample",
+    "graph_assortativity",
+    "graph_two_hop_reach",
+    "graph_transitivity",
+    "graph_rich_club",
+    "graph_resource_allocation",
+    "graph_edge_embeddedness",
+    "graph_katz_centrality",
+    "graph_modularity_labels",
 ]
 
 #: Proven green in CORRECTNESS_r10 (all 50 window rows green — the 48
