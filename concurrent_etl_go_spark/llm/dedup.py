@@ -441,13 +441,17 @@ def connected_components(
         # TRUNCATION the logical plan doubles per round and the driver
         # OOMs on analysis long before the data is large. Checkpointing
         # per iteration is exactly what GraphX/GraphFrames do.
+        # lazy checkpoint + the convergence aggregate in ONE job: the sum
+        # computes every partition of new_labels, so the checkpoint blocks
+        # persist as a side effect of the probe (the eager form paid the
+        # per-job scheduling floor twice per round)
         new_labels = (
             propagated.join(hop, propagated["component"] == hop["jid"], "left")
             .select(
                 "id",
                 F.coalesce("jcomp", "component").alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(label_sum).first()[0]  # only driver traffic
         release_df(storage)  # frees persist AND prior-round checkpoint blocks

@@ -424,7 +424,9 @@ def _harness(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def _retrieved(spark: SparkSession, sf_dir: str) -> tuple[
     DataFrame, DataFrame
 ]:
-    """(truth, retrieved) for the three non-MMR arms (memoized)."""
+    """(truth, retrieved) for the three non-MMR arms — derived fresh
+    per call via ``_harness`` (scoped-persisted for the caller's timed
+    region; no cross-call memo)."""
     h = _harness(spark, sf_dir)
     return h["truth"], h["retrieved"]
 
@@ -719,9 +721,9 @@ def search_eval_mmr_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity term spends (its recall/NDCG ceiling is the brute row of
     ``search_eval_recall_at_k`` / ``search_eval_ndcg_at_k``).
 
-    The greedy selection runs DRIVER-SIDE over the memoized pool rows
+    The greedy selection runs DRIVER-SIDE over the collected pool rows
     (round 13): the pool is |Q| x ``_MMR_POOL`` rows, corpus-independent
-    and already materialized by ``_harness``, so the k greedy rounds are
+    and scoped-persisted by ``_harness``, so the k greedy rounds are
     a few thousand exact-int64 operations — the bounded-driver-traffic
     category (VERDICT anti-pattern scan), replacing ~30 tiny Spark jobs
     (10 localCheckpointed steps) that dominated this query's bench time
@@ -734,7 +736,7 @@ def search_eval_mmr_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _harness(spark, sf_dir)
     truth = h["truth"]
     # greedy lambda-1/2 MMR over the collected pool (local relation —
-    # collecting it re-reads memoized rows, not the corpus)
+    # |Q| x pool rows from the scoped-persisted harness, not the corpus)
     by_qid: dict[int, list] = {}
     for row in h["pool"].collect():
         by_qid.setdefault(row["qid"], []).append(

@@ -325,8 +325,9 @@ def dataset_contrastive_triples(
     contrastive-loss denominator a trainer would log.
 
     Scale: the truth table is the per-query exact top-20 (the shared
-    ground-truth scan, memoized across the search_eval_* family);
-    triple assembly is |Q| x 3 rows of joins."""
+    ground-truth plan of the search_eval_* family, derived fresh and
+    scoped-persisted per call); triple assembly is |Q| x 3 rows of
+    joins."""
     from concurrent_etl_go_spark.llm.retrieval_eval import _harness
 
     truth = _harness(spark, sf_dir)["truth"]

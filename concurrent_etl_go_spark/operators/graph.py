@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.operators.registry import (
+    checkpoint_count,
     query,
     release_df,
     track_cache,
@@ -111,16 +112,24 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 6) -> DataFrame:
     dist = spark.createDataFrame([(source, 0)], "id long, dist long")
     frontier = dist
     for k in range(1, max_hops + 1):
-        newf = (
+        # one job per round: the frontier count IS the emptiness probe
+        # and materializes the checkpoint in the same action (the eager
+        # checkpoint + isEmpty pair paid the per-job floor twice).
+        # Round-16 A/B notes (quiet host, sf0.1, min-of-3): broadcast
+        # hints on frontier/dist measured WORSE (AQE materializes each
+        # broadcast as its own stage-job: 4.0 s vs 3.06 s for the six
+        # rounds), 2-hop batching per checkpoint measured ~2x a single
+        # round (no stage savings) — the AQE shuffled round shape is the
+        # floor; its ~0.45 s/round orchestration constant amortizes at
+        # data scale.
+        newf, n_new = checkpoint_count(
             frontier.join(sym, frontier["id"] == sym["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(dist, "id", "left_anti")
             .select("id", F.lit(k).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        track_cache(newf)
-        if newf.isEmpty():
+        if n_new == 0:
             break
         dist = dist.unionByName(newf)
         frontier = newf
@@ -249,20 +258,22 @@ def sssp_weighted(
             .groupBy("id")
             .agg(F.min("nd").alias("nd"))
         )
-        improved = (
+        # one job per round (was three): the improved-count probe
+        # materializes the checkpoint, and the dist merge is marked
+        # lazily — the NEXT round's probe (which joins dist) or the
+        # caller's terminal action computes and persists it
+        improved, n_improved = checkpoint_count(
             cand.join(dist, "id", "left")
             .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
             .select("id", F.col("nd").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        track_cache(improved)
-        if improved.isEmpty():
+        if n_improved == 0:
             break
         dist = (
             dist.unionByName(improved)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         track_cache(dist)
         frontier = improved

@@ -37,7 +37,11 @@ from concurrent_etl_go_spark.operators.graph2 import (
     _EDGE_SQL,
     _copurchase_edges,
 )
-from concurrent_etl_go_spark.operators.registry import query, track_cache
+from concurrent_etl_go_spark.operators.registry import (
+    checkpoint_count,
+    query,
+    track_cache,
+)
 
 _CC_SOURCES = 5
 _CC_HOPS = 4
@@ -64,16 +68,16 @@ def multi_source_bfs(
     track_cache(dist)
     frontier = dist
     for k in range(1, max_hops + 1):
-        newf = (
+        # one job per round: the frontier count doubles as the emptiness
+        # probe and materializes the checkpoint (bfs_hops convention)
+        newf, n_new = checkpoint_count(
             frontier.join(sym, frontier["id"] == sym["src"])
             .select("sid", F.col("dst").alias("id"))
             .distinct()
             .join(dist, ["sid", "id"], "left_anti")
             .select("sid", "id", F.lit(k).cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        track_cache(newf)
-        if newf.isEmpty():
+        if n_new == 0:
             break
         dist = dist.unionByName(newf)
         frontier = newf

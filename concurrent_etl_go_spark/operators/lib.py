@@ -24,7 +24,16 @@ def parallelize_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     repartition immediately after the read'.  At production scale the
     scan already produces >= parallelism partitions and this returns
     ``df`` unchanged — no exchange is added, and map-side partial
-    aggregation keeps its shuffle-byte reduction."""
+    aggregation keeps its shuffle-byte reduction.
+
+    Contract: pass SCAN+PROJECT frames only.  ``df.rdd`` finalizes the
+    plan, so a ``df`` containing exchanges would eagerly execute its
+    query stages inside this plan-building helper (current callers all
+    pass bare reads).  The keyed ``repartition`` produces
+    ``spark.sql.shuffle.partitions`` partitions (AQE-coalescible); the
+    guard compares against ``defaultParallelism``, assuming the session
+    keeps ``shuffle_partitions >= defaultParallelism`` (bench/driver
+    sessions set both to the core count)."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(*[F.col(c) for c in key_cols])

@@ -118,6 +118,23 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize ``df`` as a localCheckpoint AND return its row count in
+    ONE driver-coordinated job: the checkpoint is marked lazily
+    (``eager=False``) and the count action computes every partition, so
+    the blocks are persisted as a side effect of the counting job.  The
+    eager form plus a separate emptiness/size probe costs TWO jobs per
+    loop round — at dimension scale each job pays the fixed
+    stage-scheduling floor, so fixpoint loops (BFS frontier, SSSP delta,
+    pointer-jumping CC) were paying the floor twice per round for one
+    round's work.  The checkpointed frame is tracked for
+    ``release_caches()``."""
+    out = df.localCheckpoint(eager=False)
+    n = out.count()
+    _SCOPED_CACHES.append(out)
+    return out, n
+
+
 def release_df(df: DataFrame) -> None:
     """Unpersist a DataFrame's blocks, including ``localCheckpoint`` ones.
 

@@ -65,7 +65,7 @@ def main() -> int:
         return sym, deg
 
     def v0_current():
-        return graph2.graph_ppr(spark, sf_dir)  # (spark, sf_dir) bound via closure
+        return graph2.graph_ppr(spark, sf_dir)  # the committed query as-is
 
     def v1_hoist():
         sym, deg = build_base()
