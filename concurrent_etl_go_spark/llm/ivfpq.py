@@ -47,7 +47,6 @@ from concurrent_etl_go_spark.operators.registry import query
 from concurrent_etl_go_spark.llm.kmeans import (
     PQ_CODEBOOK_K,
     PQ_SUBSPACES,
-    kmeans_fit,
 )
 from concurrent_etl_go_spark.llm.similarity import _vectors
 from concurrent_etl_go_spark.sources import versioned as vt
@@ -57,37 +56,6 @@ IVFPQ_NPROBE = 3
 IVFPQ_TOP_K = 10
 #: Approximate-score candidates kept for the exact re-rank pass.
 IVFPQ_RERANK = 4 * IVFPQ_TOP_K
-
-
-def _sq_expr_sql(slice_sql: str, c: list[float]) -> str:
-    """Squared distance of a vector-slice SQL expression to a literal
-    centroid, as ONE SQL string.
-
-    Why a string and not Column composition: building the equivalent
-    Column tree costs thousands of py4j round-trips (one per literal and
-    lambda) — measured at ~3.5 s per fit iteration for 64 codewords,
-    dwarfing the actual sub-second job. One ``F.expr`` call ships the
-    whole tree to the JVM at once. Float literals use repr (shortest
-    round-trip form) + the D suffix, so the parsed doubles are
-    bit-identical to the F.lit path."""
-    lits = ",".join(f"{x!r}D" for x in c)
-    return (
-        f"aggregate(zip_with({slice_sql}, array({lits}), "
-        "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
-    )
-
-
-def _dists_sql(slice_sql: str, codebook: list[list[float]]) -> str:
-    return (
-        "array("
-        + ",".join(_sq_expr_sql(slice_sql, c) for c in codebook)
-        + ")"
-    )
-
-
-def _argmin_sql(dists_col: str) -> str:
-    """Index of the nearest centroid (ties -> lowest index)."""
-    return f"cast(array_position({dists_col}, array_min({dists_col})) - 1 as int)"
 
 
 def _subspace_bounds(dim: int) -> list[tuple[int, int]]:
@@ -103,6 +71,49 @@ def _subspace_bounds(dim: int) -> list[tuple[int, int]]:
     ]
 
 
+def _pq_sub_bounds_cols(dim: int) -> tuple:
+    """(start, length) Column pair selecting subspace ``m`` of ``v`` —
+    the column form of ``_subspace_bounds`` (last subspace absorbs the
+    remainder), so the slice bounds live in the plan SHAPE once instead
+    of once per codeword literal."""
+    sub_dim = dim // PQ_SUBSPACES
+    start = F.col("m") * sub_dim + 1
+    length = F.when(
+        F.col("m") == PQ_SUBSPACES - 1,
+        F.lit(dim - (PQ_SUBSPACES - 1) * sub_dim),
+    ).otherwise(F.lit(sub_dim))
+    return start, length
+
+
+def _pq_d2_col(dim: int):
+    """Squared distance of row column ``v``'s subspace ``m`` to codeword
+    column ``w`` — the same left-fold ``_sq_expr_sql`` evaluates, with
+    the codeword coming from a joined relation instead of a literal."""
+    start, length = _pq_sub_bounds_cols(dim)
+    return F.aggregate(
+        F.zip_with(
+            F.slice("v", start, length),
+            F.col("w"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_cb_frame(spark: SparkSession, codebooks: list) -> DataFrame:
+    """The codebooks as a tiny ``(m, j, w)`` relation (broadcast at use
+    sites).  Keeping codewords in DATA rather than in the expression
+    tree keeps the scoring plan's shape constant across Lloyd
+    iterations — parse once, codegen once (the literal form re-parsed
+    and re-compiled ~1,000-double expressions every iteration, which
+    dominated the fit wall time at dimension scale)."""
+    rows = []
+    for m, cb in enumerate(codebooks):
+        rows += [(m, j, list(cw)) for j, cw in enumerate(cb)]
+    return spark.createDataFrame(rows, "m int, j int, w array<double>")
+
+
 def pq_fit_joint(
     vectors: DataFrame,
     dim: int,
@@ -111,21 +122,28 @@ def pq_fit_joint(
 ) -> list[list[list[float]]]:
     """Train all ``PQ_SUBSPACES`` codebooks in ONE distributed pass per
     Lloyd iteration (per-subspace fits are independent, so they batch:
-    the assign step computes every subspace's argmin in the same scan,
-    and one posexplode aggregation updates every codebook — the
-    (subspace, cluster) pair is derived from the exploded position).
-    Fitting subspaces sequentially costs ``PQ_SUBSPACES``x the jobs and
-    driver round-trips for identical mathematics; at 100 TB the data
-    passes ARE the index-build cost, so batching them is the difference
-    between 2 and 8 scans per iteration.
+    the assign step scores every subspace in the same scan, and one
+    aggregation updates every codebook).  Fitting subspaces sequentially
+    costs ``PQ_SUBSPACES``x the jobs and driver round-trips for
+    identical mathematics; at 100 TB the data passes ARE the index-build
+    cost, so batching them is the difference between 2 and 8 scans per
+    iteration.
 
-    Same deterministic init as ``kmeans_fit`` (slices of the k lowest
-    vec_ids); driver traffic per iteration is the M x k codebook matrix.
+    Round 16: codewords live in a broadcast ``(m, j, w)`` relation
+    (``_pq_cb_frame``) instead of per-codeword literals, so the per-
+    iteration plan is parsed/compiled once; the argmin is the
+    deterministic ``min_by`` over a (d2, j) struct (ties break to the
+    lowest codeword id, exactly as ``array_position`` broke them), and
+    the per-(subspace, codeword, pos) means are one join + one
+    aggregation.  Same deterministic init as ``kmeans_fit`` (slices of
+    the k lowest vec_ids); driver traffic per iteration is the M x k
+    codebook matrix.
     """
     from concurrent_etl_go_spark.operators.registry import scoped_persist
 
     bounds = _subspace_bounds(dim)
     sub_dim = dim // PQ_SUBSPACES
+    spark = vectors.sparkSession
     base = scoped_persist(vectors.select("vec_id", "v"))
     init = base.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     codebooks = [
@@ -133,52 +151,42 @@ def pq_fit_joint(
         for start, length in bounds
     ]
 
+    d2 = _pq_d2_col(dim)
+    start, length = _pq_sub_bounds_cols(dim)
+    sv = F.slice("v", start, length)
     for _ in range(iterations):
-        # two narrow selects built from SQL strings (see _sq_expr_sql for
-        # why strings): dists arrays, then argmin codes
-        dist_cols = [
-            F.expr(
-                _dists_sql(f"slice(v, {start}, {length})", codebooks[m])
-            ).alias(f"dists_{m}")
-            for m, (start, length) in enumerate(bounds)
-        ]
-        with_dists = base.select("vec_id", "v", *dist_cols)
-        cands = with_dists.select(
-            "vec_id",
-            "v",
-            *[
-                F.expr(_argmin_sql(f"dists_{m}")).alias(f"code_{m}")
-                for m in range(PQ_SUBSPACES)
-            ],
+        # one scoring pass, NO join-back: the argmin aggregation carries
+        # the vector's subspace slice alongside the winning codeword, so
+        # the mean update is one posexplode + one aggregation over what
+        # the argmin already grouped (the join-back variant re-shuffled
+        # the exploded dimensions every iteration)
+        winner = F.min_by(
+            F.struct(F.col("j").alias("cluster"), sv.alias("sv")),
+            F.struct("d2", "j"),
+        ).alias("w")
+        assigned = (
+            base.crossJoin(F.broadcast(_pq_cb_frame(spark, codebooks)))
+            .select("vec_id", "m", "j", d2.alias("d2"), "v")
+            .groupBy("vec_id", "m")
+            .agg(winner)
         )
-        codes = F.array(*[F.col(f"code_{m}") for m in range(PQ_SUBSPACES)])
-        per = cands.select(codes.alias("codes"), F.posexplode("v"))
-        m_col = F.least(
-            F.floor(F.col("pos") / sub_dim), F.lit(PQ_SUBSPACES - 1)
-        ).cast("int")
-        agg = (
-            per.select(
-                m_col.alias("m"),
-                F.element_at("codes", m_col + 1).alias("cluster"),
-                "pos",
-                "col",
+        rows = (
+            assigned.select(
+                "m", F.col("w.cluster").alias("cluster"),
+                F.posexplode("w.sv"),
             )
             .groupBy("m", "cluster", "pos")
             .agg(F.avg("col").alias("mean"))
+            .collect()  # M x k x dim tiny rows — the only driver traffic
         )
-        rows = (
-            agg.groupBy("m", "cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
-                    lambda s: s["mean"],
-                ).alias("c")
-            )
-            .collect()  # M x k tiny rows — the only driver traffic
-        )
-        new = [list(cb) for cb in codebooks]
+        by_key: dict[tuple[int, int], list] = {}
         for row in rows:
-            new[row.m][row.cluster] = list(row.c)
+            by_key.setdefault((row.m, row.cluster), []).append(
+                (row.pos, row.mean)
+            )
+        new = [[list(cw) for cw in cb] for cb in codebooks]
+        for (m, cluster), pairs in by_key.items():
+            new[m][cluster] = [mean for _pos, mean in sorted(pairs)]
         codebooks = new
     return codebooks
 
@@ -204,31 +212,151 @@ def fit_ivfpq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     with no on-disk persistence.  ``build_ivfpq_index`` wraps this with
     the versioned-table persist (the production build-offline path);
     the registry query calls it directly so every bench/oracle
-    invocation computes the index from the parquet inputs."""
-    vectors = _vectors(spark, sf_dir)
-    first = vectors.select(F.size("v").alias("d")).first()
-    if first is None:
-        raise ValueError(f"no vectors under {sf_dir}")
-    dim = first.d
-    assigned, centroids = kmeans_fit(vectors, k=IVFPQ_CLUSTERS, iterations=2)
-    codebooks = pq_fit_joint(vectors, dim, iterations=2)
+    invocation computes the index from the parquet inputs.
 
-    bounds = _subspace_bounds(dim)
-    with_dists = assigned.select(
-        "vec_id",
-        "cluster",
-        *[
-            F.expr(
-                _dists_sql(f"slice(v, {start}, {length})", codebooks[m])
-            ).alias(f"dists_{m}")
-            for m, (start, length) in enumerate(bounds)
-        ],
+    Round-16 restructure (measured on the probe harness, sf0.1): the
+    sequential ``kmeans_fit`` + ``pq_fit_joint`` path spent ~2 s per
+    Lloyd iteration NOT in the data pass but in the driver — parsing,
+    analyzing and Janino-compiling the ~1,000-double-literal distance
+    expressions, recompiled every iteration because new literals mean a
+    new plan.  The fit now keeps the codebooks in a tiny broadcast
+    RELATION ``(m, j, w)`` (m = -1 is the coarse quantizer, m >= 0 the
+    PQ subspaces) instead of in the expression tree, so the plan SHAPE
+    is constant across iterations: parse once, codegen once, and each
+    iteration is one broadcast-join scoring pass + one fused statistics
+    job whose union carries the coarse per-(cluster, pos) means
+    alongside the PQ per-(subspace, codeword, pos) means.  Both fits
+    also share ONE persisted base and ONE seed collect (seeds + the
+    dimension probe + implicitly the query row for the serving query).
+    Same deterministic algorithm: id-ordered seeding, argmin ties break
+    to the lowest codeword id (min_by over a (d2, j) struct — the
+    ``ivfpq2._assignments`` idiom), coarse assignments produced by the
+    penultimate centroids, returned centroids/codebooks the post-update
+    ones — exactly what the sequential fits computed."""
+    from concurrent_etl_go_spark.operators.registry import scoped_persist
+
+    n_seed = max(IVFPQ_CLUSTERS, PQ_CODEBOOK_K)
+    base = scoped_persist(_vectors(spark, sf_dir).select("vec_id", "v"))
+    seed_rows = (
+        base.where(F.col("vec_id") < n_seed).orderBy("vec_id").collect()
     )
-    codes = with_dists.select(
-        "vec_id",
-        "cluster",
+    if not seed_rows:
+        raise ValueError(f"no vectors under {sf_dir}")
+    dim = len(seed_rows[0].v)
+    bounds = _subspace_bounds(dim)
+    sub_dim = dim // PQ_SUBSPACES
+    centroids = [
+        list(row.v) for row in seed_rows if row.vec_id < IVFPQ_CLUSTERS
+    ]
+    codebooks = [
+        [
+            list(row.v)[start - 1 : start - 1 + length]
+            for row in seed_rows
+            if row.vec_id < PQ_CODEBOOK_K
+        ]
+        for start, length in bounds
+    ]
+
+    def _cb_frame(cent: list | None, books: list) -> DataFrame:
+        rows = []
+        if cent is not None:
+            rows += [(-1, j, list(c)) for j, c in enumerate(cent)]
+        for m, cb in enumerate(books):
+            rows += [(m, j, list(cw)) for j, cw in enumerate(cb)]
+        return spark.createDataFrame(rows, "m int, j int, w array<double>")
+
+    # per-(vector, quantizer) argmin over the codebook relation: the
+    # slice bounds come from m (constant plan shape), the squared
+    # distance is the same left-fold the literal expressions evaluated
+    sub_start = F.when(F.col("m") < 0, F.lit(1)).otherwise(
+        F.col("m") * sub_dim + 1
+    )
+    sub_len = (
+        F.when(F.col("m") < 0, F.lit(dim))
+        .when(
+            F.col("m") == PQ_SUBSPACES - 1,
+            F.lit(dim - (PQ_SUBSPACES - 1) * sub_dim),
+        )
+        .otherwise(F.lit(sub_dim))
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.slice("v", sub_start, sub_len),
+            F.col("w"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _codes_long(cbdf: DataFrame) -> DataFrame:
+        scored = base.crossJoin(F.broadcast(cbdf)).select(
+            "vec_id", "m", "j", d2.alias("d2")
+        )
+        return scored.groupBy("vec_id", "m").agg(
+            F.min_by("j", F.struct("d2", "j")).alias("j")
+        )
+
+    sv = F.slice("v", sub_start, sub_len)
+
+    iterations = 2
+    assign_centroids = centroids  # the centroids the codes frame uses
+    for it in range(iterations):
+        if it == iterations - 1:
+            assign_centroids = centroids
+        # one scoring pass, NO join-back: each (vector, quantizer) group's
+        # argmin carries the vector slice the quantizer scores (the full
+        # vector for m = -1, the subspace for m >= 0), so the mean update
+        # is one posexplode + one aggregation over the argmin output
+        winner = F.min_by(
+            F.struct(F.col("j").alias("cluster"), sv.alias("sv")),
+            F.struct("d2", "j"),
+        ).alias("w")
+        assigned = (
+            base.crossJoin(
+                F.broadcast(_cb_frame(centroids, codebooks))
+            )
+            .select("vec_id", "m", "j", d2.alias("d2"), "v")
+            .groupBy("vec_id", "m")
+            .agg(winner)
+        )
+        rows = (
+            assigned.select(
+                "m",
+                F.col("w.cluster").alias("cluster"),
+                F.posexplode("w.sv"),
+            )
+            .groupBy("m", "cluster", "pos")
+            .agg(F.avg("col").alias("mean"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], list] = {}
+        for row in rows:
+            by_key.setdefault((row.m, row.cluster), []).append(
+                (row.pos, row.mean)
+            )
+        new_cent = [list(c) for c in centroids]
+        new_books = [[list(cw) for cw in cb] for cb in codebooks]
+        for (m, cluster), pairs in by_key.items():
+            vec = [mean for _pos, mean in sorted(pairs)]
+            if m == -1:
+                new_cent[cluster] = vec
+            else:
+                new_books[m][cluster] = vec
+        centroids, codebooks = new_cent, new_books
+
+    # final encode: coarse cells from the penultimate centroids (the
+    # last assign step), PQ codes from the POST-update codebooks — the
+    # exact frames the sequential fits emitted, pivoted wide
+    enc_long = _codes_long(_cb_frame(assign_centroids, codebooks))
+    codes = enc_long.groupBy("vec_id").agg(
+        F.max(F.when(F.col("m") == -1, F.col("j")))
+        .cast("int")
+        .alias("cluster"),
         *[
-            F.expr(_argmin_sql(f"dists_{m}")).alias(f"code_{m}")
+            F.max(F.when(F.col("m") == m, F.col("j")))
+            .cast("int")
+            .alias(f"code_{m}")
             for m in range(PQ_SUBSPACES)
         ],
     )
@@ -343,16 +471,26 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index was freshly built or read back, which
     ``tests/test_search_layout.py`` pins).
     """
-    vectors = _vectors(spark, sf_dir)
-    qrow = vectors.where(F.col("vec_id") == 0).select("v", "norm").first()
-    if qrow is None or qrow.v is None:
-        return spark.createDataFrame([], "vec_id long, sim double")
-    q, qn = list(qrow.v), float(qrow.norm)
-    dim = len(q)
-    sub_dim = dim // PQ_SUBSPACES
+    import math
 
     codes, meta = fit_ivfpq(spark, sf_dir)
     centroids, codebooks = meta["centroids"], meta["codebooks"]
+    # the fit scoped-persisted exactly this (vec_id, v) plan, so the
+    # query-row lookup and the rerank below are cache reads (no second
+    # parquet scan + repartition exchange per use)
+    base = _vectors(spark, sf_dir).select("vec_id", "v")
+    qrow = base.where(F.col("vec_id") == 0).first()
+    if qrow is None or qrow.v is None:
+        return spark.createDataFrame([], "vec_id long, sim double")
+    q = list(qrow.v)
+    # left-fold sum in array order, then IEEE sqrt — bit-identical to
+    # the sqrt(dot(v, v)) norm column ``_vectors`` computes per row
+    acc = 0.0
+    for x in q:
+        acc += x * x
+    qn = math.sqrt(acc)
+    dim = len(q)
+    sub_dim = dim // PQ_SUBSPACES
 
     # --- query-time: probe decision on k tiny centroids (driver-side) ---
     def centroid_cos(c: list[float]) -> float:
@@ -396,9 +534,14 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- exact re-rank: broadcast the tiny shortlist back to the corpus
     # (the only step that touches float vectors again) ---
     qlits = ",".join(f"{x!r}D" for x in q)
-    hits = vectors.join(
+    hits = base.join(
         F.broadcast(shortlist.select("vec_id")), "vec_id", "inner"
     )
+    # norm recomputed from the cached (vec_id, v) rows via the same
+    # sqrt(dot(v, v)) expression ``_vectors`` uses — identical values,
+    # no extra parquet scan for the norm column
+    from concurrent_etl_go_spark.llm.similarity import dot
+
     exact = hits.select(
         "vec_id",
         F.round(
@@ -406,7 +549,7 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"aggregate(zip_with(v, array({qlits}), (x, y) -> x * y), "
                 "0.0D, (acc, x) -> acc + x)"
             )
-            / (F.col("norm") * F.lit(qn)),
+            / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.lit(qn)),
             4,
         ).alias("sim"),
     )

@@ -146,9 +146,8 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width bytes, not variable-length lists).
     """
     from concurrent_etl_go_spark.llm.ivfpq import (
-        _argmin_sql,
-        _dists_sql,
-        _subspace_bounds,
+        _pq_cb_frame,
+        _pq_d2_col,
         pq_fit_joint,
     )
 
@@ -170,33 +169,34 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codebooks = pq_fit_joint(base, dim, k=PQ_CODEBOOK_K, iterations=3)
 
-    bounds = _subspace_bounds(dim)
-    with_dists = base.select(
-        "vec_id",
-        *[
-            F.expr(
-                _dists_sql(f"slice(v, {start}, {length})", codebooks[m])
-            ).alias(f"dists_{m}")
-            for m, (start, length) in enumerate(bounds)
-        ],
+    # encode against the fitted codebooks via the same broadcast
+    # (m, j, w) relation the fit scores with (constant plan shape — the
+    # literal-expression encode re-parsed/re-compiled ~1,000-double
+    # trees); per (vec, subspace): argmin code (min_by, ties low) and
+    # the min squared distance, pivoted wide.  err_m = min(d2) over the
+    # codewords, exactly array_min of the literal distance array.
+    scored = base.crossJoin(
+        F.broadcast(_pq_cb_frame(spark, codebooks))
+    ).select("vec_id", "m", "j", _pq_d2_col(dim).alias("d2"))
+    percode = scored.groupBy("vec_id", "m").agg(
+        F.min_by("j", F.struct("d2", "j")).alias("code"),
+        F.min("d2").alias("err"),
     )
-    encoded = with_dists.select(
-        "vec_id",
+    encoded = percode.groupBy("vec_id").agg(
         *[
-            F.expr(_argmin_sql(f"dists_{m}")).alias(f"code_{m}")
+            F.max(F.when(F.col("m") == m, F.col("code")))
+            .cast("int")
+            .alias(f"code_{m}")
             for m in range(PQ_SUBSPACES)
         ],
         *[
-            F.expr(f"array_min(dists_{m})").alias(f"err_{m}")
+            F.max(F.when(F.col("m") == m, F.col("err"))).alias(f"err_{m}")
             for m in range(PQ_SUBSPACES)
         ],
     )
     return encoded.select(
         "vec_id",
-        *[
-            F.col(f"code_{m}").cast("int").alias(f"code_{m}")
-            for m in range(PQ_SUBSPACES)
-        ],
+        *[F.col(f"code_{m}") for m in range(PQ_SUBSPACES)],
         F.round(
             sum(F.col(f"err_{m}") for m in range(PQ_SUBSPACES)), 4
         ).alias("recon_sq_err"),
