@@ -284,17 +284,39 @@ def _query_set(iv: DataFrame) -> DataFrame:
     )
 
 
-def _truth(iv: DataFrame, qs: DataFrame) -> DataFrame:
-    """Per-qid exact top-``_TRUTH_K`` with rank-band grades."""
-    exact = (
+def _exact_pairs(iv: DataFrame, qs: DataFrame) -> DataFrame:
+    """The shared ground-truth scan: every (query, candidate) pair with
+    BOTH the full-dimension and the ``_PREFIX``-dim integer distances —
+    the Spark twin of the oracle's materialized ``exact`` CTE.  One
+    |Q|-way broadcast expansion of the corpus computes every distance
+    any arm funnel needs; the truth ranking, the matryoshka prefix
+    funnel AND both arms' exact re-ranks all read these rows, so the
+    harness pays the corpus pass ONCE (round 16; previously the prefix
+    funnel re-ran the cross join and each arm's re-rank re-joined iv
+    and qs to recompute d2_full it already had)."""
+    return (
         iv.crossJoin(F.broadcast(qs))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
-            "qid", "vec_id", F.expr(_d2_sql("v", "qv")).alias("d2_full")
+            "qid",
+            "vec_id",
+            F.expr(_d2_sql("v", "qv")).alias("d2_full"),
+            F.expr(
+                _d2_sql(
+                    f"slice(v, 1, {_PREFIX})", f"slice(qv, 1, {_PREFIX})"
+                )
+            ).alias("d2p"),
         )
     )
+
+
+def _truth_from(exact: DataFrame) -> DataFrame:
+    """Per-qid exact top-``_TRUTH_K`` with rank-band grades."""
     ranked = _topn_per_qid(
-        exact, ["d2_full", "vec_id"], _TRUTH_K, rank_name="truth_rank"
+        exact.select("qid", "vec_id", "d2_full"),
+        ["d2_full", "vec_id"],
+        _TRUTH_K,
+        rank_name="truth_rank",
     )
     return ranked.withColumn(
         "grade",
@@ -305,44 +327,41 @@ def _truth(iv: DataFrame, qs: DataFrame) -> DataFrame:
     )
 
 
-def _exact_rerank(
-    short: DataFrame, iv: DataFrame, qs: DataFrame, arm: str
-) -> DataFrame:
+def _truth(iv: DataFrame, qs: DataFrame) -> DataFrame:
+    """Per-qid exact top-``_TRUTH_K`` with rank-band grades (standalone
+    form; ``_harness`` derives the same rows from the shared persisted
+    ``_exact_pairs`` frame)."""
+    return _truth_from(_exact_pairs(iv, qs))
+
+
+def _rerank_from(exact: DataFrame, short: DataFrame, arm: str) -> DataFrame:
     """Re-rank a per-qid (qid, vec_id) shortlist by exact distance and
-    keep the top ``_K`` with retrieval ranks."""
-    rr = (
-        short.join(iv, "vec_id")
-        .join(F.broadcast(qs), "qid")
-        .select(
-            "qid", "vec_id", F.expr(_d2_sql("v", "qv")).alias("d2_full")
-        )
+    keep the top ``_K`` with retrieval ranks.  The exact distances come
+    from the shared ``exact`` frame (the shortlist side is bounded —
+    |Q| x shortlist rows — and broadcasts; no corpus re-scan)."""
+    rr = F.broadcast(short.select("qid", "vec_id")).join(
+        exact.select("qid", "vec_id", "d2_full"), ["qid", "vec_id"]
     )
     return _topn_per_qid(
         rr, ["d2_full", "vec_id"], _K, rank_name="r_rank"
     ).select(F.lit(arm).alias("arm"), "qid", "vec_id", "r_rank")
 
 
-def _arm_matryoshka(iv: DataFrame, qs: DataFrame) -> DataFrame:
-    pref = (
-        iv.crossJoin(F.broadcast(qs))
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.expr(
-                _d2_sql(
-                    f"slice(v, 1, {_PREFIX})", f"slice(qv, 1, {_PREFIX})"
-                )
-            ).alias("d2p"),
-        )
+def _arm_matryoshka_from(exact: DataFrame) -> DataFrame:
+    """Matryoshka funnel over the shared exact frame: the prefix
+    shortlist rows ALREADY carry d2_full, so the re-rank is a second
+    window over the shortlist — no join at all."""
+    short = _topn_per_qid(exact, ["d2p", "vec_id"], _M_SHORT)
+    return _topn_per_qid(
+        short, ["d2_full", "vec_id"], _K, rank_name="r_rank"
+    ).select(
+        F.lit("matryoshka").alias("arm"), "qid", "vec_id", "r_rank"
     )
-    short = _topn_per_qid(pref, ["d2p", "vec_id"], _M_SHORT).select(
-        "qid", "vec_id"
-    )
-    return _exact_rerank(short, iv, qs, "matryoshka")
 
 
-def _arm_ivfpq(iv: DataFrame, qs: DataFrame) -> DataFrame:
+def _arm_ivfpq(
+    iv: DataFrame, qs: DataFrame, exact: DataFrame
+) -> DataFrame:
     assign = _assignments(iv)
     cents = _centroids(iv)
     qcelld = qs.crossJoin(F.broadcast(cents)).select(
@@ -386,7 +405,7 @@ def _arm_ivfpq(iv: DataFrame, qs: DataFrame) -> DataFrame:
     short = _topn_per_qid(cand, ["adist", "vec_id"], _RERANK).select(
         "qid", "vec_id"
     )
-    return _exact_rerank(short, iv, qs, "ivfpq")
+    return _rerank_from(exact, short, "ivfpq")
 
 
 def _harness(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -401,7 +420,8 @@ def _harness(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     region owns the whole build."""
     iv = scoped_persist(_int_vectors(spark, sf_dir))
     qs = _query_set(iv)
-    truth = scoped_persist(_truth(iv, qs))
+    exact = scoped_persist(_exact_pairs(iv, qs))
+    truth = scoped_persist(_truth_from(exact))
     brute = truth.where(F.col("truth_rank") <= _K).select(
         F.lit("brute").alias("arm"),
         "qid",
@@ -409,8 +429,8 @@ def _harness(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.col("truth_rank").alias("r_rank"),
     )
     retrieved = scoped_persist(
-        brute.unionByName(_arm_matryoshka(iv, qs)).unionByName(
-            _arm_ivfpq(iv, qs)
+        brute.unionByName(_arm_matryoshka_from(exact)).unionByName(
+            _arm_ivfpq(iv, qs, exact)
         )
     )
     pool = scoped_persist(
