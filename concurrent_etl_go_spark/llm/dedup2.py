@@ -266,12 +266,24 @@ def dedup_prefix_filter_jaccard(
     414,612 -> 314,584 (-24.1%) at sf0.1 and 946,337 -> 714,601
     (-24.5%) at sf1 — the cut ratio HOLDS across the decade, so the
     verify join's input shrinks by the same constant factor at any
-    scale."""
-    from concurrent_etl_go_spark.operators.lib import parallelize_narrow_scan
+    scale.
 
-    docs = parallelize_narrow_scan(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        "doc_id",
+    Round-16 A/B notes (interleaved same-session runs at sf0.1, 5 each):
+    the round-15 ``parallelize_narrow_scan`` repartition before the
+    shingle transform measured neutral-to-worse here (median 5.29 s
+    with vs 4.52 s without; mins 4.06 vs 3.93) — this query's cost is
+    post-shuffle (the prefix self-join + candidate verify), so the
+    extra exchange buys nothing — and is removed (the driver-flagged
+    r15 regression resolves with it).  Also measured and rejected for
+    the verify step: per-doc shingle-ARRAY intersection (fat string
+    arrays through the join exchanges: 8-10 s vs 3.7 s), carrying the
+    set sizes through the exploded verify rows (widens the pairs x
+    tokens shuffle: 7.6 s min), and a per-pair min-positional-bound
+    candidate gate (lossless but cut only 30 of 308k pairs).  The
+    committed exploded verify + broadcast count joins is the measured
+    optimum of the four shapes."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
     ).select("doc_id", tokens("text").alias("w"))
     idx = F.when(
         F.size("w") >= _K, F.sequence(F.lit(1), F.size("w") - (_K - 1))
