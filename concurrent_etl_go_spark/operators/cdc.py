@@ -139,8 +139,19 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="cetl_cdc_src_")
     dst = tempfile.mkdtemp(prefix="cetl_cdc_dst_")
     base, ups = _base_and_updates(spark, sf_dir)
-    vt.write_table(base, src)                      # src v1
-    vt.write_table(base, dst)                      # replica of v1
+    # the two v1 writes are independent jobs over the same frame —
+    # submit them from driver threads so the second's tasks back-fill
+    # executors freed by the first's tail (guide §2.6); each call
+    # commits its own table directory, so there is no shared state
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(vt.write_table, base, src),   # src v1
+            pool.submit(vt.write_table, base, dst),   # replica of v1
+        ]
+        for f in futs:
+            f.result()
     vt.merge_upsert(spark, src, ups, key="o_orderkey")  # src v2
     changes = vt.table_changes(spark, src, 1, 2)
     vt.apply_changes(spark, dst, changes, key="o_orderkey", batch_id=-2)
