@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from concurrent_etl_go_spark.llm.ivfpq2 import _DIM, _int_vectors
-from concurrent_etl_go_spark.operators.registry import query, scoped_persist
+from concurrent_etl_go_spark.operators.registry import query
 
 _ROUNDS = 8
 _X_SCALE = 1_000_000
@@ -138,50 +138,39 @@ def embeddings_top_component(
         F.col("i").alias("j"),
         F.col("val").alias("bval"),
     )
-    g = scoped_persist(
+    g_rows = (
         a.join(b, F.col("a.vec_id") == F.col("bvid"))
         .groupBy("i", "j")
         .agg(F.sum(F.col("val") * F.col("bval")).cast("long").alias("gv"))
+        .collect()
     )
-    x = spark.range(1, _DIM + 1).select(
-        F.col("id").alias("i"),
-        F.lit(_X_SCALE).cast("long").alias("w"),
-    )
-    # eager localCheckpoint per round (the shared loop discipline):
-    # ``raw`` feeds BOTH the max and the rescale, so a lazy chain
-    # doubles the plan every round — 2^rounds plan copies OOMed the
-    # driver at 8 rounds before checkpointing.  Frames are 64 rows;
-    # materializing them is free.
+    # The matvec rounds run DRIVER-SIDE over the collected Gram matrix
+    # (round 16): g is d^2 = 4096 cells whatever the corpus size — the
+    # bounded-driver-traffic category (kmeans centroids, the MMR pool)
+    # — and each Spark round was one fixed-cost job over a 64-row frame
+    # (8 jobs of pure scheduling floor, ~2.4 s at sf0.1 for arithmetic
+    # that takes microseconds).  Exact-int64 equivalence: every product
+    # is bounded per the module note, Python ints are exact, and the
+    # rescale reproduces the portable signed floor-division identically
+    # (m > 0, so Python's floor % IS the ((s % m + m) % m)
+    # normalization both SQL dialects need).
+    if not g_rows:
+        return spark.createDataFrame([], "dim long, weight_e6 long")
+    gmap: dict[int, list[tuple[int, int]]] = {}
+    for r in g_rows:
+        gmap.setdefault(r.i, []).append((r.j, r.gv))
+    x = {i: _X_SCALE for i in range(1, _DIM + 1)}
     for _ in range(_ROUNDS):
-        raw = (
-            g.join(x.select(F.col("i").alias("j"), "w"), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("gv") * F.col("w")).cast("long").alias("raw"))
-        ).localCheckpoint(eager=True)
-        m = raw.agg(F.max(F.abs("raw")).alias("m"))
-        # portable signed floor-division (the kmeans2 _FDIV idiom):
-        # ``raw`` is signed, Spark ``div`` truncates toward zero while
-        # DuckDB ``//`` floors — subtracting the positive remainder
-        # first makes the numerator an exact multiple of m, where both
-        # semantics agree, keeping the cross-engine hash bit-exact on
-        # any corpus with a negative raw.
-        x = (
-            raw.crossJoin(F.broadcast(m))
-            .select(
-                "i",
-                F.expr(
-                    f"CAST(raw AS DECIMAL(38,0)) * {_X_SCALE}"
-                ).alias("s"),
-                "m",
-            )
-            .select(
-                "i",
-                F.expr(
-                    "CAST((s - ((s % m + m) % m)) div m AS BIGINT)"
-                ).alias("w"),
-            )
-        )
-    return x.select(
-        F.col("i").cast("long").alias("dim"),
-        F.col("w").alias("weight_e6"),
+        raw = {
+            i: sum(gv * x[j] for j, gv in js if j in x)
+            for i, js in gmap.items()
+        }
+        m = max(abs(v) for v in raw.values())
+        x = {
+            i: (s - (s % m)) // m
+            for i, s in ((i, v * _X_SCALE) for i, v in raw.items())
+        }
+    return spark.createDataFrame(
+        sorted((int(i), int(w)) for i, w in x.items()),
+        "dim long, weight_e6 long",
     )
