@@ -83,6 +83,12 @@ def _pc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
+    # ONE exchange serves the distinct, the cap window AND the pair
+    # self-join (round 16): hash-partitioning by (pk, wk) satisfies the
+    # distinct's (pk, wk, ck) clustering requirement (subset rule), the
+    # window partitions by (pk, wk), and ``_pair_rows`` joins on
+    # (pk, wk) — previously the distinct shuffled by all three columns
+    # and the window re-shuffled by two
     pc = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
@@ -90,6 +96,7 @@ def _pc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
             F.col("o_custkey").alias("ck"),
         )
+        .repartition("pk", "wk")
         .distinct()
     )
     return (

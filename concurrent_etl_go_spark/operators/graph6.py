@@ -100,24 +100,31 @@ def graph_modularity_labels(
     la = lab.select(F.col("id").alias("src"), F.col("label").alias("lbl_a"))
     lb = lab.select(F.col("id").alias("dst"), F.col("label").alias("lbl_b"))
     m2_df = sym.agg(F.count(F.lit(1)).cast("long").alias("m2"))
-    innr = (
+    # one labels-join pass computes BOTH per-community statistics
+    # (round 16): dsum counts every incident edge end, in2 counts the
+    # ones whose far end shares the label — previously two separate
+    # sym-join passes and a left join re-merged them (every node is
+    # labeled, so the inner lb join drops nothing and a community with
+    # no internal edges gets in2 = 0, exactly what COALESCE(in2, 0)
+    # yielded before)
+    stats = (
         sym.join(la, "src")
         .join(lb, "dst")
-        .where(F.col("lbl_a") == F.col("lbl_b"))
         .groupBy(F.col("lbl_a").alias("lbl"))
-        .agg(F.count(F.lit(1)).cast("long").alias("in2"))
-    )
-    deg = (
-        sym.join(la, "src")
-        .groupBy(F.col("lbl_a").alias("lbl"))
-        .agg(F.count(F.lit(1)).cast("long").alias("dsum"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dsum"),
+            F.sum(
+                F.when(F.col("lbl_a") == F.col("lbl_b"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("in2"),
+        )
     )
     nn = lab.groupBy(F.col("label").alias("lbl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
     return (
-        nn.join(deg, "lbl")
-        .join(innr, "lbl", "left")
+        nn.join(stats, "lbl")
         .crossJoin(F.broadcast(m2_df))
         .select(
             F.col("lbl").alias("label"),
